@@ -1,13 +1,411 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.{Joins, Relational, WindowOps}
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions) is
+  * exposed as a named query; SQL-expressible ones carry a DuckDB oracle in
+  * [[oracleSql]] with column names/types aligned on both sides (the
+  * driver's compare sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val ET = Tables.EventTypes // click, view, purchase, signup, error
+
+  /** Money arithmetic for oracle-compared sums: convert each term to
+    * integer cents with FLOOR(x*100 + 0.5) — every step is a deterministic
+    * IEEE-754 op that Spark and DuckDB evaluate bit-identically — sum the
+    * BIGINTs exactly, divide by 100.0 at the end. Plain ROUND(SUM(..))
+    * differs between engines at half-cent boundaries (summation order +
+    * rounding-mode differences).
+    */
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(100) + lit(0.5)).cast("long")
+
+  // ---- flagship --------------------------------------------------------
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * The reference's README.md:41-70 pipeline on fixtures: hopping-window
+    * pivot features per user, left-enriched with the user dimension.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val feats = WindowOps.hoppingPivot(
+      Tables.events(spark, dir), eventTypes = ET)
+    Joins.leftEnrich(feats, Tables.customer(spark, dir), "user_id", "c_custkey")
+      .select(col("user_id"), col("w_start"),
+        col("window_start"), col("window_end"),
+        col("click_views"), col("view_views"), col("purchase_views"),
+        col("signup_views"), col("error_views"),
+        col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+  }
+
+  // ---- query implementations ------------------------------------------
+
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").cast("timestamp") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0)
+          .as("sum_disc_price"),
+        (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")))) / 100.0).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private def q3SegmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === lit("BUILDING"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast("timestamp") < to_timestamp(lit("1998-01-01")))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").cast("timestamp") > to_timestamp(lit("1995-06-30")))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("o_epoch"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0)
+        .as("revenue"))
+  }
+
+  private def qRekey(s: SparkSession, dir: String): DataFrame =
+    Relational.rekey(Tables.events(s, dir), "user_id")
+
+  private def qLatestByKey(s: SparkSession, dir: String): DataFrame =
+    Relational.latestByKey(Tables.orders(s, dir),
+      key = Seq("o_custkey"), orderBy = Seq("o_orderdate", "o_orderkey"))
+
+  private def qCaseIndicator(s: SparkSession, dir: String): DataFrame =
+    Relational.withIndicators(Tables.events(s, dir), "event_type", ET)
+      .select(col("event_id") +: col("user_id") +: col("event_type") +:
+        ET.map(v => col(s"is_$v")): _*)
+
+  private def qTimestampFmt(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      Relational.timestampToString(col("ts").cast("timestamp")).as("ts_hms"))
+
+  private def qAsArray(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      Relational.asArray(col("c_name"), col("c_mktsegment")).as("dims_str"),
+      Relational.asArray(col("c_custkey"), col("c_nationkey").cast("long"))
+        .as("dims_int"))
+
+  private def qCdcUnwrap(s: SparkSession, dir: String): DataFrame =
+    Relational.cdcUnwrap(
+      Relational.toCdcEnvelope(
+        Tables.orders(s, dir),
+        when(col("o_orderstatus") === lit("F"), lit("d")).otherwise(lit("c"))))
+
+  private def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      Relational.jsonGet(col("props"), "$.k").as("k_str"),
+      Relational.jsonGet(col("props"), "$.k").cast("long").as("k_num"))
+
+  private def qDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    WindowOps.distinctKeys(Tables.events(s, dir), "user_id")
+
+  private def qHoppingPivot(s: SparkSession, dir: String): DataFrame =
+    WindowOps.hoppingPivot(Tables.events(s, dir), eventTypes = ET)
+
+  private def qRolling600s(s: SparkSession, dir: String): DataFrame =
+    WindowOps.rollingCounts(
+      Tables.eventsWithEpoch(s, dir), eventTypes = ET)
+      .select(col("event_id") +: col("user_id") +: col("ts_sec") +:
+        ET.map(v => col(s"${v}s_last_600s")): _*)
+
+  private def qTopkOrdersPerCust(s: SparkSession, dir: String): DataFrame =
+    WindowOps.topKPerGroup(Tables.orders(s, dir),
+      Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rank_in_group"))
+
+  private def qLeftEnrich(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+    Joins.leftEnrich(agg, Tables.customer(s, dir), "user_id", "c_custkey")
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+  }
+
+  private def qInnerEnrich(s: SparkSession, dir: String): DataFrame =
+    Joins.innerEnrich(Tables.orders(s, dir), Tables.customer(s, dir),
+      "o_custkey", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("segment_value"))
+
+  // ---- LLM-pipeline extensions ----------------------------------------
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir))
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(Tables.documents(s, dir))
+
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(Tables.documents(s, dir))
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprints(Tables.documents(s, dir))
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(Tables.documents(s, dir))
+
+  private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+  }
+
+  // rows-only (no SQL oracle: approximate / hash-seeded / stubbed ops)
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.3)
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashes(Tables.documents(s, dir))
+
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 16)
+
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.1)
+
+  private def qSimLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+  }
+
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
+
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decode(Multimodal.asMedia(Tables.documents(s, dir)))
+
+  private def qMultimodalPartitioned(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePartitioned(Multimodal.asMedia(Tables.documents(s, dir)))
+
+  // ---- driver contract maps -------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_segment_revenue" -> (q3SegmentRevenue _),
+    "q_rekey" -> (qRekey _),
+    "q_latest_by_key" -> (qLatestByKey _),
+    "q_case_indicator" -> (qCaseIndicator _),
+    "q_timestamp_fmt" -> (qTimestampFmt _),
+    "q_as_array" -> (qAsArray _),
+    "q_cdc_unwrap" -> (qCdcUnwrap _),
+    "q_json_props" -> (qJsonProps _),
+    "q_distinct_users" -> (qDistinctUsers _),
+    "q_hopping_pivot" -> (qHoppingPivot _),
+    "q_rolling_600s" -> (qRolling600s _),
+    "q_topk_orders_per_cust" -> (qTopkOrdersPerCust _),
+    "q_left_enrich" -> (qLeftEnrich _),
+    "q_inner_enrich" -> (qInnerEnrich _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_text_stats" -> (qTextStats _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_lang_id" -> (qLangId _),
+    "q_sim_topk" -> (qSimTopk _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_sim_lsh" -> (qSimLsh _),
+    "q_embed_near_dup" -> (qEmbedNearDup _),
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_multimodal_partitioned" -> (qMultimodalPartitioned _)
+  )
+
+  /** Headline subset Bench.scala times per round. */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_segment_revenue", "q_hopping_pivot",
+    "q_rolling_600s", "q_latest_by_key", "q_left_enrich", "q_inner_enrich",
+    "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_token_count",
+    "q_sim_topk", "q_topk_orders_per_cust")
+
+  private val hopCte =
+    """WITH h AS (
+      |  SELECT e.*,
+      |         (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT)
+      |          - (CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) % 120)
+      |          - 120 * g.i) AS w_start
+      |  FROM events e, (SELECT UNNEST(RANGE(5)) AS i) g
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
+        |  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_charge,
+        |  ROUND(AVG(l_quantity), 2) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_segment_revenue" ->
+      """SELECT l.l_orderkey,
+        |  CAST(FLOOR(EPOCH(o.o_orderdate)) AS BIGINT) AS o_epoch,
+        |  SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1995-06-30 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate""".stripMargin,
+    "q_rekey" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    "q_latest_by_key" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM (SELECT o.*, ROW_NUMBER() OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders o) t
+        |WHERE rn = 1""".stripMargin,
+    "q_case_indicator" ->
+      """SELECT event_id, user_id, event_type,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+        |  CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_signup,
+        |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error
+        |FROM events""".stripMargin,
+    "q_timestamp_fmt" ->
+      "SELECT event_id, STRFTIME(ts, '%H:%M:%S') AS ts_hms FROM events",
+    "q_as_array" ->
+      """SELECT c_custkey,
+        |  [c_name, c_mktsegment] AS dims_str,
+        |  [c_custkey, CAST(c_nationkey AS BIGINT)] AS dims_int
+        |FROM customer""".stripMargin,
+    "q_cdc_unwrap" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events""".stripMargin,
+    "q_distinct_users" ->
+      "SELECT DISTINCT user_id FROM events",
+    "q_hopping_pivot" -> (hopCte +
+      """
+        |SELECT user_id, w_start,
+        |  STRFTIME(MIN(ts), '%H:%M:%S') AS window_start,
+        |  STRFTIME(MAX(ts), '%H:%M:%S') AS window_end,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_views,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_views,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_views,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_views,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_views
+        |FROM h GROUP BY user_id, w_start""".stripMargin),
+    "q_rolling_600s" ->
+      """SELECT event_id, user_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS clicks_last_600s,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS views_last_600s,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS purchases_last_600s,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS signups_last_600s,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS errors_last_600s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+        |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_topk_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rn AS INTEGER) AS rank_in_group
+        |FROM (SELECT o.*, ROW_NUMBER() OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders o) t
+        |WHERE rn <= 3""".stripMargin,
+    "q_left_enrich" ->
+      """SELECT a.user_id, a.n_events, a.total_value,
+        |  c.c_name, c.c_mktsegment, c.c_acctbal
+        |FROM (SELECT user_id, COUNT(*) AS n_events,
+        |        ROUND(SUM(value), 2) AS total_value
+        |      FROM events GROUP BY user_id) a
+        |LEFT JOIN customer c ON a.user_id = c.c_custkey""".stripMargin,
+    "q_inner_enrich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS segment_value
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')))""".stripMargin,
+    "q_text_stats" ->
+      ("""SELECT doc_id,
+        |  CAST(LENGTH(text) AS INTEGER) AS n_chars_calc,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_words,
+        |  ROUND(LENGTH(text) * 1.0 / LEN(STRING_SPLIT(text, ' ')), 4) AS avg_token_span,
+        |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.EnSql + """)) AS INTEGER) AS n_stopwords,
+        |  ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.EnSql + """)) * 1.0 / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio
+        |FROM documents""").stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[A-Z]+|[0-9]+')) AS INTEGER) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      ("""SELECT doc_id,
+        |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.EnSql + """)) AS INTEGER) AS en_hits,
+        |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.DeSql + """)) AS INTEGER) AS de_hits,
+        |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.FrSql + """)) AS INTEGER) AS fr_hits,
+        |  CASE
+        |    WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.EnSql + """)) >= LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.DeSql + """)) AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.EnSql + """)) >= LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.FrSql + """)) THEN 'en'
+        |    WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.DeSql + """)) >= LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.FrSql + """)) THEN 'de'
+        |    ELSE 'fr'
+        |  END AS lang_pred
+        |FROM documents""").stripMargin,
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings),
+        |     s AS (SELECT query_id, neighbor_id,
+        |             ROUND(LIST_DOT_PRODUCT(qv, cv)
+        |               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))), 6) AS cos_sim
+        |           FROM q, c WHERE query_id <> neighbor_id),
+        |     r AS (SELECT query_id, neighbor_id, cos_sim,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        |           FROM s)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin
+  )
 }

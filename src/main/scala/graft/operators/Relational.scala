@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators from the reference's streaming-SQL surface
+  * (SURVEY.md §2.1–§2.2). Each is a pure `DataFrame => DataFrame`
+  * transformation so batch and streaming share the same expression —
+  * the Structured Streaming incremental-query principle.
+  */
+object Relational {
+
+  /** ST5 / P1 — `PARTITION BY key` rekey (reference README.md:28).
+    *
+    * In ksqlDB a rekey materializes a repartition topic so a later join is
+    * co-partitioned. In Spark the exchange is planner-inserted, so the
+    * semantic content is just "this column is now the record key"; we keep
+    * the physical repartition as an explicit operator for parity and for
+    * cases where the caller wants to pre-shuffle once and reuse the
+    * partitioning across several downstream stateful ops (100 TB: one
+    * exchange instead of N).
+    */
+  def rekey(df: DataFrame, key: String, numPartitions: Option[Int] = None): DataFrame =
+    numPartitions match {
+      case Some(n) => df.repartition(n, col(key))
+      case None    => df.repartition(col(key))
+    }
+
+  /** S3 / A6 — TABLE semantics: latest value per key from a changelog
+    * (reference README.md:29, CDC topic materialization).
+    *
+    * Implemented with `max_by(struct(cols), struct(orderCols))` rather
+    * than `row_number + filter`: a single hash aggregation with map-side
+    * partial aggregation (one shuffle, no full sort of 100 TB), instead of
+    * a window function that sorts every partition. Tie-break columns make
+    * the result deterministic.
+    */
+  def latestByKey(df: DataFrame, key: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(key.contains)
+    val ord = struct(orderBy.map(col): _*)
+    df.groupBy(key.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), ord).as("_latest"))
+      .select(key.map(col) ++ payload.map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** P3 — `CASE WHEN event = v THEN 1 ELSE 0` pivot indicator
+    * (reference README.md:45-48; pandas analog train.py:245-253).
+    */
+  def indicator(eventCol: Column, value: String): Column =
+    when(eventCol === lit(value), lit(1)).otherwise(lit(0))
+
+  /** P3 applied: one indicator column per event-type value. */
+  def withIndicators(df: DataFrame, eventCol: String, values: Seq[String]): DataFrame =
+    values.foldLeft(df) { (d, v) =>
+      d.withColumn(s"is_$v", indicator(col(eventCol), v))
+    }
+
+  /** P5 — `TIMESTAMPTOSTRING(ts, 'HH:mm:ss')` (reference README.md:43-44). */
+  def timestampToString(ts: Column, fmt: String = "HH:mm:ss"): Column =
+    date_format(ts, fmt)
+
+  /** P6 — `as_array(a, b, …)` homogeneous array constructor
+    * (reference README.md:68). Spark arrays are homogeneous, matching the
+    * reference's separate STRING[] / INT[] arrays.
+    */
+  def asArray(cols: Column*): Column = array(cols: _*)
+
+  /** S5 + P10 — CDC envelope unwrap + tombstone drop
+    * (reference infra/connect/mysql-source.json:17-19): project the
+    * Debezium `{before, after, op}` envelope down to `after.*`, dropping
+    * delete tombstones. Plain Catalyst projection + filter — pushes all
+    * the way into the scan when the envelope is a parquet/Avro struct.
+    *
+    * Expects columns `after: struct<…>` and `op: string`.
+    */
+  def cdcUnwrap(envelope: DataFrame): DataFrame =
+    envelope
+      .filter(col("op") =!= lit("d") && col("after").isNotNull)
+      .select(col("after.*"))
+
+  /** Helper used by tests/queries: wrap a flat row into a Debezium-style
+    * envelope {before:null, after:struct(*), op}.
+    */
+  def toCdcEnvelope(df: DataFrame, opCol: Column): DataFrame =
+    df.select(struct(df.columns.map(col): _*).as("after"), opCol.as("op"))
+
+  /** Extension (driver fixture): JSON scalar extraction over
+    * `events.props` (FIXTURES.md §C) — the reference's scalar surface has
+    * no JSON functions, the fixture adds one.
+    */
+  def jsonGet(jsonCol: Column, path: String): Column =
+    get_json_object(jsonCol, path)
+}
