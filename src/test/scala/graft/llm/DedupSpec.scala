@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups case/punctuation-normalized duplicates") {
+    val docs = Seq(
+      (1L, "The quick brown fox"),
+      (2L, "the quick  brown fox!"),
+      (3L, "a different document"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles produces distinct w-grams") {
+    val out = Seq("a b c d").toDF("text")
+      .select(Dedup.shingles($"text", 2).as("sh"))
+      .head().getSeq[String](0)
+    assert(out.toSet == Set("a b", "b c", "c d"))
+  }
+
+  test("simhash: identical text → identical hash; similar → small hamming") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 50).map(i => if (i == 25) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (100 to 150).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val hs = Dedup.simhashes(df).orderBy("doc_id").collect()
+      .map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(0) == hs(1))
+    assert(ham(hs(0), hs(2)) < ham(hs(0), hs(3)),
+      s"near ${ham(hs(0), hs(2))} should beat far ${ham(hs(0), hs(3))}")
+    assert(ham(hs(0), hs(2)) <= 12)
+  }
+
+  test("simhashNearDups finds the duplicate pair") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, "something else entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on candidates") {
+    val a = "w1 w2 w3 w4 w5 w6"      // shingles(3): 4
+    val b = "w1 w2 w3 w4 w5 other"   // shares 3 of its 4
+    val df = Seq((1L, a), (2L, b), (3L, "x y z q r s")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, threshold = 0.1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    // |A∩B| = 3, |A∪B| = 5
+    assert(math.abs(r.getDouble(2) - 0.6) < 1e-9)
+  }
+
+  test("minhash estimated jaccard approximates true jaccard") {
+    val a = (1 to 40).map(i => s"t$i").mkString(" ")
+    val b = ((1 to 30).map(i => s"t$i") ++ (100 to 109).map(i => s"t$i")).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(df, k = 64, bands = 16, threshold = 0.1)
+      .collect()
+    assert(out.length == 1)
+    val est = out.head.getDouble(2)
+    // true jaccard of 3-shingle sets ≈ 28/48 ≈ 0.58
+    assert(est > 0.3 && est < 0.85, s"est=$est")
+  }
+
+  test("dedup families are deterministic across repartitioning") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val h1 = Dedup.simhashes(docs).orderBy("doc_id").collect().toSeq
+    val h2 = Dedup.simhashes(docs.repartition(7)).orderBy("doc_id").collect().toSeq
+    assert(h1 == h2)
+  }
+}

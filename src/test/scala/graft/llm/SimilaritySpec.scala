@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    // unit vectors in 2D at known angles from the query (1,0)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),          // query
+      (1L, Array(1.0f, 0.1f)),          // closest
+      (2L, Array(1.0f, 1.0f)),          // 45°
+      (3L, Array(0.0f, 1.0f)),          // orthogonal
+      (4L, Array(-1.0f, 0.0f)))         // opposite
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0L), vecs, k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("LSH top-k achieves decent recall vs brute force on fixture embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(q, emb, k = 5, nBits = 4, nTables = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall (random 64-dim embeddings are a hard LSH case)")
+  }
+
+  test("srp signatures are deterministic (seeded hyperplanes)") {
+    val emb = Tables.embeddings(spark, sf0001).limit(20)
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val s1 = emb.select(Similarity.srpSignature($"embedding", planes).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = emb.repartition(3)
+      .select(Similarity.srpSignature($"embedding", planes).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1.sorted == s2.sorted)
+  }
+
+  test("embeddingNearDups finds planted near-duplicates") {
+    val rnd = new java.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val near = base.map(x => x + 0.01f) // cosine ≈ 1
+    val rows = Seq((0L, base), (1L, near)) ++ (2L to 30L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leftEnrich keeps unmatched facts with nulls (J1 semantics)") {
+    val facts = Seq((1L, 10.0), (99L, 20.0)).toDF("user_id", "v")
+    val dim = Seq((1L, "alice")).toDF("id", "name")
+    val out = Joins.leftEnrich(facts, dim, "user_id", "id")
+      .orderBy("user_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("name") == "alice")
+    assert(out(1).isNullAt(out(1).fieldIndex("name")))
+  }
+
+  test("leftEnrich preserves left cardinality under unique dim keys") {
+    val facts = (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("user_id", "v")
+    val dim = (1 to 50).map(i => (i.toLong, s"u$i")).toDF("id", "name")
+    assert(Joins.leftEnrich(facts, dim, "user_id", "id").count() == 100)
+  }
+
+  test("leftEnrich plans a broadcast hash join (no fact-side shuffle)") {
+    val facts = Seq((1L, 10.0)).toDF("user_id", "v")
+    val dim = Seq((1L, "alice")).toDF("id", "name")
+    val plan = Joins.leftEnrich(facts, dim, "user_id", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("coerceKey normalizes string/int key wrinkle before join") {
+    val facts = Seq(("1", 10.0), ("2", 20.0)).toDF("user_id", "v")
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+    val coerced = Joins.coerceKey(facts, "user_id", "long")
+    val out = Joins.innerEnrich(coerced, dim, "user_id", "id")
+    assert(out.count() == 2)
+  }
+}

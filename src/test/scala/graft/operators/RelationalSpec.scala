@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latestByKey keeps exactly the newest row per key, deterministic on ties") {
+    val df = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 20L), // tie on ts=20 → max payload wins via orderBy tiebreak
+      (2L, "x", 5L)
+    ).toDF("id", "v", "ts")
+    val latest = Relational.latestByKey(df, Seq("id"), Seq("ts", "v"))
+      .orderBy("id").collect()
+    assert(latest.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "c", 20L), (2L, "x", 5L)))
+  }
+
+  test("latestByKey is idempotent") {
+    val df = Seq((1L, "a", 10L), (1L, "b", 20L)).toDF("id", "v", "ts")
+    val once = Relational.latestByKey(df, Seq("id"), Seq("ts"))
+    val twice = Relational.latestByKey(once, Seq("id"), Seq("ts"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("cdcUnwrap drops deletes and unwraps after.*") {
+    val df = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+    val env = Relational.toCdcEnvelope(df,
+      when($"id" === 2L, lit("d")).otherwise(lit("c")))
+    val out = Relational.cdcUnwrap(env)
+    assert(out.columns.toSeq == Seq("id", "name"))
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("indicator is 1 iff value matches") {
+    val df = Seq("click", "view").toDF("e")
+      .select(Relational.indicator($"e", "click").as("i"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 0))
+  }
+
+  test("timestampToString formats HH:mm:ss in UTC") {
+    val df = Seq(1704067798L).toDF("s")
+      .select(Relational.timestampToString(timestamp_seconds($"s")).as("hms"))
+    assert(df.head().getString(0) == "00:09:58")
+  }
+
+  test("jsonGet extracts scalar from props JSON") {
+    val df = Seq("""{"k": 87}""").toDF("props")
+      .select(Relational.jsonGet($"props", "$.k").as("k"))
+    assert(df.head().getString(0) == "87")
+  }
+
+  test("rekey preserves data and sets hash partitioning") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val out = Relational.rekey(df, "id", Some(2))
+    assert(out.rdd.getNumPartitions == 2)
+    assert(out.collect().toSet == df.collect().toSet)
+  }
+}
