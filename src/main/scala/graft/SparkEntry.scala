@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.operators.{Joins, Relational, WindowOps}
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ml.{Registry, Scorer, Trainer}
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -192,6 +194,40 @@ object SparkEntry {
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
 
+  /** Real incremental execution (micro-batches + state store) of the
+    * flagship hopping pivot — shares the batch oracle: streaming ≡ batch.
+    */
+  private def qStreamHoppingPivot(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s, Streaming.hoppingPivotStream(s, dir))
+
+  private def tempRegistry(): Registry =
+    new Registry(java.nio.file.Files.createTempDirectory("graft_reg").toString)
+
+  /** M1–M14 + U-series end-to-end: train (seeded), register, score the
+    * training frame with the vectorized path. Rows-only check (model
+    * output is not ANSI-SQL-expressible).
+    */
+  private def qMlTrainScore(s: SparkSession, dir: String): DataFrame = {
+    val reg = tempRegistry()
+    Trainer.trainAndRegister(s, dir, reg, useCv = false)
+    Scorer.scoreClean(reg.load("Bot Detector"), Trainer.trainingFrame(s, dir))
+  }
+
+  /** The reference's exact SQL surface: predict(model, as_array(strings),
+    * as_array(ints)) as a registered scalar UDF (README.md:62-70).
+    */
+  private def qPredictUdf(s: SparkSession, dir: String): DataFrame = {
+    val reg = tempRegistry()
+    Trainer.trainAndRegister(s, dir, reg, "Bot Detector", useCv = false)
+    Scorer.registerPredictUdf(s, reg.rootDir, preload = Seq("Bot Detector"))
+    Trainer.trainingFrame(s, dir).createOrReplaceTempView("ml_features")
+    s.sql("""SELECT user_id,
+             predict('Bot Detector', array(country, platform),
+                     array(product_views, listing_views, gallery_views, nb_orders))
+               AS predicted_label
+             FROM ml_features""")
+  }
+
   private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decode(Multimodal.asMedia(Tables.documents(s, dir)))
 
@@ -229,7 +265,10 @@ object SparkEntry {
     "q_sim_lsh" -> (qSimLsh _),
     "q_embed_near_dup" -> (qEmbedNearDup _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
-    "q_multimodal_partitioned" -> (qMultimodalPartitioned _)
+    "q_multimodal_partitioned" -> (qMultimodalPartitioned _),
+    "q_stream_hopping_pivot" -> (qStreamHoppingPivot _),
+    "q_ml_train_score" -> (qMlTrainScore _),
+    "q_predict_udf" -> (qPredictUdf _)
   )
 
   /** Headline subset Bench.scala times per round. */
@@ -393,6 +432,19 @@ object SparkEntry {
         |    ELSE 'fr'
         |  END AS lang_pred
         |FROM documents""").stripMargin,
+    // identical oracle as q_hopping_pivot: incremental execution must
+    // produce exactly the batch answer
+    "q_stream_hopping_pivot" -> (hopCte +
+      """
+        |SELECT user_id, w_start,
+        |  STRFTIME(MIN(ts), '%H:%M:%S') AS window_start,
+        |  STRFTIME(MAX(ts), '%H:%M:%S') AS window_end,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_views,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_views,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_views,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_views,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_views
+        |FROM h GROUP BY user_id, w_start""".stripMargin),
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,164 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.{IndexToString, OneHotEncoder, StringIndexer, StringIndexerModel, VectorAssembler}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.{Joins, WindowOps}
+
+/** Bot-detector training pipeline — the Scala-MLlib restatement of
+  * /root/reference/model-trainer/train.py (M1–M14, SURVEY.md §2.7):
+  * StringIndexer×2 + OneHotEncoder×2 + VectorAssembler(6 features) +
+  * label StringIndexer + DecisionTreeClassifier + IndexToString,
+  * CrossValidator over maxDepth × maxBins, then "serving surgery"
+  * (drop the label indexer; train.py:349-351) so the served pipeline
+  * maps raw features → predicted_label directly.
+  *
+  * Feature prep runs on Spark window/agg operators (WindowOps) instead of
+  * the reference's driver-local pandas rolling frame — the part of
+  * train.py that would not survive 100 TB (train.py:260-276 collects
+  * everything on the driver). Everything here is distributed.
+  */
+object Trainer {
+
+  val FeatureCols: Seq[String] = Seq(
+    "country", "platform", "product_views", "listing_views",
+    "gallery_views", "nb_orders")
+
+  /** Assemble the training frame from fixtures (FIXTURES.md §C mapping):
+    * per-user event-type totals (hopping-pivot features aggregated) joined
+    * with the user dimension — country from nation via c_nationkey,
+    * platform from c_mktsegment, nb_orders counted from orders.
+    *
+    * Label rule (fixture analog of train.py:220's `is_bot = id>=1e6`,
+    * which works because reference bots *behave* differently): a
+    * deterministic behavioral rule the tree can learn — heavy
+    * purchase+error activity relative to views.
+    */
+  def trainingFrame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perUser = ev.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("product_views"),
+      sum(when(col("event_type") === "view", 1).otherwise(0)).as("listing_views"),
+      sum(when(col("event_type") === "click", 1).otherwise(0)).as("gallery_views"),
+      sum(when(col("event_type") === "error", 1).otherwise(0)).as("error_count"))
+    val nbOrders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("nb_orders"))
+    val dims = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"), col("n_name").as("country"),
+        col("c_mktsegment").as("platform"))
+    perUser
+      .join(broadcast(dims), col("user_id") === col("c_custkey"), "left")
+      .join(broadcast(nbOrders), col("user_id") === col("o_custkey"), "left")
+      .select(
+        col("user_id"),
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        coalesce(col("platform"), lit("UNKNOWN")).as("platform"),
+        col("product_views").cast("int").as("product_views"),
+        col("listing_views").cast("int").as("listing_views"),
+        col("gallery_views").cast("int").as("gallery_views"),
+        coalesce(col("nb_orders"), lit(0L)).cast("int").as("nb_orders"),
+        // balanced (~50/50) and separable from the served features, so
+        // the tree genuinely learns it — the analog of reference bots
+        // *behaving* differently (different Markov weights, train.py)
+        when(col("gallery_views") > col("product_views"), lit("bot"))
+          .otherwise(lit("user")).as("label"))
+  }
+
+  /** M1–M7 stages. The label indexer arrives pre-fit (like
+    * train.py:306's eagerly-fit labelIndexer placed into the pipeline as
+    * a transformer) so train/test splits can never hit unseen labels.
+    */
+  private def stages(labelModel: StringIndexerModel, labels: Array[String])
+      : (Array[PipelineStage], IndexToString) = {
+    val countryIdx = new StringIndexer().setInputCol("country")
+      .setOutputCol("country_idx").setHandleInvalid("keep")
+    val countryOhe = new OneHotEncoder().setInputCol("country_idx")
+      .setOutputCol("country_ohe")
+    val platformIdx = new StringIndexer().setInputCol("platform")
+      .setOutputCol("platform_idx").setHandleInvalid("keep")
+    val platformOhe = new OneHotEncoder().setInputCol("platform_idx")
+      .setOutputCol("platform_ohe")
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("country_ohe", "platform_ohe", "product_views",
+        "listing_views", "gallery_views", "nb_orders"))
+      .setOutputCol("features")
+    val dtc = new DecisionTreeClassifier()
+      .setLabelCol("indexed_label").setFeaturesCol("features").setSeed(42L)
+    val unindex = new IndexToString().setInputCol("prediction")
+      .setOutputCol("predicted_label").setLabels(labels)
+    (Array(countryIdx, countryOhe, platformIdx, platformOhe, assembler,
+      labelModel, dtc, unindex), unindex)
+  }
+
+  case class Trained(
+      serving: PipelineModel,
+      metric: Double,
+      labels: Array[String])
+
+  /** Fit with 3-fold CV over the reference's grid shape (M8–M10), then
+    * rebuild the serving pipeline without the label indexer (M11).
+    * Seeded throughout (the reference's unseeded randomSplit, M6, is a
+    * reproducibility bug we do not copy).
+    */
+  def fit(df: DataFrame, useCv: Boolean = true): Trained = {
+    // label vocabulary fit eagerly like train.py:306 (one fixed order)
+    val labelModel: StringIndexerModel = new StringIndexer()
+      .setInputCol("label").setOutputCol("indexed_label")
+      .setStringOrderType("alphabetDesc").fit(df)
+    val labels = labelModel.labelsArray(0)
+    val (st, _) = stages(labelModel, labels)
+    val pipeline = new Pipeline().setStages(st)
+
+    val Array(train, test) = df.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val evaluator = new BinaryClassificationEvaluator()
+      .setLabelCol("indexed_label").setRawPredictionCol("prediction")
+
+    val fitted: PipelineModel =
+      if (useCv) {
+        val dtc = st(6).asInstanceOf[DecisionTreeClassifier]
+        val grid = new ParamGridBuilder()
+          .addGrid(dtc.maxDepth, Array(2, 3, 4))
+          .addGrid(dtc.maxBins, Array(8, 16))
+          .build()
+        val cv = new CrossValidator().setEstimator(pipeline)
+          .setEvaluator(evaluator).setEstimatorParamMaps(grid)
+          .setNumFolds(3).setSeed(42L)
+        cv.fit(train).bestModel.asInstanceOf[PipelineModel]
+      } else pipeline.fit(train)
+
+    val metric = evaluator.evaluate(fitted.transform(test))
+
+    // M11 serving surgery: drop stage 5 (label indexer) so the scorer
+    // consumes raw features and emits predicted_label.
+    val servingStages = fitted.stages.patch(5, Nil, 1)
+    val serving = org.apache.spark.ml.GraftMlBridge.pipelineModel(
+      fitted.uid + "-serving", servingStages)
+    Trained(serving, metric, labels)
+  }
+
+  /** End-to-end: build frame → fit → register. Returns (version, metric). */
+  def trainAndRegister(
+      spark: SparkSession,
+      dir: String,
+      registry: Registry,
+      modelName: String = "Bot Detector",
+      useCv: Boolean = true): (Int, Double) = {
+    val df = trainingFrame(spark, dir)
+    val t = fit(df, useCv)
+    val version = registry.save(
+      modelName, t.serving,
+      inputCols = Seq("country" -> "string", "platform" -> "string",
+        "product_views" -> "integer", "listing_views" -> "integer",
+        "gallery_views" -> "integer", "nb_orders" -> "integer"),
+      outputCol = "predicted_label")
+    (version, t.metric)
+  }
+}

@@ -40,7 +40,11 @@ object WindowOps {
       slide: String = "2 minutes",
       eventCol: String = "event_type",
       eventTypes: Seq[String]): DataFrame = {
-    val ts = col(tsCol).cast("timestamp")
+    // keep the original attribute when already a timestamp: a cast
+    // expression would strip event-time/watermark metadata in streaming
+    val ts =
+      if (events.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) col(tsCol)
+      else col(tsCol).cast("timestamp")
     val pivots = eventTypes.map { v =>
       sum(Relational.indicator(col(eventCol), v)).as(s"${v}_views")
     }

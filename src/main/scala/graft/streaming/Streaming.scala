@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.model.Tables
+import graft.operators.{Joins, WindowOps}
+
+/** Structured-Streaming variants of the batch operators (SURVEY.md §2.5).
+  *
+  * Design: streaming pipelines reuse the *identical* batch expressions
+  * (WindowOps.hoppingPivot, Joins.leftEnrich) — the incremental-query
+  * principle from the Structured Streaming paper (SIGMOD 2018): one
+  * declarative query, two execution modes. Tests assert batch ≡ streaming
+  * on the same input.
+  *
+  * ksqlDB mapping:
+  *  - `EMIT CHANGES` (ST1)  → OutputMode.Update / Complete on a sink
+  *  - `TIMESTAMP='ts'` (ST2) → the event-time column fed to window()
+  *  - no grace clause (ST3)  → watermark optional; [[withLateness]]
+  *    documents the deliberate deviation when bounded state is required
+  *  - earliest offsets (ST4) → AvailableNow over the fixture dir replays
+  *    everything, like `auto.offset.reset=earliest`
+  *  - TABLE upsert (S3/A6)   → [[latestByKeyStream]] via
+  *    mapGroupsWithState
+  */
+object Streaming {
+
+  /** Streaming read of the events fixture (file source stands in for the
+    * Kafka+Avro topic; one file = one replayed partition).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // glob form: the file source wants a directory/glob, not a bare file
+    spark.readStream.schema(raw)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** ST3 production posture: bound state with a watermark (documented
+    * deviation from ksql 5.4's unbounded-retention default).
+    */
+  def withLateness(df: DataFrame, delay: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", delay)
+
+  /** Run a streaming DataFrame to completion over the finite fixture
+    * (Trigger.AvailableNow) into a memory sink; return the materialized
+    * result. This is a *real* incremental execution — state store,
+    * micro-batches — not a batch fallback.
+    */
+  def runToMemory(
+      spark: SparkSession,
+      streamed: DataFrame,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+    val q = streamed.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Flagship streaming pipeline (README.md:41-70 shape): hopping pivot
+    * over the event stream, then stream-static left join with the user
+    * dimension. Aggregation state lives in the state store; the dimension
+    * is broadcast per micro-batch.
+    */
+  def hoppingPivotStream(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.hoppingPivot(eventsStream(spark, dir),
+      eventTypes = Tables.EventTypes)
+
+  def flagshipStream(spark: SparkSession, dir: String): DataFrame =
+    Joins.leftEnrich(
+      hoppingPivotStream(spark, dir),
+      Tables.customer(spark, dir), "user_id", "c_custkey")
+
+  /** S3/A6 streaming TABLE semantics: continuously-updating latest row
+    * per key via mapGroupsWithState (the reference's RocksDB-backed
+    * changelog table, ST6). Emits the current latest per key each batch;
+    * Update output mode ≈ `EMIT CHANGES` on a TABLE.
+    *
+    * At scale: state is one row per key (the upsert invariant); skewed
+    * keys cost nothing extra since state size is key-bounded, not
+    * event-bounded.
+    */
+  def latestByKeyStream(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val ordIdx = schema.fieldIndex(orderCol)
+    val enc = Encoders.row(schema)
+    implicit val rowEnc = enc
+    implicit val strEnc = Encoders.STRING
+    implicit val tupleEnc = Encoders.tuple(Encoders.STRING, enc)
+    val updated = df
+      .groupByKey(r => String.valueOf(r.get(keyIdx)))
+      .mapGroupsWithState[Row, (String, Row)](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val all = (state.getOption.iterator ++ rows).toSeq
+          val latest = all.maxBy { r =>
+            val o = r.get(ordIdx)
+            o match {
+              case t: java.sql.Timestamp => t.getTime
+              case l: Long => l
+              case i: Int => i.toLong
+              case other => String.valueOf(other).hashCode.toLong
+            }
+          }
+          state.update(latest)
+          (key, latest)
+      }
+      .map(_._2)(enc)
+    updated
+  }
+}
