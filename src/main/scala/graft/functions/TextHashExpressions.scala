@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash-sketch hot paths.
+  *
+  * Why custom expressions: the straightforward formulation with
+  * `transform`/`aggregate` higher-order functions is evaluated
+  * interpreted, per element, with boxed longs and a GenericArrayData
+  * allocation per lambda application — measured ~5µs per hash on the
+  * minhash path (46 s for 5 000 docs × 32 perms × ~50 shingles). The
+  * primitive-loop versions below do the same work in tight JIT-compiled
+  * loops (~10 ns/hash). CodegenFallback costs one virtual call per ROW,
+  * which is noise; the inner loops are where the time goes.
+  *
+  * Hashing uses Spark's own XXH64 (the engine behind `xxhash64(...)`),
+  * seed 42, so values are stable across JVMs and partitionings.
+  */
+object TextHashExpressions {
+
+  private val Seed = 42L
+
+  /** Hash a UTF8String with Spark's xxhash64. */
+  private def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** MinHash signature over w-word shingles of a whitespace-tokenized
+    * text: sig[i] = min over shingles of xxhash64(shingleHash, seed=i).
+    * Duplicate shingles cannot affect a min, so no distinct pass needed.
+    */
+  case class MinHashSig(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String]
+      val toks = text.toString.split(' ')
+      val n = math.max(0, toks.length - w + 1)
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder(64)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        val h0 = hashUtf8(UTF8String.fromString(sb.toString), Seed)
+        var p = 0
+        while (p < k) {
+          val h = XXH64.hashLong(h0, p)
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+    override def prettyName: String = "minhash_sig"
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the result is the
+    * sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1).
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String]
+      val counters = new Array[Int](64)
+      var start = 0
+      val s = text.toString
+      val len = s.length
+      var i = 0
+      while (i <= len) {
+        if (i == len || s.charAt(i) == ' ') {
+          if (i > start) {
+            val h = hashUtf8(UTF8String.fromString(s.substring(start, i)), Seed)
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+              b += 1
+            }
+          } else if (i == len && start == len && len == 0) {
+            // empty text → all-zero counters → sign bits 0
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 63
+      while (b >= 0) {
+        out = (out << 1) | (if (counters(b) > 0) 1L else 0L)
+        b -= 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** Distinct w-shingle hashes, sorted ascending (the Jaccard item set;
+    * sorted so a prefix slice IS the min-wise sample).
+    */
+  case class ShingleHashes(child: Expression, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.split(' ')
+      val n = math.max(0, toks.length - w + 1)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder(64)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        set.add(hashUtf8(UTF8String.fromString(sb.toString), Seed))
+        i += 1
+      }
+      val arr = new Array[Long](set.size)
+      val it = set.iterator()
+      var p = 0
+      while (it.hasNext) { arr(p) = it.next(); p += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  // Column-API wrappers (Spark 4: Column wraps a ColumnNode; the classic
+  // bridge lifts a Catalyst Expression)
+  import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+
+  def minhash_sig(c: Column, k: Int = 32, w: Int = 3): Column =
+    toCol(MinHashSig(toExpr(c), k, w))
+  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def shingle_hashes(c: Column, w: Int = 3): Column =
+    toCol(ShingleHashes(toExpr(c), w))
+}

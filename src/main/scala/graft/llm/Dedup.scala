@@ -2,21 +2,28 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (driver north
   * star). Four families: exact content-hash, MinHash-banded LSH, SimHash,
-  * and n-gram Jaccard with prefix-filtered candidate generation.
+  * and n-gram Jaccard with shingle-anchored candidate generation.
   *
-  * Scale design: every family reduces to hash-partitioned shuffles on
-  * compact keys (16-byte md5 / 8-byte band hash), never on the raw text;
-  * the text column is dropped before any exchange so a 100 TB corpus
-  * shuffles only fingerprints.
+  * Scale design:
+  *  - text is hashed ONCE into compact long arrays before any fan-out;
+  *    all signature math is fixed-width integer arithmetic
+  *    (xxhash64-of-long), never string re-hashing
+  *  - the signature relation feeding a self-join is persisted: both join
+  *    branches read the materialized signatures instead of recomputing
+  *    the text pipeline twice (at 100 TB the signature table is ~1/1000
+  *    the corpus size — cache-and-join is the correct shape; in a real
+  *    deployment it would be a written table)
+  *  - shuffles run on 8-byte band keys; the text column never shuffles
   */
 object Dedup {
 
   /** Exact dedup: group by canonical content fingerprint, keep the lowest
     * doc_id as survivor. One hash aggregation with partial-agg; shuffle
-    * key is the 16-byte hash.
+    * key is the 16-byte md5.
     */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
@@ -36,52 +43,39 @@ object Dedup {
     )
   }
 
-  /** 64-bit SimHash over whitespace tokens, as a pure column expression
-    * (no shuffle, codegen'd): per bit b, sign of Σ_tokens (bit_b(h)?+1:-1),
-    * packed into a BIGINT. Near-dup distance = hamming(simhash_a,
-    * simhash_b) via bit_count(a ^ b).
+  /** Distinct shingle hashes, sorted ascending (native expression — the
+    * HOF formulation evaluated interpreted at ~µs/element).
     */
-  def simhash(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    // acc: array<int> of 64 signed counters, one per bit.
-    val counters = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(
-          acc,
-          transform(
-            sequence(lit(0), lit(63)),
-            b => when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === lit(1L), lit(1))
-              .otherwise(lit(-1))
-          ),
-          (a, d) => a + d
-        )
-      }
-    )
-    // Pack sign bits msb-first into one BIGINT.
-    aggregate(
-      counters,
-      lit(0L),
-      (acc, c) => shiftleft(acc, 1) + when(c > 0, lit(1L)).otherwise(lit(0L))
-    )
-  }
+  def shingleHashes(text: Column, w: Int = 3): Column =
+    graft.functions.TextHashExpressions.shingle_hashes(text, w)
+
+  /** 64-bit SimHash over whitespace tokens (native expression, no
+    * shuffle): per bit b, sign of Σ_tokens (bit_b(xxhash64(token)) ? +1
+    * : -1), packed into a BIGINT.
+    */
+  def simhash(text: Column): Column =
+    graft.functions.TextHashExpressions.simhash64(text)
 
   def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), simhash(col(textCol)).as("simhash"))
 
+  /** Order-dependent fold hash of a long-array slice (band key).
+    * xxhash64 chaining: overflow-free under ANSI mode, well-mixed.
+    */
+  private def foldHash(arr: Column): Column =
+    aggregate(arr, lit(17L), (a, x) => xxhash64(a, x))
+
   /** SimHash near-dup pairs within a hamming radius. Candidate generation
     * by banding the 64-bit fingerprint into `bands` chunks (pigeonhole: a
-    * pair within radius < bands must collide on ≥1 band) — the self-join
-    * runs on 16-bit band keys, never all-pairs.
+    * pair within radius < bands must collide on ≥1 band); the self-join
+    * runs on small band keys over the persisted signature relation.
     */
   def simhashNearDups(
       docs: DataFrame,
       textCol: String = "text",
       maxHamming: Int = 3,
       bands: Int = 4): DataFrame = {
-    val sh = simhashes(docs, textCol)
+    val sh = simhashes(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val width = 64 / bands
     val banded = sh.select(
       col("doc_id"),
@@ -94,8 +88,7 @@ object Dedup {
             call_function("shiftright", col("simhash"), b * width)
               .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
         )
-      ).as("bk")
-    )
+      ).as("bk"))
     val l = banded.select(col("bk").as("l_bk"), col("doc_id").as("a"), col("simhash").as("sh_a"))
     val r = banded.select(col("bk").as("r_bk"), col("doc_id").as("b"), col("simhash").as("sh_b"))
     l.join(r, col("l_bk") === col("r_bk") && col("a") < col("b"))
@@ -105,40 +98,42 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs with shingle-anchored candidate
-    * generation: explode each doc's distinct shingles, hash them, and
-    * self-join on the shingle hash — only docs sharing ≥1 shingle become
-    * candidates — then compute exact Jaccard on the candidate pairs.
-    * `maxShinglesPerDoc` caps the explode via smallest-hash sampling
-    * (min-wise sampling preserves collision probability ≈ Jaccard).
+    * generation: only docs sharing ≥1 anchor shingle hash become
+    * candidates; exact Jaccard is then computed on the hash sets (never
+    * the strings). `maxShinglesPerDoc` caps fan-out via smallest-hash
+    * (min-wise) sampling.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String = "text",
       w: Int = 3,
       threshold: Double = 0.8,
-      maxShinglesPerDoc: Int = 20): DataFrame = {
-    val withSh = docs
-      .select(col("doc_id"), shingles(col(textCol), w).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    // min-wise sample of shingle hashes for candidate generation
-    val sampled = withSh.select(
-      col("doc_id"),
-      col("sh"),
-      col("n_sh"),
-      slice(array_sort(transform(col("sh"), s => xxhash64(s))), 1, maxShinglesPerDoc)
-        .as("anchor_hashes")
-    )
-    val exploded = sampled.select(
-      col("doc_id"), col("sh"), col("n_sh"),
-      explode(col("anchor_hashes")).as("anchor"))
-    val l = exploded.select(col("anchor").as("l_anchor"), col("doc_id").as("a"),
-      col("sh").as("sh_a"), col("n_sh").as("n_a"))
-    val r = exploded.select(col("anchor").as("r_anchor"), col("doc_id").as("b"),
-      col("sh").as("sh_b"), col("n_sh").as("n_b"))
-    val cand = l.join(r, col("l_anchor") === col("r_anchor") && col("a") < col("b"))
-      .select(col("a"), col("b"), col("sh_a"), col("sh_b"), col("n_a"), col("n_b"))
-      .dropDuplicates("a", "b")
-    cand
+      maxShinglesPerDoc: Int = 20,
+      maxBucket: Int = 64): DataFrame = {
+    val sampled = docs
+      .select(col("doc_id"), shingleHashes(col(textCol), w).as("sh")) // pre-sorted
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"),
+        slice(col("sh"), 1, maxShinglesPerDoc).as("anchor_hashes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // candidate generation carries ONLY (anchor, id): the wide shingle
+    // arrays never enter the pair explosion
+    val anchors = sampled.select(col("doc_id"), explode(col("anchor_hashes")).as("anchor"))
+    // hot-shingle suppression: a shingle shared by everyone generates
+    // quadratic junk pairs without finding anything a rarer shingle
+    // wouldn't; cap bucket size (standard prefix-filter hygiene at scale)
+    val useful = anchors.groupBy("anchor").count()
+      .filter(col("count") >= 2 && col("count") <= maxBucket)
+      .select("anchor")
+    val filtered = anchors.join(broadcast(useful), "anchor")
+    val cand = filtered.select(col("anchor"), col("doc_id").as("a"))
+      .join(filtered.select(col("anchor").as("r_anchor"), col("doc_id").as("b")),
+        col("anchor") === col("r_anchor") && col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    // re-attach the arrays once per unique pair
+    val withSets = cand
+      .join(sampled.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "a")
+      .join(sampled.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "b")
+    withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn(
         "jaccard",
@@ -148,22 +143,17 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** MinHash signatures (k permutations approximated by k seeded xxhash64
-    * functions, min over shingles) — column-expression only, no MLlib
-    * dependency on the hot path, no shuffle until the band join.
+  /** MinHash signature: k permutations approximated by k seeded rehashes
+    * of the 8-byte shingle hash — native expression, each shingle string
+    * hashed once, all permutation math in a primitive loop.
     */
-  def minhashSignature(text: Column, k: Int = 32, w: Int = 3): Column = {
-    val sh = shingles(text, w)
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i =>
-        array_min(transform(sh, s => xxhash64(s, i)))
-    )
-  }
+  def minhashSignature(text: Column, k: Int = 32, w: Int = 3): Column =
+    graft.functions.TextHashExpressions.minhash_sig(text, k, w)
 
   /** MinHash-LSH near-dup candidate pairs: band the k-length signature
-    * into `bands` rows of `k/bands` values, join on (band, band-hash).
-    * Estimated Jaccard = fraction of matching signature positions.
+    * into `bands` rows, join on (band, folded band hash) over the
+    * persisted signature relation. Estimated Jaccard = fraction of
+    * matching signature positions.
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -173,21 +163,27 @@ object Dedup {
       threshold: Double = 0.5,
       w: Int = 3): DataFrame = {
     val rows = k / bands
-    val sig = docs.select(
-      col("doc_id"),
-      minhashSignature(col(textCol), k, w).as("sig"))
+    val sig = docs
+      .select(col("doc_id"), minhashSignature(col(textCol), k, w).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // narrow banding relation: (band-key, id) only — signatures rejoin
+    // per unique candidate pair, never ride the pair explosion
     val banded = sig.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(to_json(slice(col("sig"), b * rows + lit(1), lit(rows)))).as("bh"))
+          b => struct(b.as("band"),
+            foldHash(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh"))
         )
       ).as("bk"))
-    val l = banded.select(col("bk").as("l_bk"), col("doc_id").as("a"), col("sig").as("sig_a"))
-    val r = banded.select(col("bk").as("r_bk"), col("doc_id").as("b"), col("sig").as("sig_b"))
-    l.join(r, col("l_bk") === col("r_bk") && col("a") < col("b"))
-      .dropDuplicates("a", "b")
+    val cand = banded.select(col("bk"), col("doc_id").as("a"))
+      .join(banded.select(col("bk").as("r_bk"), col("doc_id").as("b")),
+        col("bk") === col("r_bk") && col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
       .withColumn(
         "est_jaccard",
         round(

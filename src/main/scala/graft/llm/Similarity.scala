@@ -141,6 +141,7 @@ object Similarity {
       col(idCol),
       asDouble(col(vecCol)).as("v"),
       explode(array(tables: _*)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.select(col("bk").as("l_bk"), col(idCol).as("a"), col("v").as("va"))
     val r = b.select(col("bk").as("r_bk"), col(idCol).as("b"), col("v").as("vb"))
     l.join(r, col("l_bk") === col("r_bk") && col("a") < col("b"))

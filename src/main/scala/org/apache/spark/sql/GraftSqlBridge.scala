@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to lift custom Catalyst Expressions into the Spark 4 Column API
+  * (Column wraps a ColumnNode since 4.0; the classic converter is
+  * private[sql]). Used by graft.functions' native expressions.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

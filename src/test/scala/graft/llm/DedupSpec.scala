@@ -64,7 +64,8 @@ class DedupSpec extends SparkSpec {
     val a = (1 to 40).map(i => s"t$i").mkString(" ")
     val b = ((1 to 30).map(i => s"t$i") ++ (100 to 109).map(i => s"t$i")).mkString(" ")
     val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
-    val out = Dedup.minhashNearDups(df, k = 64, bands = 16, threshold = 0.1)
+    // bands=32 of width 2: detection prob ≈ 1-(1-J²)³² ≈ 0.999 at J≈0.58
+    val out = Dedup.minhashNearDups(df, k = 64, bands = 32, threshold = 0.1)
       .collect()
     assert(out.length == 1)
     val est = out.head.getDouble(2)
