@@ -172,7 +172,27 @@ object SparkEntry {
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
   }
 
+  private def qMlFeatures(s: SparkSession, dir: String): DataFrame =
+    Trainer.trainingFrame(s, dir)
+
+  private def qTumblingAgg(s: SparkSession, dir: String): DataFrame =
+    WindowOps.tumblingAgg(
+      Tables.events(s, dir),
+      aggs = Seq(
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("total_value")),
+      extraKeys = Seq("event_type"))
+      .select(col("w_start"), col("event_type"), col("n_events"), col("total_value"))
+
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    WindowOps.sessionAgg(Tables.events(s, dir), gap = "30 minutes")
+
   // rows-only (no SQL oracle: approximate / hash-seeded / stubbed ops)
+
+  private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+  }
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.3)
@@ -268,7 +288,11 @@ object SparkEntry {
     "q_multimodal_partitioned" -> (qMultimodalPartitioned _),
     "q_stream_hopping_pivot" -> (qStreamHoppingPivot _),
     "q_ml_train_score" -> (qMlTrainScore _),
-    "q_predict_udf" -> (qPredictUdf _)
+    "q_predict_udf" -> (qPredictUdf _),
+    "q_ml_features" -> (qMlFeatures _),
+    "q_tumbling_agg" -> (qTumblingAgg _),
+    "q_session_window" -> (qSessionWindow _),
+    "q_sim_ivf" -> (qSimIvf _)
   )
 
   /** Headline subset Bench.scala times per round. */
@@ -432,6 +456,48 @@ object SparkEntry {
         |    ELSE 'fr'
         |  END AS lang_pred
         |FROM documents""").stripMargin,
+    "q_ml_features" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS product_views,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INTEGER) AS listing_views,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INTEGER) AS gallery_views
+        |  FROM events GROUP BY user_id),
+        |nb AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |dims AS (SELECT c_custkey, n_name AS country, c_mktsegment AS platform
+        |         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT p.user_id,
+        |  COALESCE(d.country, 'UNKNOWN') AS country,
+        |  COALESCE(d.platform, 'UNKNOWN') AS platform,
+        |  p.product_views, p.listing_views, p.gallery_views,
+        |  CAST(COALESCE(nb.n_orders, 0) AS INTEGER) AS nb_orders,
+        |  CASE WHEN p.gallery_views > p.product_views THEN 'bot' ELSE 'user' END AS label
+        |FROM per_user p
+        |LEFT JOIN dims d ON p.user_id = d.c_custkey
+        |LEFT JOIN nb ON p.user_id = nb.o_custkey""".stripMargin,
+    "q_tumbling_agg" ->
+      """SELECT
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) - (CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 600) AS w_start,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, EPOCH(ts) AS es,
+        |    LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, es,
+        |    SUM(CASE WHEN prev IS NULL OR es - prev >= 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY es
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(FLOOR(MIN(es)) AS BIGINT) AS session_start,
+        |  CAST(FLOOR(MAX(es)) AS BIGINT) + 1800 AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // identical oracle as q_hopping_pivot: incremental execution must
     // produce exactly the batch answer
     "q_stream_hopping_pivot" -> (hopCte +

@@ -120,6 +120,60 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN (the scale path): a KMeans coarse quantizer partitions
+    * the corpus into nlist cells; each query probes its nprobe nearest
+    * cells and exact-reranks only those candidates. At 100 TB the corpus
+    * is written partitioned by cell id, so a query reads nprobe/nlist of
+    * the data — the standard inverted-file trade (recall vs cells probed).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = corpus.select(
+      col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"),
+      array_to_vector(col(vecCol)).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+    val model = km.fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+
+    // centroid relation (tiny): query × centroid distances → nprobe cells
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(probed),
+        assigned("cell") === probed("cell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
     * cosine ≥ threshold, candidates from SRP buckets (same machinery as
     * lshTopK but corpus-vs-corpus).

@@ -93,6 +93,48 @@ object WindowOps {
     }
   }
 
+  /** Tumbling window — the ADVANCE=SIZE special case of A1 (ksql's
+    * `WINDOW TUMBLING`): epoch-aligned, each event in exactly one window.
+    */
+  def tumblingAgg(
+      events: DataFrame,
+      tsCol: String = "ts",
+      size: String = "10 minutes",
+      aggs: Seq[Column],
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val ts =
+      if (events.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) col(tsCol)
+      else col(tsCol).cast("timestamp")
+    events
+      .groupBy(window(ts, size).as("w") +: extraKeys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("w_start", col("w.start").cast("long"))
+      .drop("w")
+  }
+
+  /** Session window (extension beyond the reference, which has hopping
+    * only): gap-based sessions per key via Spark's session_window —
+    * sessions merge while consecutive events are < gap apart; the window
+    * ends at last_event + gap.
+    */
+  def sessionAgg(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      gap: String = "30 minutes"): DataFrame = {
+    val ts =
+      if (events.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) col(tsCol)
+      else col(tsCol).cast("timestamp")
+    events
+      .groupBy(session_window(ts, gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), min(ts).as("_first"), max(ts).as("_last"))
+      .select(
+        col(keyCol),
+        col("w.start").cast("long").as("session_start"),
+        col("w.end").cast("long").as("session_end"),
+        col("n_events"))
+  }
+
   /** A5 — distinct keys (reference train.py:257). */
   def distinctKeys(df: DataFrame, keyCol: String): DataFrame =
     df.select(keyCol).distinct()
