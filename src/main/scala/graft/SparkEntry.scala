@@ -33,19 +33,43 @@ object SparkEntry {
   // ---- flagship --------------------------------------------------------
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
-    * The reference's README.md:41-70 pipeline on fixtures: hopping-window
-    * pivot features per user, left-enriched with the user dimension.
+    * The reference's full README.md:41-70 pipeline on fixtures:
+    * hopping-window pivot features per user, left-enriched with the user
+    * dimension, scored in-query with `predict(model, as_array(strings),
+    * as_array(ints))` against a model trained+registered on the same
+    * fixture (the reference's CDC→window→join→predict→sink flow,
+    * batch-executed).
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
+    val reg = tempRegistry()
+    Trainer.trainAndRegister(spark, dir, reg, "Bot Detector", useCv = false)
+    Scorer.registerPredictUdf(spark, reg.rootDir, preload = Seq("Bot Detector"))
+
     val feats = WindowOps.hoppingPivot(
       Tables.events(spark, dir), eventTypes = ET)
-    Joins.leftEnrich(feats, Tables.customer(spark, dir), "user_id", "c_custkey")
-      .select(col("user_id"), col("w_start"),
-        col("window_start"), col("window_end"),
+    val dims = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"), col("n_name").as("country"),
+        col("c_mktsegment").as("platform"), col("c_acctbal"))
+    val nbOrders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("nb_orders"))
+    Joins.leftEnrich(feats, dims, "user_id", "c_custkey")
+      .join(broadcast(nbOrders), col("user_id") === col("o_custkey"), "left")
+      .select(
+        col("user_id"), col("w_start"), col("window_start"), col("window_end"),
         col("click_views"), col("view_views"), col("purchase_views"),
         col("signup_views"), col("error_views"),
-        col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        coalesce(col("platform"), lit("UNKNOWN")).as("platform"),
+        coalesce(col("nb_orders"), lit(0L)).cast("int").as("nb_orders"))
+      .withColumn("predicted_label",
+        call_udf("predict", lit("Bot Detector"),
+          Relational.asArray(col("country"), col("platform")),
+          Relational.asArray(
+            col("purchase_views").cast("int"), col("view_views").cast("int"),
+            col("click_views").cast("int"), col("nb_orders"))))
   }
 
   // ---- query implementations ------------------------------------------
@@ -456,25 +480,26 @@ object SparkEntry {
         |    ELSE 'fr'
         |  END AS lang_pred
         |FROM documents""").stripMargin,
-    "q_ml_features" ->
-      """WITH per_user AS (
-        |  SELECT user_id,
+    "q_ml_features" -> (hopCte +
+      """,
+        |per_window AS (
+        |  SELECT user_id, w_start,
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS product_views,
         |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INTEGER) AS listing_views,
         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INTEGER) AS gallery_views
-        |  FROM events GROUP BY user_id),
+        |  FROM h GROUP BY user_id, w_start),
         |nb AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
         |dims AS (SELECT c_custkey, n_name AS country, c_mktsegment AS platform
         |         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey)
-        |SELECT p.user_id,
+        |SELECT p.user_id, p.w_start,
         |  COALESCE(d.country, 'UNKNOWN') AS country,
         |  COALESCE(d.platform, 'UNKNOWN') AS platform,
         |  p.product_views, p.listing_views, p.gallery_views,
         |  CAST(COALESCE(nb.n_orders, 0) AS INTEGER) AS nb_orders,
         |  CASE WHEN p.gallery_views > p.product_views THEN 'bot' ELSE 'user' END AS label
-        |FROM per_user p
+        |FROM per_window p
         |LEFT JOIN dims d ON p.user_id = d.c_custkey
-        |LEFT JOIN nb ON p.user_id = nb.o_custkey""".stripMargin,
+        |LEFT JOIN nb ON p.user_id = nb.o_custkey""".stripMargin),
     "q_tumbling_agg" ->
       """SELECT
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) - (CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 600) AS w_start,

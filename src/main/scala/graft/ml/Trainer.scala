@@ -31,22 +31,25 @@ object Trainer {
     "gallery_views", "nb_orders")
 
   /** Assemble the training frame from fixtures (FIXTURES.md §C mapping):
-    * per-user event-type totals (hopping-pivot features aggregated) joined
-    * with the user dimension — country from nation via c_nationkey,
-    * platform from c_mktsegment, nb_orders counted from orders.
+    * per-(user × hopping window) pivot counts — the SAME granularity and
+    * scale the serving path scores (README.md:41-70 serves 10-minute
+    * window counts; the reference trains on rolling-600s features,
+    * train.py:260-276, deliberately matching that scale) — joined with
+    * the user dimension: country from nation via c_nationkey, platform
+    * from c_mktsegment, nb_orders counted from orders.
+    *
+    * Training on lifetime totals and serving on window counts was the
+    * first implementation here and produced a constant predictor at
+    * serving scale — the feature-scale consistency is load-bearing.
     *
     * Label rule (fixture analog of train.py:220's `is_bot = id>=1e6`,
     * which works because reference bots *behave* differently): a
-    * deterministic behavioral rule the tree can learn — heavy
-    * purchase+error activity relative to views.
+    * deterministic behavioral rule the tree can learn from the served
+    * features — more gallery than product views in the window.
     */
   def trainingFrame(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val perUser = ev.groupBy(col("user_id")).agg(
-      sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("product_views"),
-      sum(when(col("event_type") === "view", 1).otherwise(0)).as("listing_views"),
-      sum(when(col("event_type") === "click", 1).otherwise(0)).as("gallery_views"),
-      sum(when(col("event_type") === "error", 1).otherwise(0)).as("error_count"))
+    val perWindow = graft.operators.WindowOps.hoppingPivot(
+      Tables.events(spark, dir), eventTypes = Tables.EventTypes)
     val nbOrders = Tables.orders(spark, dir)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("nb_orders"))
     val dims = Tables.customer(spark, dir)
@@ -54,21 +57,19 @@ object Trainer {
         col("c_nationkey") === col("n_nationkey"), "left")
       .select(col("c_custkey"), col("n_name").as("country"),
         col("c_mktsegment").as("platform"))
-    perUser
+    perWindow
       .join(broadcast(dims), col("user_id") === col("c_custkey"), "left")
       .join(broadcast(nbOrders), col("user_id") === col("o_custkey"), "left")
       .select(
         col("user_id"),
+        col("w_start"),
         coalesce(col("country"), lit("UNKNOWN")).as("country"),
         coalesce(col("platform"), lit("UNKNOWN")).as("platform"),
-        col("product_views").cast("int").as("product_views"),
-        col("listing_views").cast("int").as("listing_views"),
-        col("gallery_views").cast("int").as("gallery_views"),
+        col("purchase_views").cast("int").as("product_views"),
+        col("view_views").cast("int").as("listing_views"),
+        col("click_views").cast("int").as("gallery_views"),
         coalesce(col("nb_orders"), lit(0L)).cast("int").as("nb_orders"),
-        // balanced (~50/50) and separable from the served features, so
-        // the tree genuinely learns it — the analog of reference bots
-        // *behaving* differently (different Markov weights, train.py)
-        when(col("gallery_views") > col("product_views"), lit("bot"))
+        when(col("click_views") > col("purchase_views"), lit("bot"))
           .otherwise(lit("user")).as("label"))
   }
 

@@ -44,16 +44,16 @@ class MLSpec extends SparkSpec {
     val loaded = reg.load("Bot Detector")
     val frame = Trainer.trainingFrame(spark, sf0001)
     val viaDF = Scorer.scoreClean(loaded, frame)
-      .select("user_id", "predicted_label").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .select("user_id", "w_start", "predicted_label").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
     val rows = frame.collect()
     rows.take(50).foreach { r =>
       val viaUdf = Scorer.predictOne(reg.rootDir, "Bot Detector",
         Seq(r.getAs[String]("country"), r.getAs[String]("platform")),
         Seq(r.getAs[Int]("product_views"), r.getAs[Int]("listing_views"),
           r.getAs[Int]("gallery_views"), r.getAs[Int]("nb_orders")))
-      assert(viaUdf == viaDF(r.getAs[Long]("user_id")),
-        s"user ${r.getAs[Long]("user_id")}")
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("w_start"))
+      assert(viaUdf == viaDF(key), s"row $key")
     }
   }
 

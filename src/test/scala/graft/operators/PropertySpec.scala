@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based invariants (SURVEY.md §5.2 item 2). Uses raw ScalaCheck
+  * generators with fixed seeds (the scalatest bridge isn't in the
+  * offline dependency cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val tsGen = Gen.choose(1704067200L, 1704067200L + 86400L)
+
+  test("property: every event lands in exactly size/slide hopping windows, all containing it") {
+    for (tss <- samples(Gen.listOfN(20, tsGen), 8) if tss.nonEmpty) {
+      val df = tss.map(t => (1L, t)).toDF("user_id", "epoch")
+        .withColumn("ts", timestamp_seconds($"epoch"))
+        .withColumn("event_type", lit("click"))
+      val out = WindowOps.hoppingPivot(df, eventTypes = Seq("click"))
+      val totalMemberships = out.agg(sum($"click_views")).head().getLong(0)
+      assert(totalMemberships == 5L * tss.size)
+      val windows = out.select("w_start").collect().map(_.getLong(0))
+      assert(windows.forall(w => w % 120 == 0))
+      assert(windows.forall(w => tss.exists(t => t >= w && t < w + 600)))
+    }
+  }
+
+  test("property: latestByKey returns one row per key, the maximal one") {
+    val rowGen = for {
+      k <- Gen.choose(1, 5)
+      ts <- Gen.choose(0L, 100L)
+      v <- Gen.alphaStr.map(_.take(5))
+    } yield (k.toLong, ts, v)
+    for (rows <- samples(Gen.listOfN(30, rowGen), 8) if rows.nonEmpty) {
+      val df = rows.toDF("id", "ts", "v")
+      val out = Relational.latestByKey(df, Seq("id"), Seq("ts", "v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      val expected = rows.groupBy(_._1).map { case (k, g) =>
+        k -> g.map(t => (t._2, t._3)).max
+      }
+      assert(out == expected)
+    }
+  }
+
+  test("property: rolling count at each row equals count of key-events in [t-600, t]") {
+    val evGen = for {
+      u <- Gen.choose(1, 3)
+      t <- Gen.choose(0L, 2000L)
+    } yield (u.toLong, t)
+    for (evs <- samples(Gen.listOfN(40, evGen), 8) if evs.nonEmpty) {
+      val df = evs.map { case (u, t) => (u, t, "click") }
+        .toDF("user_id", "ts_sec", "event_type")
+      val out = WindowOps.rollingCounts(df, eventTypes = Seq("click"))
+        .select("user_id", "ts_sec", "clicks_last_600s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      out.foreach { case (u, t, c) =>
+        val expected = evs.count { case (u2, t2) => u2 == u && t2 >= t - 600 && t2 <= t }
+        assert(c == expected.toLong, s"user $u t $t")
+      }
+    }
+  }
+
+  test("property: minhash estimate tracks true shingle-set jaccard within 0.35") {
+    val wordGen = Gen.oneOf((1 to 30).map(i => s"w$i"))
+    val docGen = Gen.listOfN(40, wordGen).map(_.mkString(" "))
+    val pairGen = for { a <- docGen; b <- docGen } yield (a, b)
+    for ((a, b) <- samples(pairGen, 6)) {
+      val (sa, sb) = (Dedup2.shingleSet(a), Dedup2.shingleSet(b))
+      if (sa.nonEmpty && sb.nonEmpty) {
+        val trueJ = (sa intersect sb).size.toDouble / (sa union sb).size
+        val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+        val est = graft.llm.Dedup
+          .minhashNearDups(df, k = 128, bands = 128, threshold = 0.0)
+          .collect().headOption.map(_.getDouble(2)).getOrElse(0.0)
+        assert(math.abs(est - trueJ) <= 0.35, s"est=$est true=$trueJ")
+      }
+    }
+  }
+}
+
+/** Plain-Scala shingle reference used by the property tests. */
+object Dedup2 {
+  def shingleSet(text: String, w: Int = 3): Set[String] =
+    text.split(' ').sliding(w).filter(_.length == w).map(_.mkString(" ")).toSet
+}

@@ -49,6 +49,38 @@ class StreamingSpec extends SparkSpec {
     assert(state == Map("a" -> "v2", "b" -> "x1"))
   }
 
+  test("streaming scoring: model transform over the flagship stream") {
+    val reg = new graft.ml.Registry(
+      java.nio.file.Files.createTempDirectory("stream_reg").toString)
+    graft.ml.Trainer.trainAndRegister(spark, sf0001, reg, "Bot Detector", useCv = false)
+    val loaded = reg.load("Bot Detector")
+    val enriched = Streaming.flagshipStream(spark, sf0001)
+      .join(
+        Tables.orders(spark, sf0001).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("nb_orders")),
+        col("user_id") === col("o_custkey"), "left")
+      .join(Tables.nation(spark, sf0001),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(
+        col("user_id"), col("w_start"),
+        coalesce(col("n_name"), lit("UNKNOWN")).as("country"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("platform"),
+        col("purchase_views").cast("int").as("product_views"),
+        col("view_views").cast("int").as("listing_views"),
+        col("click_views").cast("int").as("gallery_views"),
+        coalesce(col("nb_orders"), lit(0L)).cast("int").as("nb_orders"))
+    // PipelineModel.transform composes onto the streaming DataFrame —
+    // scoring runs inside each micro-batch
+    val scored = graft.ml.Scorer.scoreDF(loaded, enriched)
+      .select(col("user_id"), col("w_start"), col("predicted_label"))
+    val out = Streaming.runToMemory(spark, scored,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    assert(out.count() > 0)
+    val labels = out.select("predicted_label").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("bot", "user")) && labels.nonEmpty)
+  }
+
   test("watermarked stream still matches batch when no data is late") {
     val streamed = Streaming.runToMemory(
       spark,
