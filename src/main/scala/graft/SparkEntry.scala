@@ -211,7 +211,43 @@ object SparkEntry {
   private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
     WindowOps.sessionAgg(Tables.events(s, dir), gap = "30 minutes")
 
+  /** Set operations (engine completeness; absent from the reference). */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir).select(col("user_id"))
+    val buyers = Tables.orders(s, dir).select(col("o_custkey").as("user_id"))
+    active.intersect(buyers).withColumn("op", lit("both"))
+      .union(active.except(buyers).withColumn("op", lit("events_only")))
+      .union(buyers.except(active).withColumn("op", lit("orders_only")))
+  }
+
+  private def qDistinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
+
+  /** Salted two-stage aggregation ≡ plain GROUP BY (skew path, SCALE.md).
+    * The oracle is the DIRECT aggregation — proving the rewrite exact.
+    */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAgg(
+      Tables.events(s, dir), "user_id",
+      Map("value_cents" -> cents(col("value"))))
+      .select(col("user_id"), col("value_cents"), col("n_rows"))
+
   // rows-only (no SQL oracle: approximate / hash-seeded / stubbed ops)
+
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
 
   private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -316,7 +352,12 @@ object SparkEntry {
     "q_ml_features" -> (qMlFeatures _),
     "q_tumbling_agg" -> (qTumblingAgg _),
     "q_session_window" -> (qSessionWindow _),
-    "q_sim_ivf" -> (qSimIvf _)
+    "q_sim_ivf" -> (qSimIvf _),
+    "q_set_ops" -> (qSetOps _),
+    "q_distinct_counts" -> (qDistinctCounts _),
+    "q_rollup" -> (qRollup _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_approx_distinct" -> (qApproxDistinct _)
   )
 
   /** Headline subset Bench.scala times per round. */
@@ -523,6 +564,30 @@ object SparkEntry {
         |  CAST(FLOOR(MAX(es)) AS BIGINT) + 1800 AS session_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_set_ops" ->
+      """SELECT user_id, 'both' AS op FROM
+        |  (SELECT user_id FROM events INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT user_id, 'events_only' AS op FROM
+        |  (SELECT user_id FROM events EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT o_custkey AS user_id, 'orders_only' AS op FROM
+        |  (SELECT o_custkey FROM orders EXCEPT SELECT user_id FROM events)""".stripMargin,
+    "q_distinct_counts" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY user_id""".stripMargin,
     // identical oracle as q_hopping_pivot: incremental execution must
     // produce exactly the batch answer
     "q_stream_hopping_pivot" -> (hopCte +

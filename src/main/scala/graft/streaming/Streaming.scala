@@ -83,6 +83,26 @@ object Streaming {
       hoppingPivotStream(spark, dir),
       Tables.customer(spark, dir), "user_id", "c_custkey")
 
+  /** S6/S7 — file/document sink via foreachBatch (the reference's
+    * Kafka-topic CSAS sink and Mongo Connect sink both reduce to "write
+    * each emitted batch to an external store"). Parquet here; swapping
+    * the body for `.format("mongodb")`/`.format("kafka")` is the whole
+    * change. Runs the stream to completion over the finite fixture.
+    */
+  def sinkToParquet(
+      streamed: DataFrame,
+      path: String,
+      mode: OutputMode = OutputMode.Update()): Unit = {
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** S3/A6 streaming TABLE semantics: continuously-updating latest row
     * per key via mapGroupsWithState (the reference's RocksDB-backed
     * changelog table, ST6). Emits the current latest per key each batch;

@@ -81,6 +81,16 @@ class StreamingSpec extends SparkSpec {
     assert(labels.subsetOf(Set("bot", "user")) && labels.nonEmpty)
   }
 
+  test("foreachBatch parquet sink materializes exactly the batch answer") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+    Streaming.sinkToParquet(
+      Streaming.hoppingPivotStream(spark, sf0001), tmp, OutputMode.Complete())
+    val written = spark.read.parquet(tmp).collect().toSet
+    val batch = WindowOps.hoppingPivot(
+      Tables.events(spark, sf0001), eventTypes = Tables.EventTypes).collect().toSet
+    assert(written == batch)
+  }
+
   test("watermarked stream still matches batch when no data is late") {
     val streamed = Streaming.runToMemory(
       spark,
