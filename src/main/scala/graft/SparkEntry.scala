@@ -257,6 +257,11 @@ object SparkEntry {
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.3)
 
+  /** Pairs → connected components → keep/drop decision per doc. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.resolveClusters(
+      Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.3))
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(Tables.documents(s, dir))
 
@@ -353,6 +358,7 @@ object SparkEntry {
     "q_tumbling_agg" -> (qTumblingAgg _),
     "q_session_window" -> (qSessionWindow _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_set_ops" -> (qSetOps _),
     "q_distinct_counts" -> (qDistinctCounts _),
     "q_rollup" -> (qRollup _),
@@ -365,7 +371,8 @@ object SparkEntry {
     "q1_pricing_summary", "q3_segment_revenue", "q_hopping_pivot",
     "q_rolling_600s", "q_latest_by_key", "q_left_enrich", "q_inner_enrich",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_token_count",
-    "q_sim_topk", "q_topk_orders_per_cust")
+    "q_sim_topk", "q_topk_orders_per_cust", "q_tumbling_agg",
+    "q_session_window", "q_rollup", "q_salted_agg", "q_distinct_counts")
 
   private val hopCte =
     """WITH h AS (

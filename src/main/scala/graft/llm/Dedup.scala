@@ -143,6 +143,50 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Dedup cluster resolution: given near-dup pairs (a, b), compute the
+    * connected component of every doc and elect min(doc_id) as survivor —
+    * the step that turns pairwise candidates into a keep/drop decision.
+    *
+    * Implemented as iterative min-label propagation over DataFrames
+    * (each iteration: label := min(own, neighbors' labels); converges in
+    * ≤ diameter iterations, capped). At 100 TB the pair graph is tiny
+    * relative to the corpus (only near-dups appear), every iteration is
+    * one shuffle on doc_id, and `maxIter` bounds the cost; real corpora
+    * have small-diameter dup clusters (usually ≤ 3 hops).
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("doc_id"))
+      .union(edges.select(col("b").as("doc_id")))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("label", "b_label"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("b_label")).as("n_label"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), "doc_id")
+        .filter(col("u.label") =!= col("l.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("survivor"),
+      (col("doc_id") === col("label")).as("keep"))
+  }
+
   /** MinHash signature: k permutations approximated by k seeded rehashes
     * of the 8-byte shingle hash — native expression, each shingle string
     * hashed once, all permutation math in a primitive loop.

@@ -73,6 +73,35 @@ class DedupSpec extends SparkSpec {
     assert(est > 0.3 && est < 0.85, s"est=$est")
   }
 
+  test("resolveClusters: connected components elect min-id survivor") {
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; 5 isolated (no pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
+      .toDF("a", "b").withColumn("jaccard", lit(0.9))
+    val out = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false))
+    assert(out(3L) == (1L, false))
+    assert(out(7L) == (1L, false))
+    assert(out(10L) == (10L, true))
+    assert(out(11L) == (10L, false))
+    assert(!out.contains(5L)) // docs without pairs never enter the graph
+  }
+
+  test("dedup end-to-end: pairs → clusters over the fixture corpus") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.3)
+    val clusters = Dedup.resolveClusters(pairs)
+    val n = clusters.count()
+    val survivors = clusters.filter($"keep").count()
+    assert(n > 0 && survivors > 0 && survivors < n)
+    // every non-survivor's label is a kept doc
+    val keepSet = clusters.filter($"keep").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val labels = clusters.select("survivor").collect().map(_.getLong(0)).toSet
+    assert(labels.subsetOf(keepSet))
+  }
+
   test("dedup families are deterministic across repartitioning") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val h1 = Dedup.simhashes(docs).orderBy("doc_id").collect().toSeq
