@@ -30,9 +30,13 @@ object Similarity {
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Exact brute-force cosine top-k: for each query vector, scan all
-    * candidates, rank by similarity. The query side is broadcast (queries
-    * ≪ corpus), so the corpus never shuffles — one pass + a per-query
-    * top-k. Ties broken by vec_id for determinism.
+    * candidates, keep the best k. The query side is broadcast (queries
+    * ≪ corpus), so the corpus never shuffles; the per-query top-k runs
+    * through a bounded custom Aggregator (graft.functions.TopK) with
+    * map-side partial merge — the exchange carries ≤ tasks × queries × k
+    * rows instead of every (query, candidate) pair, and there is no
+    * per-partition sort (the row_number formulation shuffles the full
+    * cross product). Ties broken by vec_id for determinism.
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -52,13 +56,20 @@ object Similarity {
         col("query_id"),
         col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    rankTopK(scored, k)
   }
+
+  /** Bounded top-k of (neighbor_id, cos_sim) per query_id. */
+  private[llm] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(col("neighbor_id"), col("cos_sim"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("pos", "item")))
+      .select(
+        col("query_id"),
+        col("item.id").as("neighbor_id"),
+        col("item.score").as("cos_sim"),
+        (col("pos") + lit(1)).cast("int").as("rank"))
 
   /** Deterministic random hyperplanes (seeded java.util.Random), as a
     * literal column of array<array<double>> suitable for broadcasting via
@@ -111,13 +122,10 @@ object Similarity {
       .join(broadcast(q), col("c_bk") === col("q_bk") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(
+      cand.select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim")),
+      k)
   }
 
   /** IVF-style ANN (the scale path): a KMeans coarse quantizer partitions
@@ -164,14 +172,12 @@ object Similarity {
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    assigned.join(broadcast(probed),
-        assigned("cell") === probed("cell") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(
+      assigned.join(broadcast(probed),
+          assigned("cell") === probed("cell") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos_sim")),
+      k)
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
