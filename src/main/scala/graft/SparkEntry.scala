@@ -211,6 +211,20 @@ object SparkEntry {
   private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
     WindowOps.sessionAgg(Tables.events(s, dir), gap = "30 minutes")
 
+  /** Interval join: clicks within the 600 s before each purchase. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsWithEpoch(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_sec").as("p_sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_sec").as("c_sec"))
+    Joins.intervalJoin(purchases, clicks,
+      "p_user", "c_user", "p_sec", "c_sec", -600L, 0L, "left")
+      .groupBy(col("purchase_id"), col("p_user").as("user_id"), col("p_sec"))
+      .agg(count(col("c_sec")).as("clicks_before"))
+  }
+
   /** Set operations (engine completeness; absent from the reference). */
   private def qSetOps(s: SparkSession, dir: String): DataFrame = {
     val active = Tables.events(s, dir).select(col("user_id"))
@@ -358,6 +372,7 @@ object SparkEntry {
     "q_tumbling_agg" -> (qTumblingAgg _),
     "q_session_window" -> (qSessionWindow _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_interval_join" -> (qIntervalJoin _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_set_ops" -> (qSetOps _),
     "q_distinct_counts" -> (qDistinctCounts _),
@@ -571,6 +586,18 @@ object SparkEntry {
         |  CAST(FLOOR(MAX(es)) AS BIGINT) + 1800 AS session_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_interval_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS p_sec
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS c_sec
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, p.p_sec,
+        |  COUNT(c.c_sec) AS clicks_before
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        | AND c.c_sec >= p.p_sec - 600 AND c.c_sec <= p.p_sec
+        |GROUP BY p.purchase_id, p.user_id, p.p_sec""".stripMargin,
     "q_set_ops" ->
       """SELECT user_id, 'both' AS op FROM
         |  (SELECT user_id FROM events INTERSECT SELECT o_custkey FROM orders)

@@ -36,6 +36,33 @@ object Joins {
       dimKey: String): DataFrame =
     facts.join(broadcast(dim), facts(factKey) === dim(dimKey), "inner")
 
+  /** Interval (range) equi+band join: rows of `left` matched to rows of
+    * `right` with the same key and right.ts ∈ [left.ts + lowerSec,
+    * left.ts + upperSec] — the attribution-join shape (e.g. clicks in
+    * the 10 minutes before each purchase).
+    *
+    * Scale: the equi-key makes this a hash-partitioned join with the
+    * band as a post-join filter — Catalyst plans SortMergeJoin on the
+    * key with the range predicate pushed into the join condition. For
+    * stream-stream, the same expression with watermarks on both sides
+    * bounds join state (see Streaming tests).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTsSec: String,
+      rightTsSec: String,
+      lowerSec: Long,
+      upperSec: Long,
+      joinType: String = "inner"): DataFrame = {
+    val cond = left(leftKey) === right(rightKey) &&
+      right(rightTsSec) >= left(leftTsSec) + lowerSec &&
+      right(rightTsSec) <= left(leftTsSec) + upperSec
+    left.join(right, cond, joinType)
+  }
+
   /** Key-coercion helper for the reference's string/int key wrinkle
     * (SURVEY.md §2.3: events.user_id STRING vs users.id INTEGER — the
     * join works via stringified rekey). Engine convention: normalize to

@@ -81,6 +81,38 @@ class StreamingSpec extends SparkSpec {
     assert(labels.subsetOf(Set("bot", "user")) && labels.nonEmpty)
   }
 
+  test("stream-stream interval self-join with watermarks matches batch") {
+    def sides(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val c = df.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      (p, c)
+    }
+    val cond = col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("c_ts") <= col("p_ts")
+
+    val ev = Streaming.eventsStream(spark, sf0001)
+    val (sp, sc) = sides(ev)
+    val streamed = Streaming.runToMemory(
+      spark,
+      Streaming.withLateness(sp.withColumnRenamed("p_ts", "ts"), "10 minutes")
+        .withColumnRenamed("ts", "p_ts")
+        .join(Streaming.withLateness(sc.withColumnRenamed("c_ts", "ts"), "10 minutes")
+          .withColumnRenamed("ts", "c_ts"), cond, "inner")
+        .select(col("purchase_id"), col("click_id")),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
+    val (bp, bc) = sides(Tables.events(spark, sf0001))
+    val batch = bp.join(bc, cond, "inner").select(col("purchase_id"), col("click_id"))
+
+    val s = streamed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b.nonEmpty)
+    assert(s == b, s"streamed ${s.size} vs batch ${b.size}")
+  }
+
   test("ST3: late event re-emits the updated hopping aggregate (EMIT CHANGES)") {
     val input = MemoryStream[(Long, Long, String)](spark)
     val df = input.toDF().toDF("user_id", "epoch", "event_type")
