@@ -280,7 +280,8 @@ object SparkEntry {
     Dedup.simhashes(Tables.documents(s, dir))
 
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 16)
+    // radius must stay < bands (4) for the banding pigeonhole to hold
+    Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 3)
 
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.1)

@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (driver north
   * star). Four families: exact content-hash, MinHash-banded LSH, SimHash,
@@ -32,15 +31,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
-  /** Word w-shingles as a distinct array (the Jaccard/MinHash item set). */
+  /** Word w-shingles as a distinct array (the Jaccard/MinHash item set).
+    * Documents shorter than w tokens yield an empty array (a negative
+    * sequence stop would otherwise feed slice() an illegal start index
+    * and crash the job).
+    */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      transform(
-        sequence(lit(0), size(toks) - lit(w)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))
-      )
-    )
+    when(size(toks) < w, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - lit(w)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))
+        )
+      ))
   }
 
   /** Distinct shingle hashes, sorted ascending (native expression — the
@@ -75,7 +79,12 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 3,
       bands: Int = 4): DataFrame = {
-    val sh = simhashes(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // pigeonhole: a pair within hamming radius r collides on ≥1 band only
+    // when r < bands; a wider radius silently loses recall
+    require(maxHamming < bands,
+      s"simhashNearDups: maxHamming=$maxHamming requires bands > maxHamming (got $bands)")
+    require(64 % bands == 0, s"bands must divide 64 (got $bands)")
+    val sh = simhashes(docs, textCol).localCheckpoint()
     val width = 64 / bands
     val banded = sh.select(
       col("doc_id"),
@@ -110,11 +119,15 @@ object Dedup {
       threshold: Double = 0.8,
       maxShinglesPerDoc: Int = 20,
       maxBucket: Int = 64): DataFrame = {
+    // localCheckpoint (not persist): materializes once before the
+    // self-join branches AND is auto-released by the ContextCleaner when
+    // the DataFrame goes out of scope — method-local persist() handles
+    // would otherwise leak cache entries across invocations
     val sampled = docs
       .select(col("doc_id"), shingleHashes(col(textCol), w).as("sh")) // pre-sorted
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"),
         slice(col("sh"), 1, maxShinglesPerDoc).as("anchor_hashes"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // candidate generation carries ONLY (anchor, id): the wide shingle
     // arrays never enter the pair explosion
     val anchors = sampled.select(col("doc_id"), explode(col("anchor_hashes")).as("anchor"))
@@ -157,12 +170,12 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id"))
       .union(edges.select(col("b").as("doc_id")))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -173,12 +186,11 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = updated.alias("u")
         .join(labels.alias("l"), "doc_id")
         .filter(col("u.label") =!= col("l.label"))
         .limit(1).count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       iter += 1
@@ -209,7 +221,7 @@ object Dedup {
     val rows = k / bands
     val sig = docs
       .select(col("doc_id"), minhashSignature(col(textCol), k, w).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // narrow banding relation: (band-key, id) only — signatures rejoin
     // per unique candidate pair, never ride the pair explosion
     val banded = sig.select(

@@ -108,8 +108,10 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val checksum = java.util.Arrays.hashCode(bytes).toLong
-          Row(id, bytes.length, checksum)
+          // payload is nullable by schema (e.g. unfetched object-store
+          // reference): decode to the empty shape rather than NPE
+          if (bytes == null) Row(id, 0, 0L)
+          else Row(id, bytes.length, java.util.Arrays.hashCode(bytes).toLong)
         }
       }(enc)
   }

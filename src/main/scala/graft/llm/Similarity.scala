@@ -80,6 +80,16 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
+  /** A dim mismatch makes every SRP bit null→0, hashing ALL vectors into
+    * bucket 0 and silently degenerating the bucketed join into the full
+    * cross product — validate against the data up front (one-row job).
+    */
+  private def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit = {
+    val actual = df.select(size(col(vecCol))).head().getInt(0)
+    require(actual == dim,
+      s"embedding dimension mismatch: data has $actual, operator configured with $dim")
+  }
+
   /** Random-hyperplane (SRP) LSH signature: one bit per hyperplane = sign
     * of the projection; packed to a BIGINT bucket id. Hamming distance on
     * signatures approximates angular distance.
@@ -107,6 +117,7 @@ object Similarity {
       seed: Long = 42L,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
+    requireDim(corpus, vecCol, dim)
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("table"),
         srpSignature(col(vecCol), hyperplanes(nBits, dim, seed + t)).as("bucket"))
@@ -193,6 +204,7 @@ object Similarity {
       seed: Long = 42L,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
+    requireDim(corpus, vecCol, dim)
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("table"),
         srpSignature(col(vecCol), hyperplanes(nBits, dim, seed + t)).as("bucket"))
@@ -201,7 +213,7 @@ object Similarity {
       col(idCol),
       asDouble(col(vecCol)).as("v"),
       explode(array(tables: _*)).as("bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // materialize once for both join branches; auto-released on GC
     val l = b.select(col("bk").as("l_bk"), col(idCol).as("a"), col("v").as("va"))
     val r = b.select(col("bk").as("r_bk"), col(idCol).as("b"), col("v").as("vb"))
     l.join(r, col("l_bk") === col("r_bk") && col("a") < col("b"))

@@ -40,26 +40,29 @@ class Registry(val rootDir: String) {
     version
   }
 
-  private def latestVersion(name: String): Option[Int] = {
+  /** Numeric version subdirs of a model, with the directory stream
+    * closed (Files.list leaks an fd per call otherwise).
+    */
+  private def versions(name: String): Seq[Int] = {
     val d = nameDir(name)
-    if (!Files.isDirectory(d)) None
-    else Files.list(d).iterator().asScala
-      .flatMap(p => scala.util.Try(p.getFileName.toString.toInt).toOption)
-      .maxOption
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val stream = Files.list(d)
+      try stream.iterator().asScala
+        .flatMap(p => scala.util.Try(p.getFileName.toString.toInt).toOption)
+        .toSeq
+      finally stream.close()
+    }
   }
 
+  private def latestVersion(name: String): Option[Int] = versions(name).maxOption
+
   /** U7 — latest version in stage "Production" (or requested stage). */
-  def latestProduction(name: String, stage: String = "Production"): Option[Int] = {
-    val d = nameDir(name)
-    if (!Files.isDirectory(d)) None
-    else Files.list(d).iterator().asScala
-      .flatMap(p => scala.util.Try(p.getFileName.toString.toInt).toOption)
-      .filter { v =>
-        val marker = d.resolve(v.toString).resolve("STAGE")
-        Files.exists(marker) && Files.readString(marker).trim == stage
-      }
-      .maxOption
-  }
+  def latestProduction(name: String, stage: String = "Production"): Option[Int] =
+    versions(name).filter { v =>
+      val marker = nameDir(name).resolve(v.toString).resolve("STAGE")
+      Files.exists(marker) && Files.readString(marker).trim == stage
+    }.maxOption
 
   /** U10 analog — load the production model + its signature.
     * Throws if no production version exists (caller turns this into

@@ -119,8 +119,12 @@ object Trainer {
     val pipeline = new Pipeline().setStages(st)
 
     val Array(train, test) = df.randomSplit(Array(0.7, 0.3), seed = 42L)
+    // deliberate deviation from the reference (train.py:334-336 points
+    // the evaluator at the hard 'prediction' column): AUC over 0/1
+    // predictions is threshold-degenerate and makes CV selection
+    // tie-blind; the tree's rawPrediction column gives a real ROC
     val evaluator = new BinaryClassificationEvaluator()
-      .setLabelCol("indexed_label").setRawPredictionCol("prediction")
+      .setLabelCol("indexed_label").setRawPredictionCol("rawPrediction")
 
     val fitted: PipelineModel =
       if (useCv) {

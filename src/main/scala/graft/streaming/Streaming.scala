@@ -93,10 +93,14 @@ object Streaming {
       streamed: DataFrame,
       path: String,
       mode: OutputMode = OutputMode.Update()): Unit = {
+    // Complete mode re-emits the FULL result each micro-batch: the sink
+    // must replace, not append, or multi-batch runs retain superseded
+    // snapshots. Update/Append emit deltas → append.
+    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
     val q = streamed.writeStream
       .outputMode(mode)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        batch.write.mode("append").parquet(path)
+        batch.write.mode(saveMode).parquet(path)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -128,15 +132,20 @@ object Streaming {
       .mapGroupsWithState[Row, (String, Row)](GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val all = (state.getOption.iterator ++ rows).toSeq
-          val latest = all.maxBy { r =>
-            val o = r.get(ordIdx)
-            o match {
-              case t: java.sql.Timestamp => t.getTime
-              case l: Long => l
-              case i: Int => i.toLong
-              case other => String.valueOf(other).hashCode.toLong
+          // order by the column's natural ordering — Timestamp, numeric,
+          // String, Date, Instant are all Comparable; hash-based
+          // fallbacks would elect arbitrary rows as "latest"
+          val latest = all.maxBy(_.get(ordIdx))(new Ordering[Any] {
+            def compare(x: Any, y: Any): Int = (x, y) match {
+              case (null, null) => 0
+              case (null, _) => -1
+              case (_, null) => 1
+              case (a: Comparable[_], b) =>
+                a.asInstanceOf[Comparable[Any]].compareTo(b)
+              case (a, b) => throw new IllegalArgumentException(
+                s"latestByKeyStream: order column type ${a.getClass} is not Comparable")
             }
-          }
+          })
           state.update(latest)
           (key, latest)
       }

@@ -17,6 +17,20 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("short documents (< w tokens) yield empty shingle sets, no crash") {
+    val docs = Seq((1L, "one two"), (2L, "solo"), (3L, ""), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("s"),
+      Dedup.shingleHashes($"text").as("h")).orderBy("doc_id").collect()
+    assert(sh(0).getSeq[String](1).isEmpty && sh(0).getSeq[Long](2).isEmpty)
+    assert(sh(1).getSeq[String](1).isEmpty)
+    assert(sh(2).getSeq[String](1).isEmpty)
+    assert(sh(3).getSeq[String](1).size == 2)
+    // full near-dup pipelines tolerate short docs
+    assert(Dedup.minhashNearDups(docs, threshold = 0.1).count() >= 0)
+    assert(Dedup.ngramJaccardPairs(docs, threshold = 0.1).count() >= 0)
+  }
+
   test("shingles produces distinct w-grams") {
     val out = Seq("a b c d").toDF("text")
       .select(Dedup.shingles($"text", 2).as("sh"))
