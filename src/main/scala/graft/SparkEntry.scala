@@ -194,6 +194,9 @@ object SparkEntry {
   private def qTfidfKeywords(s: SparkSession, dir: String): DataFrame =
     TextOps.tfidfKeywords(Tables.documents(s, dir), k = 3)
 
+  private def qQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityFilter(Tables.documents(s, dir))
+
   private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
@@ -361,6 +364,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_lang_id" -> (qLangId _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
+    "q_quality_filter" -> (qQualityFilter _),
     "q_sim_topk" -> (qSimTopk _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -640,6 +644,18 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_views,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_views
         |FROM h GROUP BY user_id, w_start""".stripMargin),
+    "q_quality_filter" ->
+      ("""WITH s AS (
+        |  SELECT doc_id,
+        |    ROUND(
+        |      LEAST(LEN(STRING_SPLIT(text, ' ')) / 50.0, 1.0) * 0.5 +
+        |      CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.EnSql + """)) * 1.0 / LEN(STRING_SPLIT(text, ' '))
+        |             BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END +
+        |      CASE WHEN LENGTH(text) BETWEEN 100 AND 5000 THEN 0.2 ELSE 0.0 END,
+        |    4) AS quality_score
+        |  FROM documents)
+        |SELECT doc_id, quality_score, quality_score >= 0.5 AS keep FROM s""").stripMargin,
     "q_tfidf_keywords" ->
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),

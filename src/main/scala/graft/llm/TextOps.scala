@@ -59,6 +59,31 @@ object TextOps {
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
 
+  /** Composite quality score → keep/drop decision (the corpus-filtering
+    * step of a training-data pipeline): length band, word-count band,
+    * stopword-ratio band combined into [0,1]. All deterministic
+    * arithmetic — oracle-checked; thresholds are the tunable policy.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      textCol: String = "text",
+      keepThreshold: Double = 0.5): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks)
+    val stopRatio = size(expr(s"filter(split($textCol, ' '), x -> x IN " +
+      Stopwords.EnSql + ")")).cast("double") / nWords
+    val score = round(
+      least(nWords.cast("double") / 50.0, lit(1.0)) * 0.5 +
+        when(stopRatio.between(0.05, 0.6), lit(0.3)).otherwise(lit(0.0)) +
+        when(length(t).between(100, 5000), lit(0.2)).otherwise(lit(0.0)),
+      4)
+    docs.select(
+      col("doc_id"),
+      score.as("quality_score"),
+      (score >= keepThreshold).as("keep"))
+  }
+
   /** TF-IDF keyword extraction: top-k terms per document by
     * tf × ln(N/df). Corpus-level statistics (document frequency) computed
     * with one aggregation over the exploded term relation; the df side is

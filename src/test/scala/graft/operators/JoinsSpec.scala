@@ -29,6 +29,31 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("bucketed tables join with zero shuffle exchanges (co-located join)") {
+    import graft.model.Tables
+    spark.sql("DROP TABLE IF EXISTS b_events")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    Tables.events(spark, sf0001)
+      .write.mode("overwrite").bucketBy(4, "user_id").sortBy("user_id")
+      .saveAsTable("b_events")
+    Tables.orders(spark, sf0001)
+      .selectExpr("o_custkey AS user_id", "o_totalprice")
+      .write.mode("overwrite").bucketBy(4, "user_id").sortBy("user_id")
+      .saveAsTable("b_orders")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_events")
+        .join(spark.table("b_orders"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n${plan.take(2000)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("coerceKey normalizes string/int key wrinkle before join") {
     val facts = Seq(("1", 10.0), ("2", 20.0)).toDF("user_id", "v")
     val dim = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
