@@ -197,6 +197,12 @@ object SparkEntry {
   private def qQualityFilter(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityFilter(Tables.documents(s, dir))
 
+  private def qEmbedNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.llm.EmbeddingOps.normalize(Tables.embeddings(s, dir))
+
+  private def qEmbedDimStats(s: SparkSession, dir: String): DataFrame =
+    graft.llm.EmbeddingOps.dimStats(Tables.embeddings(s, dir))
+
   private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
@@ -365,6 +371,8 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_quality_filter" -> (qQualityFilter _),
+    "q_embed_normalize" -> (qEmbedNormalize _),
+    "q_embed_dim_stats" -> (qEmbedDimStats _),
     "q_sim_topk" -> (qSimTopk _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -644,6 +652,22 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_views,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_views
         |FROM h GROUP BY user_id, w_start""".stripMargin),
+    "q_embed_normalize" ->
+      """SELECT vec_id,
+        |  LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+        |    x -> ROUND(CASE WHEN SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) = 0
+        |               THEN 0.0
+        |               ELSE x / SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |               END, 6)) AS unit_vec
+        |FROM embeddings""".stripMargin,
+    "q_embed_dim_stats" ->
+      """SELECT i.i AS dim,
+        |  ROUND(AVG(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE)), 4) AS mean,
+        |  ROUND(STDDEV_SAMP(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE)), 4) AS std,
+        |  ROUND(MIN(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE)), 4) AS min_v,
+        |  ROUND(MAX(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE)), 4) AS max_v
+        |FROM embeddings, (SELECT UNNEST(RANGE(64)) AS i) i
+        |GROUP BY i.i""".stripMargin,
     "q_quality_filter" ->
       ("""WITH s AS (
         |  SELECT doc_id,

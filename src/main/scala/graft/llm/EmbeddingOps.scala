@@ -1,0 +1,44 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding preprocessing for similarity/ANN pipelines: L2
+  * normalization (so cosine becomes a plain dot product downstream) and
+  * per-dimension corpus statistics (feature scaling / drift checks).
+  *
+  * Scale: normalization is a pure projection (no shuffle); dimension
+  * stats are one explode + one aggregation on a 64-value key — shuffle
+  * volume is |corpus| × dim compact rows with map-side partial
+  * aggregation.
+  */
+object EmbeddingOps {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** L2-normalize, elements rounded for cross-engine comparison; zero
+    * vectors pass through as zeros (guarded divide).
+    */
+  def normalize(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      scale: Int = 6): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val n = sqrt(Similarity.dot(v, v))
+    emb.select(
+      col("vec_id"),
+      transform(v, x => round(when(n === 0.0, lit(0.0)).otherwise(x / n), scale))
+        .as("unit_vec"))
+  }
+
+  /** Per-dimension mean / sample-stddev / min / max across the corpus. */
+  def dimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy(col("dim").cast("long").as("dim")) // bigint: matches the oracle's RANGE type
+      .agg(
+        round(avg(col("v")), 4).as("mean"),
+        round(stddev_samp(col("v")), 4).as("std"),
+        round(min(col("v")), 4).as("min_v"),
+        round(max(col("v")), 4).as("max_v"))
+}

@@ -33,6 +33,19 @@ class JoinsSpec extends SparkSpec {
     import graft.model.Tables
     spark.sql("DROP TABLE IF EXISTS b_events")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+    // a fresh in-memory catalog doesn't know about last run's managed
+    // tables, but their warehouse dirs persist — remove them or
+    // saveAsTable fails with LOCATION_ALREADY_EXISTS
+    for (t <- Seq("b_events", "b_orders")) {
+      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
     Tables.events(spark, sf0001)
       .write.mode("overwrite").bucketBy(4, "user_id").sortBy("user_id")
       .saveAsTable("b_events")
