@@ -24,11 +24,17 @@ object EmbeddingOps {
       vecCol: String = "embedding",
       scale: Int = 6): DataFrame = {
     val v = asDouble(col(vecCol))
-    val n = sqrt(Similarity.dot(v, v))
-    emb.select(
-      col("vec_id"),
-      transform(v, x => round(when(n === 0.0, lit(0.0)).otherwise(x / n), scale))
-        .as("unit_vec"))
+    // norm computed ONCE in a prior projection: HOF lambdas get no
+    // common-subexpression elimination, so an inline norm would be
+    // re-evaluated per element (O(dim²) per row)
+    emb
+      .select(col("vec_id"), v.as("_v"))
+      .withColumn("_n", sqrt(Similarity.dot(col("_v"), col("_v"))))
+      .select(
+        col("vec_id"),
+        transform(col("_v"),
+          x => round(when(col("_n") === 0.0, lit(0.0)).otherwise(x / col("_n")), scale))
+          .as("unit_vec"))
   }
 
   /** Per-dimension mean / sample-stddev / min / max across the corpus. */

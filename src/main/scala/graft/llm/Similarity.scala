@@ -83,12 +83,16 @@ object Similarity {
   /** A dim mismatch makes every SRP bit null→0, hashing ALL vectors into
     * bucket 0 and silently degenerating the bucketed join into the full
     * cross product — validate against the data up front (one-row job).
+    * Empty inputs (or a null first vector) skip the check: downstream
+    * simply produces an empty/null-safe result.
     */
-  private def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit = {
-    val actual = df.select(size(col(vecCol))).head().getInt(0)
-    require(actual == dim,
-      s"embedding dimension mismatch: data has $actual, operator configured with $dim")
-  }
+  private def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit =
+    df.select(size(col(vecCol))).limit(1).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .foreach { actual =>
+        require(actual == dim,
+          s"embedding dimension mismatch: data has $actual, operator configured with $dim")
+      }
 
   /** Random-hyperplane (SRP) LSH signature: one bit per hyperplane = sign
     * of the projection; packed to a BIGINT bucket id. Hamming distance on
@@ -118,6 +122,7 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     requireDim(corpus, vecCol, dim)
+    requireDim(queries, vecCol, dim) // a short query vector degenerates identically
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("table"),
         srpSignature(col(vecCol), hyperplanes(nBits, dim, seed + t)).as("bucket"))

@@ -15,6 +15,12 @@ object TextOps {
   /** Whitespace tokenization as a column expression. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Count of tokens appearing in a SQL IN-list (shared by textStats /
+    * langId / qualityFilter so tokenization changes stay in one place).
+    */
+  private def hitCount(textCol: String, sqlList: String): Column =
+    size(expr(s"filter(split($textCol, ' '), x -> x IN $sqlList)"))
+
   /** Quality-scoring stats: char/word counts, average word length,
     * punctuation and digit ratios. One projection, no shuffle.
     */
@@ -26,13 +32,9 @@ object TextOps {
       length(t).as("n_chars_calc"),
       size(toks).as("n_words"),
       round(length(t).cast("double") / size(toks), 4).as("avg_token_span"),
-      size(expr(s"filter(split($textCol, ' '), x -> x IN " +
-        Stopwords.EnSql + ")")).as("n_stopwords"),
-      round(
-        size(expr(s"filter(split($textCol, ' '), x -> x IN " +
-          Stopwords.EnSql + ")")).cast("double") / size(toks),
-        4
-      ).as("stopword_ratio")
+      hitCount(textCol, Stopwords.EnSql).as("n_stopwords"),
+      round(hitCount(textCol, Stopwords.EnSql).cast("double") / size(toks), 4)
+        .as("stopword_ratio")
     )
   }
 
@@ -71,8 +73,7 @@ object TextOps {
     val t = col(textCol)
     val toks = tokens(t)
     val nWords = size(toks)
-    val stopRatio = size(expr(s"filter(split($textCol, ' '), x -> x IN " +
-      Stopwords.EnSql + ")")).cast("double") / nWords
+    val stopRatio = hitCount(textCol, Stopwords.EnSql).cast("double") / nWords
     val score = round(
       least(nWords.cast("double") / 50.0, lit(1.0)) * 0.5 +
         when(stopRatio.between(0.05, 0.6), lit(0.3)).otherwise(lit(0.0)) +
@@ -85,10 +86,11 @@ object TextOps {
   }
 
   /** TF-IDF keyword extraction: top-k terms per document by
-    * tf × ln(N/df). Corpus-level statistics (document frequency) computed
-    * with one aggregation over the exploded term relation; the df side is
-    * broadcast back (|vocabulary| ≪ |corpus·terms|). The top-k per doc
-    * runs through the bounded TopK aggregator — no per-doc sort shuffle.
+    * tf × ln(N/df). The exploded term relation is materialized once
+    * (localCheckpoint) and feeds both the tf and the df aggregation; the
+    * df side is broadcast back (|vocabulary| ≪ |corpus·terms|). Top-k
+    * per doc uses a ranking window — per-doc vocabulary is small, so the
+    * per-partition sort is bounded by the largest single document.
     */
   def tfidfKeywords(
       docs: DataFrame,
@@ -97,6 +99,7 @@ object TextOps {
     val n = docs.count()
     val terms = docs.select(col("doc_id"),
       explode(tokens(col(textCol))).as("term"))
+      .localCheckpoint() // one scan+tokenize for both aggregations below
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = terms.select(col("doc_id"), col("term")).distinct()
@@ -104,9 +107,6 @@ object TextOps {
     val scored = tf.join(broadcast(df), "term")
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
-    // rank by score desc, term asc — deterministic; string ids ranked via
-    // the numeric TopK aggregator by hashing? No: use dense per-doc
-    // ranking on (score, term) through a window (vocab per doc is small).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
@@ -121,11 +121,9 @@ object TextOps {
     * character-n-gram profiles when a real corpus needs it.
     */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    def hits(sqlList: String): Column =
-      size(expr(s"filter(split($textCol, ' '), x -> x IN $sqlList)"))
-    val en = hits(Stopwords.EnSql)
-    val de = hits(Stopwords.DeSql)
-    val fr = hits(Stopwords.FrSql)
+    val en = hitCount(textCol, Stopwords.EnSql)
+    val de = hitCount(textCol, Stopwords.DeSql)
+    val fr = hitCount(textCol, Stopwords.FrSql)
     docs.select(
       col("doc_id"),
       en.as("en_hits"),

@@ -93,9 +93,12 @@ object Streaming {
       streamed: DataFrame,
       path: String,
       mode: OutputMode = OutputMode.Update()): Unit = {
-    // Complete mode re-emits the FULL result each micro-batch: the sink
-    // must replace, not append, or multi-batch runs retain superseded
-    // snapshots. Update/Append emit deltas → append.
+    // Complete mode re-emits the FULL result each micro-batch → the sink
+    // replaces. Append emits each result row exactly once → append is a
+    // faithful materialization. Update mode appends every re-emission, so
+    // the parquet output is a CHANGELOG, not current state — readers take
+    // latestByKey over it (exactly how a Kafka compacted topic or the
+    // reference's Mongo upsert sink would be consumed).
     val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
     val q = streamed.writeStream
       .outputMode(mode)
