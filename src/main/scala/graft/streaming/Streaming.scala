@@ -110,6 +110,18 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup: drop duplicate keys as the stream arrives,
+    * with state bounded by the watermark (duplicates arriving within the
+    * lateness window are caught; state for older keys is evicted). The
+    * streaming analog of llm.Dedup.exact — same content-fingerprint key.
+    */
+  def dedupStream(
+      df: DataFrame,
+      keyCols: Seq[String],
+      lateness: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** S3/A6 streaming TABLE semantics: continuously-updating latest row
     * per key via mapGroupsWithState (the reference's RocksDB-backed
     * changelog table, ST6). Emits the current latest per key each batch;

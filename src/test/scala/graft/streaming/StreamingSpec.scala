@@ -81,6 +81,24 @@ class StreamingSpec extends SparkSpec {
     assert(labels.subsetOf(Set("bot", "user")) && labels.nonEmpty)
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps distinct events") {
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val df = input.toDF().toDF("event_id", "epoch", "text")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val q = Streaming.dedupStream(df, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_tbl")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    val base = 1704067200L
+    input.addData((1L, base, "a"), (2L, base + 1, "b"), (1L, base + 2, "a-dup"))
+    q.processAllAvailable()
+    input.addData((1L, base + 3, "a-dup-2"), (3L, base + 4, "c"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_tbl").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 3L), s"ids=$ids")
+  }
+
   test("stream-stream interval self-join with watermarks matches batch") {
     def sides(df: org.apache.spark.sql.DataFrame) = {
       val p = df.filter(col("event_type") === "purchase")
