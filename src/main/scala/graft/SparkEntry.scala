@@ -237,6 +237,23 @@ object SparkEntry {
       .agg(count(col("c_sec")).as("clicks_before"))
   }
 
+  /** As-of join: each event picks up the user's latest order at or
+    * before the event time (state-at-event-time enrichment).
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.eventsWithEpoch(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    val r0 = Relational.latestByKey(
+      Tables.orders(s, dir)
+        .withColumn("o_sec", col("o_orderdate").cast("timestamp").cast("long")),
+      key = Seq("o_custkey", "o_sec"), orderBy = Seq("o_orderkey"))
+    val r = r0.select(col("o_custkey"), col("o_sec"),
+      col("o_orderkey").as("last_order_key"),
+      col("o_totalprice").as("last_order_price"))
+    Joins.asOfJoin(l, r, "user_id", "o_custkey", "ts_sec", "o_sec",
+      Seq("last_order_key", "last_order_price"))
+  }
+
   /** Set operations (engine completeness; absent from the reference). */
   private def qSetOps(s: SparkSession, dir: String): DataFrame = {
     val active = Tables.events(s, dir).select(col("user_id"))
@@ -390,6 +407,7 @@ object SparkEntry {
     "q_session_window" -> (qSessionWindow _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_interval_join" -> (qIntervalJoin _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_set_ops" -> (qSetOps _),
     "q_distinct_counts" -> (qDistinctCounts _),
@@ -603,6 +621,21 @@ object SparkEntry {
         |  CAST(FLOOR(MAX(es)) AS BIGINT) + 1800 AS session_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_asof_join" ->
+      """WITH r0 AS (
+        |  SELECT o_custkey, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_sec,
+        |         o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_sec, o_orderkey AS last_order_key,
+        |             o_totalprice AS last_order_price
+        |      FROM r0 WHERE rn = 1),
+        |l AS (SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        |      FROM events)
+        |SELECT l.event_id, l.user_id, l.ts_sec, r.last_order_key, r.last_order_price
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.o_custkey AND l.ts_sec >= r.o_sec""".stripMargin,
     "q_interval_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id,
         |             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS p_sec

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operators (SURVEY.md §2.3).
@@ -61,6 +62,52 @@ object Joins {
       right(rightTsSec) >= left(leftTsSec) + lowerSec &&
       right(rightTsSec) <= left(leftTsSec) + upperSec
     left.join(right, cond, joinType)
+  }
+
+  /** As-of join (a left join Spark lacks natively): each left row picks
+    * up the payload of the LATEST right row with right.ts <= left.ts for
+    * the same key; left rows before any right row keep nulls.
+    *
+    * Spark-first formulation: instead of an interval join (whose match
+    * set is unbounded — every earlier right row joins every later left
+    * row before the reduction), tag and UNION both sides, sort each key
+    * partition once by (ts, side) with right rows first on ties, and
+    * carry the right payload forward with last(_, ignoreNulls) over an
+    * unbounded-preceding frame. One shuffle on the key, one
+    * per-partition sort, zero join blowup — the classic merge-join
+    * formulation expressed in declarative Spark.
+    *
+    * Precondition for determinism: the right side has at most one row
+    * per (key, ts) — pre-reduce with [[Relational.latestByKey]].
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTsSec: String,
+      rightTsSec: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lPart = left.select(
+      leftCols.map(col) ++
+        Seq(lit(1).as("_side"), col(leftKey).as("_k"), col(leftTsSec).as("_t")) ++
+        rightPayload.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    val rPart = right.select(
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(0).as("_side"), col(rightKey).as("_k"), col(rightTsSec).as("_t")) ++
+        rightPayload.map(c => col(c).as(s"_r_$c")): _*)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side")) // right (0) before left (1) on ties → <= semantics
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightPayload.foldLeft(lPart.unionByName(rPart)) { (d, c) =>
+      d.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"_r_$c").as(c)): _*)
   }
 
   /** Key-coercion helper for the reference's string/int key wrinkle

@@ -67,6 +67,21 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin: latest right row at-or-before each left ts, nulls before first") {
+    val left = Seq(
+      (1L, 1L, 5L),   // before any right row → null
+      (2L, 1L, 10L),  // exactly at right ts=10 → v10 (<= semantics)
+      (3L, 1L, 15L),  // between 10 and 20 → v10
+      (4L, 1L, 25L),  // after 20 → v20
+      (5L, 2L, 100L)  // key with no right rows → null
+    ).toDF("id", "k", "t")
+    val right = Seq((1L, 10L, "v10"), (1L, 20L, "v20")).toDF("rk", "rt", "v")
+    val out = Joins.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getAs[String]("v")))
+    assert(out.toSeq == Seq(
+      (1L, null), (2L, "v10"), (3L, "v10"), (4L, "v20"), (5L, null)))
+  }
+
   test("coerceKey normalizes string/int key wrinkle before join") {
     val facts = Seq(("1", 10.0), ("2", 20.0)).toDF("user_id", "v")
     val dim = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
