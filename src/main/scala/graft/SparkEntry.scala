@@ -305,6 +305,14 @@ object SparkEntry {
     Dedup.resolveClusters(
       Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.3))
 
+  /** Full dedup pipeline applied: the corpus minus dropped near-dups. */
+  private def qDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.applyDedup(docs,
+      Dedup.resolveClusters(Dedup.minhashNearDups(docs, threshold = 0.3)))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(Tables.documents(s, dir))
 
@@ -409,6 +417,7 @@ object SparkEntry {
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_apply" -> (qDedupApply _),
     "q_set_ops" -> (qSetOps _),
     "q_distinct_counts" -> (qDistinctCounts _),
     "q_rollup" -> (qRollup _),

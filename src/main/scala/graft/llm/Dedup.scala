@@ -199,6 +199,15 @@ object Dedup {
       (col("doc_id") === col("label")).as("keep"))
   }
 
+  /** Apply a dedup decision to the corpus: drop every doc whose cluster
+    * elected a different survivor (left-anti join against the drop set).
+    * The full pipeline is candidates → [[resolveClusters]] → this.
+    */
+  def applyDedup(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val drops = clusters.filter(!col("keep")).select(col("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** MinHash signature: k permutations approximated by k seeded rehashes
     * of the 8-byte shingle hash — native expression, each shingle string
     * hashed once, all permutation math in a primitive loop.

@@ -102,6 +102,14 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(5L)) // docs without pairs never enter the graph
   }
 
+  test("applyDedup keeps survivors and untouched docs, drops cluster members") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (5L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val kept = Dedup.applyDedup(docs, Dedup.resolveClusters(pairs))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L)) // 2 dropped; 3 and 5 never in any pair
+  }
+
   test("dedup end-to-end: pairs → clusters over the fixture corpus") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val pairs = Dedup.minhashNearDups(docs, threshold = 0.3)
