@@ -1,12 +1,23 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): times the headline queries at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{…},"sf":…}.
+  *
+  * Round-2 methodology change: the timed action is a `noop`-format write,
+  * not `.count()` — a count lets Catalyst prune every projection and
+  * unused aggregate expression above the scan, so projection-heavy
+  * queries (regex/text ops, pivot sums) were timing a keys-only plan.
+  * The noop sink materializes every output column through the full plan
+  * while writing nothing.
   */
 object Bench {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,16 +33,16 @@ object Bench {
     // Warm the JVM/codegen/file-listing paths once, outside timing: the
     // flagship plus one tiny-SF run of each headline query, so measured
     // times are steady-state execution, not whole-stage-codegen compile.
-    SparkEntry.entry(spark).count()
+    force(SparkEntry.entry(spark))
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try force(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { force(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       // failed queries report -1 so the JSON can't mistake a crash for a

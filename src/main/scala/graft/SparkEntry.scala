@@ -45,9 +45,19 @@ object SparkEntry {
     val reg = tempRegistry()
     Trainer.trainAndRegister(spark, dir, reg, "Bot Detector", useCv = false)
     Scorer.registerPredictUdf(spark, reg.rootDir, preload = Seq("Bot Detector"))
+    scoredFlagship(spark,
+      WindowOps.hoppingPivot(Tables.events(spark, dir), eventTypes = ET), dir)
+  }
 
-    val feats = WindowOps.hoppingPivot(
-      Tables.events(spark, dir), eventTypes = ET)
+  /** Shared README.md:56-70 tail — enrich windowed features with user
+    * dims + order counts and score in-query with the predict UDF. The
+    * SAME expression serves the batch flagship ([[entry]]) and the
+    * streaming flagship (q_stream_flagship): the incremental-query
+    * principle, with the dims/nbOrders sides static (broadcast per
+    * micro-batch in streaming).
+    */
+  private def scoredFlagship(
+      spark: SparkSession, feats: DataFrame, dir: String): DataFrame = {
     val dims = Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"), "left")
@@ -121,11 +131,16 @@ object SparkEntry {
       col("event_id"),
       Relational.timestampToString(col("ts").cast("timestamp")).as("ts_hms"))
 
+  /** The arrays are built by the real as_array operator; the comparison
+    * view serializes them with to_json because the driver's pandas compare
+    * cannot sort raw array columns (round-1 ERRORED row).
+    */
   private def qAsArray(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(
       col("c_custkey"),
-      Relational.asArray(col("c_name"), col("c_mktsegment")).as("dims_str"),
-      Relational.asArray(col("c_custkey"), col("c_nationkey").cast("long"))
+      to_json(Relational.asArray(col("c_name"), col("c_mktsegment")))
+        .as("dims_str"),
+      to_json(Relational.asArray(col("c_custkey"), col("c_nationkey").cast("long")))
         .as("dims_int"))
 
   private def qCdcUnwrap(s: SparkSession, dir: String): DataFrame =
@@ -133,6 +148,22 @@ object SparkEntry {
       Relational.toCdcEnvelope(
         Tables.orders(s, dir),
         when(col("o_orderstatus") === lit("F"), lit("d")).otherwise(lit("c"))))
+
+  /** S5 wire-format decode: each order serialized to the JSON Debezium
+    * envelope a Connect topic carries, then decoded back with from_json —
+    * both engines serialize AND parse, so a decode bug cannot cancel out
+    * the way the struct round-trip of q_cdc_unwrap could hide it.
+    */
+  private def qCdcUnwrapJson(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    Relational.cdcUnwrapJson(
+      Relational.toCdcJson(
+        orders,
+        when(col("o_orderstatus") === lit("F"), lit("d")).otherwise(lit("c")),
+        col("o_orderdate").cast("timestamp").cast("long") * 1000),
+      org.apache.spark.sql.types.StructType(
+        orders.schema.fields.map(_.copy(nullable = true))))
+  }
 
   private def qJsonProps(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
@@ -197,8 +228,13 @@ object SparkEntry {
   private def qQualityFilter(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityFilter(Tables.documents(s, dir))
 
+  /** normalize() keeps its array-valued API; the comparison view explodes
+    * to (vec_id, dim, val) scalar rows because the driver's pandas compare
+    * cannot sort raw array columns (round-1 ERRORED row).
+    */
   private def qEmbedNormalize(s: SparkSession, dir: String): DataFrame =
     graft.llm.EmbeddingOps.normalize(Tables.embeddings(s, dir))
+      .select(col("vec_id"), posexplode(col("unit_vec")).as(Seq("dim", "val")))
 
   private def qEmbedDimStats(s: SparkSession, dir: String): DataFrame =
     graft.llm.EmbeddingOps.dimStats(Tables.embeddings(s, dir))
@@ -323,6 +359,24 @@ object SparkEntry {
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.1)
 
+  // oracle-grade exact variants: candidate generation provably complete
+  // (anchor on every shingle string), so DuckDB can reproduce the result
+  // with LIST_INTERSECT + WITH RECURSIVE connected components
+
+  private def qNgramJaccardExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsExact(Tables.documents(s, dir), threshold = 0.1)
+
+  private def qDedupClustersExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.resolveClusters(
+      Dedup.ngramJaccardPairsExact(Tables.documents(s, dir), threshold = 0.1))
+
+  private def qDedupApplyExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.applyDedup(docs,
+      Dedup.resolveClusters(Dedup.ngramJaccardPairsExact(docs, threshold = 0.1)))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   private def qSimLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
@@ -336,6 +390,21 @@ object SparkEntry {
     */
   private def qStreamHoppingPivot(s: SparkSession, dir: String): DataFrame =
     Streaming.runToMemory(s, Streaming.hoppingPivotStream(s, dir))
+
+  /** The reference's headline continuously-emitting statement
+    * (README.md:56-70): hopping pivot → user enrich → in-stream predict,
+    * executed incrementally (state store + micro-batches) and sharing the
+    * batch [[entry]] expression via [[scoredFlagship]]. Rows-only (model
+    * output not SQL-expressible); batch ≡ streaming asserted in
+    * StreamingSpec.
+    */
+  private def qStreamFlagship(s: SparkSession, dir: String): DataFrame = {
+    val reg = tempRegistry()
+    Trainer.trainAndRegister(s, dir, reg, "Bot Detector", useCv = false)
+    Scorer.registerPredictUdf(s, reg.rootDir, preload = Seq("Bot Detector"))
+    Streaming.runToMemory(s,
+      scoredFlagship(s, Streaming.hoppingPivotStream(s, dir), dir))
+  }
 
   private def tempRegistry(): Registry =
     new Registry(java.nio.file.Files.createTempDirectory("graft_reg").toString)
@@ -365,8 +434,18 @@ object SparkEntry {
              FROM ml_features""")
   }
 
+  /** decode() keeps its struct-valued API; the comparison view flattens
+    * to scalars (+ to_json features) because the driver's compare cannot
+    * sort struct/array columns (round-1 ERRORED rows check).
+    */
   private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decode(Multimodal.asMedia(Tables.documents(s, dir)))
+      .select(
+        col("media_id"), col("modality"), col("n_bytes"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.channels").as("channels"),
+        to_json(col("decoded.features")).as("features_json"))
 
   private def qMultimodalPartitioned(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodePartitioned(Multimodal.asMedia(Tables.documents(s, dir)))
@@ -382,6 +461,7 @@ object SparkEntry {
     "q_timestamp_fmt" -> (qTimestampFmt _),
     "q_as_array" -> (qAsArray _),
     "q_cdc_unwrap" -> (qCdcUnwrap _),
+    "q_cdc_unwrap_json" -> (qCdcUnwrapJson _),
     "q_json_props" -> (qJsonProps _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_hopping_pivot" -> (qHoppingPivot _),
@@ -403,11 +483,15 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_ngram_jaccard_exact" -> (qNgramJaccardExact _),
+    "q_dedup_clusters_exact" -> (qDedupClustersExact _),
+    "q_dedup_apply_exact" -> (qDedupApplyExact _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_embed_near_dup" -> (qEmbedNearDup _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_partitioned" -> (qMultimodalPartitioned _),
     "q_stream_hopping_pivot" -> (qStreamHoppingPivot _),
+    "q_stream_flagship" -> (qStreamFlagship _),
     "q_ml_train_score" -> (qMlTrainScore _),
     "q_predict_udf" -> (qPredictUdf _),
     "q_ml_features" -> (qMlFeatures _),
@@ -432,6 +516,34 @@ object SparkEntry {
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_token_count",
     "q_sim_topk", "q_topk_orders_per_cust", "q_tumbling_agg",
     "q_session_window", "q_rollup", "q_salted_agg", "q_distinct_counts")
+
+  /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
+    * string shingles → all-pairs exact Jaccard → symmetric edges →
+    * recursive transitive closure → min-label survivors. Mirrors
+    * Dedup.ngramJaccardPairsExact + resolveClusters semantics exactly.
+    */
+  private val ngramExactCte =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(STRING_SPLIT(text, ' ')) - 2),
+      |      i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i+1:i+3], ' '))) AS sh
+      |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+      |p0 AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |         LEN(LIST_INTERSECT(x.sh, y.sh)) AS inter,
+      |         LEN(x.sh) AS n_a, LEN(y.sh) AS n_b
+      |  FROM s x JOIN s y ON x.doc_id < y.doc_id),
+      |pairs AS (
+      |  SELECT a, b, ROUND(inter * 1.0 / (n_a + n_b - inter), 6) AS jaccard
+      |  FROM p0
+      |  WHERE inter > 0 AND ROUND(inter * 1.0 / (n_a + n_b - inter), 6) >= 0.1),
+      |e AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |surv AS (
+      |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS survivor FROM reach GROUP BY a)""".stripMargin
 
   private val hopCte =
     """WITH h AS (
@@ -488,12 +600,34 @@ object SparkEntry {
       "SELECT event_id, STRFTIME(ts, '%H:%M:%S') AS ts_hms FROM events",
     "q_as_array" ->
       """SELECT c_custkey,
-        |  [c_name, c_mktsegment] AS dims_str,
-        |  [c_custkey, CAST(c_nationkey AS BIGINT)] AS dims_int
+        |  CAST(TO_JSON([c_name, c_mktsegment]) AS VARCHAR) AS dims_str,
+        |  CAST(TO_JSON([c_custkey, CAST(c_nationkey AS BIGINT)]) AS VARCHAR) AS dims_int
         |FROM customer""".stripMargin,
     "q_cdc_unwrap" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+    // both engines serialize the Debezium JSON envelope AND parse it back
+    // — the decode path is exercised on each side, not cancelled out
+    "q_cdc_unwrap_json" ->
+      """WITH env AS (
+        |  SELECT CAST(TO_JSON(STRUCT_PACK(
+        |    before := CAST(NULL AS VARCHAR),
+        |    after := STRUCT_PACK(
+        |      o_orderkey := o_orderkey, o_custkey := o_custkey,
+        |      o_orderstatus := o_orderstatus, o_totalprice := o_totalprice,
+        |      o_orderdate := o_orderdate, o_orderpriority := o_orderpriority),
+        |    op := CASE WHEN o_orderstatus = 'F' THEN 'd' ELSE 'c' END,
+        |    ts_ms := CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) * 1000)) AS VARCHAR) AS value
+        |  FROM orders)
+        |SELECT
+        |  CAST(json_extract_string(value, '$.after.o_orderkey') AS BIGINT) AS o_orderkey,
+        |  CAST(json_extract_string(value, '$.after.o_custkey') AS BIGINT) AS o_custkey,
+        |  json_extract_string(value, '$.after.o_orderstatus') AS o_orderstatus,
+        |  CAST(json_extract_string(value, '$.after.o_totalprice') AS DOUBLE) AS o_totalprice,
+        |  CAST(json_extract_string(value, '$.after.o_orderdate') AS TIMESTAMP) AS o_orderdate,
+        |  json_extract_string(value, '$.after.o_orderpriority') AS o_orderpriority
+        |FROM env
+        |WHERE json_extract_string(value, '$.op') <> 'd'""".stripMargin,
     "q_json_props" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
@@ -695,13 +829,15 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_views
         |FROM h GROUP BY user_id, w_start""".stripMargin),
     "q_embed_normalize" ->
-      """SELECT vec_id,
-        |  LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
-        |    x -> ROUND(CASE WHEN SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) = 0
-        |               THEN 0.0
-        |               ELSE x / SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-        |               END, 6)) AS unit_vec
-        |FROM embeddings""".stripMargin,
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(i.i AS INTEGER) AS dim,
+        |  ROUND(CASE WHEN nrm = 0 THEN 0.0
+        |             ELSE v[CAST(i.i AS INTEGER) + 1] / nrm END, 6) AS val
+        |FROM n, (SELECT UNNEST(RANGE(64)) AS i) i""".stripMargin,
     "q_embed_dim_stats" ->
       """SELECT i.i AS dim,
         |  ROUND(AVG(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE)), 4) AS mean,
@@ -739,6 +875,14 @@ object SparkEntry {
         |      ORDER BY tfidf DESC, term) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ngram_jaccard_exact" -> (ngramExactCte +
+      "\nSELECT a, b, jaccard FROM pairs"),
+    "q_dedup_clusters_exact" -> (ngramExactCte +
+      "\nSELECT doc_id, survivor, doc_id = survivor AS keep FROM surv"),
+    "q_dedup_apply_exact" -> (ngramExactCte +
+      """
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM surv WHERE doc_id <> survivor)""".stripMargin),
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -78,7 +78,8 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucket: Int = 256): DataFrame = {
     // pigeonhole: a pair within hamming radius r collides on ≥1 band only
     // when r < bands; a wider radius silently loses recall
     require(maxHamming < bands,
@@ -98,8 +99,18 @@ object Dedup {
               .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
         )
       ).as("bk"))
-    val l = banded.select(col("bk").as("l_bk"), col("doc_id").as("a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("bk").as("r_bk"), col("doc_id").as("b"), col("simhash").as("sh_b"))
+    // hot-bucket cap: a degenerate band value (empty/boilerplate docs all
+    // sharing one simhash chunk) would explode quadratically — cap bucket
+    // membership like ngramJaccardPairs does. Dropped buckets only lose
+    // pairs whose EVERY colliding band is hot; near-dup pairs still meet
+    // on their other bands. No broadcast hint: bucket count is data-sized,
+    // AQE broadcasts when small.
+    val useful = banded.groupBy(col("bk")).count()
+      .filter(col("count") >= 2 && col("count") <= maxBucket)
+      .select("bk")
+    val pruned = banded.join(useful, "bk")
+    val l = pruned.select(col("bk").as("l_bk"), col("doc_id").as("a"), col("simhash").as("sh_a"))
+    val r = pruned.select(col("bk").as("r_bk"), col("doc_id").as("b"), col("simhash").as("sh_b"))
     l.join(r, col("l_bk") === col("r_bk") && col("a") < col("b"))
       .select(col("a"), col("b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -147,6 +158,43 @@ object Dedup {
       .join(sampled.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "a")
       .join(sampled.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "b")
     withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn(
+        "jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** EXACT n-gram Jaccard pairs — the oracle-grade variant of
+    * [[ngramJaccardPairs]]: anchors on every distinct shingle STRING (no
+    * min-wise sampling, no hot-bucket cap), so the candidate set provably
+    * contains every pair with jaccard > 0 and the result is exactly the
+    * all-pairs answer, SQL-expressible in DuckDB via LIST_INTERSECT.
+    *
+    * This is the correctness reference, not the scale path: shingle
+    * strings ride the candidate shuffle. Use [[ngramJaccardPairs]] at
+    * 100 TB.
+    */
+  def ngramJaccardPairsExact(
+      docs: DataFrame,
+      textCol: String = "text",
+      w: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"), shingles(col(textCol), w).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .localCheckpoint()
+    val anchors = sets.select(col("doc_id"), explode(col("sh")).as("anchor"))
+    val cand = anchors.select(col("anchor"), col("doc_id").as("a"))
+      .join(anchors.select(col("anchor").as("r_anchor"), col("doc_id").as("b")),
+        col("anchor") === col("r_anchor") && col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn(
         "jaccard",

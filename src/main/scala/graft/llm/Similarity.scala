@@ -208,7 +208,8 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      maxBucket: Int = 1024): DataFrame = {
     requireDim(corpus, vecCol, dim)
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("table"),
@@ -219,8 +220,17 @@ object Similarity {
       asDouble(col(vecCol)).as("v"),
       explode(array(tables: _*)).as("bk"))
       .localCheckpoint() // materialize once for both join branches; auto-released on GC
-    val l = b.select(col("bk").as("l_bk"), col(idCol).as("a"), col("v").as("va"))
-    val r = b.select(col("bk").as("r_bk"), col(idCol).as("b"), col("v").as("vb"))
+    // hot-bucket cap (same hygiene as Dedup.ngramJaccardPairs): a dense
+    // SRP bucket — e.g. a near-zero-vector cluster collapsing to one
+    // signature — would generate quadratic candidates. A dropped-hot-
+    // bucket pair still meets in its nTables-1 other tables. No broadcast
+    // hint: AQE broadcasts the bucket list when it is small.
+    val useful = b.groupBy(col("bk")).count()
+      .filter(col("count") >= 2 && col("count") <= maxBucket)
+      .select("bk")
+    val pruned = b.join(useful, "bk")
+    val l = pruned.select(col("bk").as("l_bk"), col(idCol).as("a"), col("v").as("va"))
+    val r = pruned.select(col("bk").as("r_bk"), col(idCol).as("b"), col("v").as("vb"))
     l.join(r, col("l_bk") === col("r_bk") && col("a") < col("b"))
       .dropDuplicates("a", "b")
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos_sim"))

@@ -76,9 +76,23 @@ object Scorer {
           case Some(sc) => sc.predict(stringParams, intParams)
           case None => predictOne(registryRoot, modelName, stringParams, intParams)
         }
-      } catch { case _: Throwable => null })
+      } catch {
+        // NonFatal ONLY: OOM/linkage errors must surface, and a
+        // misconfigured model name should not silently become all-NULL
+        // predictions on a cluster — warn once per JVM per model (U6
+        // still maps per-row scoring errors to SQL NULL).
+        case scala.util.control.NonFatal(e) => warnOnce(modelName, e); null
+      })
     spark.udf.register("predict", predict)
   }
+
+  // once-per-JVM (≈ once-per-executor) warning so error→NULL (U6) never
+  // hides systematic misconfiguration in the logs
+  private val warned = ConcurrentHashMap.newKeySet[String]()
+  private def warnOnce(modelName: String, e: Throwable): Unit =
+    if (warned.add(modelName))
+      System.err.println(
+        s"[graft] predict('$modelName') failed; returning NULL (warning once per executor): $e")
 
   private[ml] def predictOne(
       registryRoot: String,
@@ -88,7 +102,8 @@ object Scorer {
     try {
       cachedScorer(registryRoot, modelName).predict(stringParams, intParams)
     } catch {
-      case _: Throwable => null // U6: error → NULL
+      case scala.util.control.NonFatal(e) =>
+        warnOnce(modelName, e); null // U6: error → NULL
     }
 }
 

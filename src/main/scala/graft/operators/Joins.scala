@@ -79,6 +79,12 @@ object Joins {
     *
     * Precondition for determinism: the right side has at most one row
     * per (key, ts) — pre-reduce with [[Relational.latestByKey]].
+    *
+    * All payload columns are carried in ONE struct filled by a single
+    * last(_, ignoreNulls) — filling each column independently would mix
+    * values from different right rows whenever the as-of match has a NULL
+    * in one payload column (it would silently inherit an older row's
+    * non-null value for that column only).
     */
   def asOfJoin(
       left: DataFrame,
@@ -89,25 +95,26 @@ object Joins {
       rightTsSec: String,
       rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(nullable = true)))
     val lPart = left.select(
       leftCols.map(col) ++
-        Seq(lit(1).as("_side"), col(leftKey).as("_k"), col(leftTsSec).as("_t")) ++
-        rightPayload.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        Seq(lit(1).as("_side"), col(leftKey).as("_k"), col(leftTsSec).as("_t"),
+          // the whole struct is NULL on left rows, so ignoreNulls skips
+          // them; a struct of per-column NULLs would NOT be skipped
+          lit(null).cast(payloadType).as("_r")): _*)
     val rPart = right.select(
       leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(lit(0).as("_side"), col(rightKey).as("_k"), col(rightTsSec).as("_t")) ++
-        rightPayload.map(c => col(c).as(s"_r_$c")): _*)
+        Seq(lit(0).as("_side"), col(rightKey).as("_k"), col(rightTsSec).as("_t"),
+          struct(rightPayload.map(col): _*).cast(payloadType).as("_r")): _*)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side")) // right (0) before left (1) on ties → <= semantics
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightPayload.foldLeft(lPart.unionByName(rPart)) { (d, c) =>
-      d.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    filled
+    lPart.unionByName(rPart)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        rightPayload.map(c => col(s"_r_$c").as(c)): _*)
+        rightPayload.map(c => col("_r").getField(c).as(c)): _*)
   }
 
   /** Key-coercion helper for the reference's string/int key wrinkle

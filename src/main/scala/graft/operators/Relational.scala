@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Core relational operators from the reference's streaming-SQL surface
   * (SURVEY.md §2.1–§2.2). Each is a pure `DataFrame => DataFrame`
@@ -83,6 +84,48 @@ object Relational {
     */
   def toCdcEnvelope(df: DataFrame, opCol: Column): DataFrame =
     df.select(struct(df.columns.map(col): _*).as("after"), opCol.as("op"))
+
+  /** The serialized form a Debezium topic actually carries: one JSON
+    * string per record with the full `{before, after, op, ts_ms}`
+    * envelope (reference infra/connect/mysql-source.json:17-19 configures
+    * the non-Avro JsonConverter fallback). Used by tests/queries to
+    * produce honest wire-format input for [[cdcUnwrapJson]].
+    */
+  def toCdcJson(df: DataFrame, opCol: Column, tsMs: Column): DataFrame = {
+    val afterSchema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    df.select(
+      to_json(struct(
+        lit(null).cast(afterSchema).as("before"),
+        struct(df.columns.map(col): _*).as("after"),
+        opCol.as("op"),
+        tsMs.cast(LongType).as("ts_ms"))).as("value"))
+  }
+
+  /** S5 from the wire: decode a JSON-serialized Debezium envelope with
+    * `from_json` against an explicit `after` schema, then unwrap + drop
+    * tombstones exactly like [[cdcUnwrap]]. This is the real decode path
+    * (a `from_avro` variant slots in behind the same signature); the
+    * struct round-trip in [[toCdcEnvelope]] could never catch a decode
+    * bug because it never serializes.
+    *
+    * Scale: from_json is a codegen'd expression evaluated in the scan
+    * stage projection; rows parse once, the dropped tombstones never
+    * reach the shuffle.
+    */
+  def cdcUnwrapJson(
+      df: DataFrame,
+      afterSchema: StructType,
+      valueCol: String = "value"): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField("before", afterSchema, nullable = true),
+      StructField("after", afterSchema, nullable = true),
+      StructField("op", StringType, nullable = true),
+      StructField("ts_ms", LongType, nullable = true)))
+    df
+      .select(from_json(col(valueCol), envelope).as("env"))
+      .filter(col("env.op") =!= lit("d") && col("env.after").isNotNull)
+      .select(col("env.after.*"))
+  }
 
   /** Extension (driver fixture): JSON scalar extraction over
     * `events.props` (FIXTURES.md §C) — the reference's scalar surface has

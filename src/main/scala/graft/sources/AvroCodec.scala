@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Avro (de)serialization for the Kafka transport surface — the
+  * reference's entire wire format is Schema-Registry Avro
+  * (/root/reference/docker-compose.yaml:58-62, producer schemas in
+  * traffic-generator/generator.py:167-187).
+  *
+  * The environment ships Avro core (avro-1.12.1) but not the spark-avro
+  * connector, so the engine carries its own StructType↔Schema conversion
+  * and row codec. Everything here is driver/executor-side plain JVM code
+  * — no SparkSession — so it is closure-shippable and unit-testable with
+  * no broker (see [[KafkaIO]] for the DataFrame-level seams).
+  *
+  * Supported field types = the fixture/reference surface: numeric,
+  * string, boolean, binary, timestamp (Avro long + timestamp-micros
+  * logical type), nullable via union(null, T).
+  */
+object AvroCodec {
+
+  /** StructType → Avro record schema. Nullable fields become
+    * union(null, T) with a null default, matching what Connect's
+    * AvroConverter emits for an optional column.
+    */
+  def avroSchemaFor(
+      schema: StructType,
+      name: String = "Record",
+      namespace: String = "graft"): Schema = {
+    val fields = schema.fields.map { f =>
+      new Schema.Field(
+        f.name,
+        if (f.nullable) Schema.createUnion(
+          List(Schema.create(Schema.Type.NULL), avroTypeFor(f.dataType, f.name)).asJava)
+        else avroTypeFor(f.dataType, f.name),
+        null,
+        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(name, null, namespace, false, fields.toList.asJava)
+  }
+
+  private def avroTypeFor(dt: DataType, fieldName: String): Schema = dt match {
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case ShortType   => Schema.create(Schema.Type.INT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case ArrayType(elem, containsNull) =>
+      Schema.createArray(
+        if (containsNull) Schema.createUnion(
+          List(Schema.create(Schema.Type.NULL), avroTypeFor(elem, fieldName)).asJava)
+        else avroTypeFor(elem, fieldName))
+    case st: StructType => avroSchemaFor(st, fieldName + "_rec")
+    case other => throw new IllegalArgumentException(
+      s"AvroCodec: unsupported Spark type $other for field $fieldName")
+  }
+
+  /** Row → Avro binary (one record, raw Avro body, no framing). */
+  def encodeRow(row: Row, schema: StructType, avro: Schema): Array[Byte] = {
+    val record = toRecord(row, schema, avro)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](avro).write(record, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** Avro binary → Row (inverse of [[encodeRow]]). */
+  def decodeBytes(bytes: Array[Byte], schema: StructType, avro: Schema): Row = {
+    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+    val record = new GenericDatumReader[GenericRecord](avro).read(null, dec)
+    fromRecord(record, schema)
+  }
+
+  private[sources] def toRecord(row: Row, schema: StructType, avro: Schema): GenericRecord = {
+    val rec = new GenericData.Record(avro)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      rec.put(f.name, if (row.isNullAt(i)) null else toAvroValue(row.get(i), f.dataType))
+    }
+    rec
+  }
+
+  private def toAvroValue(v: Any, dt: DataType): Any = dt match {
+    case TimestampType => v match {
+      case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    case ArrayType(elem, _) =>
+      v.asInstanceOf[scala.collection.Seq[Any]]
+        .map(e => if (e == null) null else toAvroValue(e, elem)).asJava
+    case st: StructType =>
+      toRecord(v.asInstanceOf[Row], st, avroSchemaFor(st))
+    case _ => v
+  }
+
+  private[sources] def fromRecord(rec: GenericRecord, schema: StructType): Row = {
+    val values = schema.fields.map { f =>
+      val v = rec.get(f.name)
+      if (v == null) null else fromAvroValue(v, f.dataType)
+    }
+    Row.fromSeq(values.toIndexedSeq)
+  }
+
+  private def fromAvroValue(v: Any, dt: DataType): Any = dt match {
+    case StringType => v.toString // Avro Utf8 → String
+    case TimestampType =>
+      val micros = v.asInstanceOf[Long]
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+    case BinaryType =>
+      val bb = v.asInstanceOf[ByteBuffer]
+      val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+    case ArrayType(elem, _) =>
+      v.asInstanceOf[java.util.List[Any]].asScala
+        .map(e => if (e == null) null else fromAvroValue(e, elem)).toSeq
+    case st: StructType => fromRecord(v.asInstanceOf[GenericRecord], st)
+    case _ => v
+  }
+
+  // ---- Confluent Schema-Registry wire format ---------------------------
+  // magic byte 0x00 + 4-byte big-endian schema id + Avro body — what the
+  // reference's KafkaAvroSerializer actually puts on the topic.
+
+  val MagicByte: Byte = 0x00
+
+  def frame(body: Array[Byte], schemaId: Int): Array[Byte] =
+    ByteBuffer.allocate(5 + body.length)
+      .put(MagicByte).putInt(schemaId).put(body).array()
+
+  /** → (schemaId, body). Rejects payloads without the magic byte, like
+    * the registry deserializer does.
+    */
+  def unframe(framed: Array[Byte]): (Int, Array[Byte]) = {
+    require(framed.length >= 5 && framed(0) == MagicByte,
+      s"not a Schema-Registry framed payload (len=${framed.length})")
+    val bb = ByteBuffer.wrap(framed)
+    bb.get()
+    val id = bb.getInt
+    val body = new Array[Byte](bb.remaining()); bb.get(body)
+    (id, body)
+  }
+}

@@ -118,8 +118,9 @@ object Streaming {
   def dedupStream(
       df: DataFrame,
       keyCols: Seq[String],
-      lateness: String = "10 minutes"): DataFrame =
-    df.withWatermark("ts", lateness)
+      lateness: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame =
+    df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** S3/A6 streaming TABLE semantics: continuously-updating latest row

@@ -124,6 +124,44 @@ class DedupSpec extends SparkSpec {
     assert(labels.subsetOf(keepSet))
   }
 
+  test("ngramJaccardPairsExact equals brute-force all-pairs jaccard") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),   // high overlap with 1
+      (3L, "a b c x y z"),   // partial overlap
+      (4L, "p q r s t u"))   // disjoint
+      .toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map(1L -> "a b c d e f", 2L -> "a b c d e g",
+      3L -> "a b c x y z", 4L -> "p q r s t u")
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = shingleSet(texts(a)); sb = shingleSet(texts(b))
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.1
+    } yield (a, b, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Dedup.ngramJaccardPairsExact(docs, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
+  test("simhashNearDups hot-bucket cap bounds a degenerate boilerplate corpus") {
+    // 100 identical docs: every band bucket holds all 100 → quadratic
+    // candidates unless the cap prunes them
+    val boiler = (1L to 100L).map(i => (i, "the same boilerplate text repeated"))
+    val df = boiler.toDF("doc_id", "text")
+    assert(Dedup.simhashNearDups(df, maxBucket = 10).count() == 0)
+    // default cap (256) still admits the fixture-scale case
+    assert(Dedup.simhashNearDups(df).count() == 100L * 99 / 2)
+    // normal near-dups are still found when an unrelated bucket is hot
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val mixed = (Seq((1000L, base), (1001L, base)) ++ boiler).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(mixed, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1000L, 1001L)))
+  }
+
   test("dedup families are deterministic across repartitioning") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val h1 = Dedup.simhashes(docs).orderBy("doc_id").collect().toSeq

@@ -57,4 +57,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("embeddingNearDups hot-bucket cap bounds a degenerate vector cluster") {
+    val rnd = new java.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    // 60 copies of one vector: every SRP table hashes them into one
+    // bucket → quadratic candidates unless the cap prunes
+    val clones = (0L to 59L).map(i => (i, base.clone()))
+    val capped = Similarity.embeddingNearDups(
+      clones.toDF("vec_id", "embedding"), threshold = 0.95, maxBucket = 10)
+    assert(capped.count() == 0)
+    // a normal planted pair survives alongside the hot cluster
+    val pairBase = vec()
+    val mixed = (clones ++ Seq(
+      (100L, pairBase), (101L, pairBase.map(x => x + 0.01f))))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(mixed, threshold = 0.95, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((100L, 101L)))
+  }
 }

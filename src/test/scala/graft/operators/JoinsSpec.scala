@@ -82,6 +82,21 @@ class JoinsSpec extends SparkSpec {
       (1L, null), (2L, "v10"), (3L, "v10"), (4L, "v20"), (5L, null)))
   }
 
+  test("asOfJoin: NULL payload in the matching right row stays NULL (no mixed rows)") {
+    // right t=5 has v1="a5", t=10 has v1=NULL: a left row at t=20 matches
+    // t=10, so v1 must be NULL — per-column filling would leak "a5" in
+    val left = Seq((1L, 1L, 20L)).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 5L, Option("a5"), Option("y5")),
+      (1L, 10L, Option.empty[String], Option("x10")))
+      .toDF("rk", "rt", "v1", "v2")
+    val out = Joins.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("v1", "v2"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("v1") == null, "v1 must come from the t=10 row")
+    assert(out(0).getAs[String]("v2") == "x10")
+  }
+
   test("coerceKey normalizes string/int key wrinkle before join") {
     val facts = Seq(("1", 10.0), ("2", 20.0)).toDF("user_id", "v")
     val dim = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")

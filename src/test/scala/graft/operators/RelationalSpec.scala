@@ -33,6 +33,25 @@ class RelationalSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("cdcUnwrapJson decodes the serialized Debezium envelope from the wire") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-02 03:04:05")
+    val df = Seq(
+      (1L, Option("alice"), Option(ts)),
+      (2L, Option("bob"), Option(ts)),
+      (3L, Option.empty[String], Option.empty[java.sql.Timestamp])) // nulls survive decode
+      .toDF("id", "name", "seen")
+    val wire = Relational.toCdcJson(df,
+      when($"id" === 2L, lit("d")).otherwise(lit("c")), lit(1234567890L))
+    assert(wire.columns.toSeq == Seq("value")) // one JSON string per record
+    val afterSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true)))
+    val out = Relational.cdcUnwrapJson(wire, afterSchema)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // delete dropped
+    assert(out(0).getString(1) == "alice" && out(0).getTimestamp(2) == ts)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
   test("indicator is 1 iff value matches") {
     val df = Seq("click", "view").toDF("e")
       .select(Relational.indicator($"e", "click").as("i"))

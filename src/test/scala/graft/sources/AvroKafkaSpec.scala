@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** S1/S8 — the Avro value codec and Kafka wiring, broker-free: schema
+  * conversion, binary roundtrip, Schema-Registry framing, and the
+  * DataFrame-level encode→decode identity on real fixture rows.
+  */
+class AvroKafkaSpec extends SparkSpec {
+
+  private val eventsLike = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("user_id", LongType, nullable = true),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)))
+
+  test("S8: StructType → Avro schema (nullable = union with null)") {
+    val avro = AvroCodec.avroSchemaFor(eventsLike, "Event")
+    assert(avro.getName == "Event")
+    assert(avro.getFields.size() == 6)
+    val ts = avro.getField("ts").schema()
+    assert(ts.isUnion && ts.getTypes.size() == 2)
+    assert(ts.getTypes.get(0).getType == org.apache.avro.Schema.Type.NULL)
+    assert(ts.getTypes.get(1).getLogicalType.getName == "timestamp-micros")
+    val id = avro.getField("event_id").schema()
+    assert(!id.isUnion && id.getType == org.apache.avro.Schema.Type.LONG)
+  }
+
+  test("S8: row ↔ Avro binary roundtrip incl. null and timestamp micros") {
+    val avro = AvroCodec.avroSchemaFor(eventsLike, "Event")
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-05-04T03:02:01.123456Z"))
+    val row = Row(7L, ts, 42L, "click", 1.5, null)
+    val back = AvroCodec.decodeBytes(
+      AvroCodec.encodeRow(row, eventsLike, avro), eventsLike, avro)
+    assert(back == row)
+  }
+
+  test("S8: Schema-Registry wire framing roundtrips and rejects junk") {
+    val body = Array[Byte](1, 2, 3, 4)
+    val framed = AvroCodec.frame(body, schemaId = 123)
+    assert(framed(0) == 0x00 && framed.length == 9)
+    val (id, back) = AvroCodec.unframe(framed)
+    assert(id == 123 && back.toSeq == body.toSeq)
+    intercept[IllegalArgumentException] {
+      AvroCodec.unframe(Array[Byte](9, 9, 9, 9, 9, 9))
+    }
+  }
+
+  test("S1: toAvro → fromAvro is the identity on fixture events") {
+    val events = Tables.events(spark, sf0001).limit(50)
+    val wire = KafkaIO.toAvro(events, keyCol = "user_id", schemaId = 5)
+    assert(wire.schema.map(_.name) == Seq("key", "value")) // Kafka sink shape
+    val decoded = KafkaIO.fromAvro(wire,
+      StructType(events.schema.fields.map(_.copy(nullable = true))))
+    val a = events.orderBy("event_id").collect().toSeq
+    val b = decoded.orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("S1: reader/writer construction carries the production options") {
+    // the connector jar is absent in this environment (documented hard
+    // dependency) — construction must succeed; load() is what needs the jar
+    val r = KafkaIO.reader(spark, "broker:9092", "events")
+    assert(r != null)
+    // writer needs a streaming frame: the built-in rate source stands in
+    // for the transformed stream, shaped to the kafka sink contract
+    val streamed = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .select(
+        col("value").cast("string").cast("binary").as("key"),
+        col("value").cast("string").cast("binary").as("value"))
+    val w = KafkaIO.writer(streamed, "broker:9092", "events_out", "/tmp/ck")
+    assert(w != null)
+  }
+}

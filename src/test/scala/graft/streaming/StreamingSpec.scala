@@ -30,6 +30,18 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("c_name").isNull).count() == 0)
   }
 
+  test("scored flagship: streaming incremental execution ≡ batch entry") {
+    // both sides train their own registry copy, but training is fully
+    // seeded → identical models → identical predicted labels
+    val batch = graft.SparkEntry.entry(spark).collect().toSet
+    val streamed = graft.SparkEntry.queries("q_stream_flagship")(spark, sf0001)
+      .collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+    // the README.md:56-70 statement's output shape: in-stream predictions
+    assert(streamed.head.schema.fieldNames.contains("predicted_label"))
+  }
+
   test("latestByKeyStream upserts to the newest row per key (TABLE semantics)") {
     val input = MemoryStream[(String, String, Long)](spark)
     val df = input.toDF().toDF("id", "v", "ts")
