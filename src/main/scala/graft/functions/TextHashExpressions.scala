@@ -1,13 +1,111 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared primitive-loop kernels for the hash-sketch expressions: ONE
+  * implementation serves both the interpreted `nullSafeEval` path and the
+  * generated code (which calls these via the object's static forwarders),
+  * so the two paths cannot drift.
+  *
+  * Hashing uses Spark's own XXH64 (the engine behind `xxhash64(...)`),
+  * seed 42, so values are stable across JVMs and partitionings.
+  */
+object TextHashKernels {
+
+  private val Seed = 42L
+
+  /** Hash a UTF8String with Spark's xxhash64. */
+  private def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** sig[i] = min over w-shingles of xxhash64(shingleHash, seed=i).
+    * Duplicate shingles cannot affect a min, so no distinct pass needed.
+    */
+  def minhashSig(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val toks = text.toString.split(' ')
+    val n = math.max(0, toks.length - w + 1)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      val h0 = hashUtf8(UTF8String.fromString(sb.toString), Seed)
+      var p = 0
+      while (p < k) {
+        val h = XXH64.hashLong(h0, p)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Bit b of the result = sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1). */
+  def simhash64(text: UTF8String): Long = {
+    val counters = new Array[Int](64)
+    var start = 0
+    val s = text.toString
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) {
+          val h = hashUtf8(UTF8String.fromString(s.substring(start, i)), Seed)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 63
+    while (b >= 0) {
+      out = (out << 1) | (if (counters(b) > 0) 1L else 0L)
+      b -= 1
+    }
+    out
+  }
+
+  /** Distinct w-shingle hashes, sorted ascending (the Jaccard item set;
+    * sorted so a prefix slice IS the min-wise sample).
+    */
+  def shingleHashes(text: UTF8String, w: Int): GenericArrayData = {
+    val toks = text.toString.split(' ')
+    val n = math.max(0, toks.length - w + 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      set.add(hashUtf8(UTF8String.fromString(sb.toString), Seed))
+      i += 1
+    }
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    new GenericArrayData(arr)
+  }
+}
 
 /** Native Catalyst expressions for the hash-sketch hot paths.
   *
@@ -16,124 +114,47 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted, per element, with boxed longs and a GenericArrayData
   * allocation per lambda application — measured ~5µs per hash on the
   * minhash path (46 s for 5 000 docs × 32 perms × ~50 shingles). The
-  * primitive-loop versions below do the same work in tight JIT-compiled
-  * loops (~10 ns/hash). CodegenFallback costs one virtual call per ROW,
-  * which is noise; the inner loops are where the time goes.
+  * primitive-loop kernels do the same work in tight JIT-compiled loops
+  * (~10 ns/hash).
   *
-  * Hashing uses Spark's own XXH64 (the engine behind `xxhash64(...)`),
-  * seed 42, so values are stable across JVMs and partitionings.
+  * Each expression implements `doGenCode` as a direct static call into
+  * [[TextHashKernels]], so the expression participates in whole-stage
+  * codegen (no per-row virtual eval() dispatch, no boxed argument) —
+  * the generated projection stays one fused loop.
   */
 object TextHashExpressions {
 
-  private val Seed = 42L
-
-  /** Hash a UTF8String with Spark's xxhash64. */
-  private def hashUtf8(s: UTF8String, seed: Long): Long =
-    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
-
-  /** MinHash signature over w-word shingles of a whitespace-tokenized
-    * text: sig[i] = min over shingles of xxhash64(shingleHash, seed=i).
-    * Duplicate shingles cannot affect a min, so no distinct pass needed.
-    */
   case class MinHashSig(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[UTF8String]
-      val toks = text.toString.split(' ')
-      val n = math.max(0, toks.length - w + 1)
-      val sig = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
-        val sb = new java.lang.StringBuilder(64)
-        var j = 0
-        while (j < w) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j)); j += 1
-        }
-        val h0 = hashUtf8(UTF8String.fromString(sb.toString), Seed)
-        var p = 0
-        while (p < k) {
-          val h = XXH64.hashLong(h0, p)
-          if (h < sig(p)) sig(p) = h
-          p += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(sig)
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextHashKernels.minhashSig(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextHashKernels.minhashSig($c, $k, $w)")
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
     override def prettyName: String = "minhash_sig"
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit b of the result is the
-    * sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1).
-    */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[UTF8String]
-      val counters = new Array[Int](64)
-      var start = 0
-      val s = text.toString
-      val len = s.length
-      var i = 0
-      while (i <= len) {
-        if (i == len || s.charAt(i) == ' ') {
-          if (i > start) {
-            val h = hashUtf8(UTF8String.fromString(s.substring(start, i)), Seed)
-            var b = 0
-            while (b < 64) {
-              if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-              b += 1
-            }
-          } else if (i == len && start == len && len == 0) {
-            // empty text → all-zero counters → sign bits 0
-          }
-          start = i + 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 63
-      while (b >= 0) {
-        out = (out << 1) | (if (counters(b) > 0) 1L else 0L)
-        b -= 1
-      }
-      java.lang.Long.valueOf(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextHashKernels.simhash64(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash64($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
     override def prettyName: String = "simhash64"
   }
 
-  /** Distinct w-shingle hashes, sorted ascending (the Jaccard item set;
-    * sorted so a prefix slice IS the min-wise sample).
-    */
   case class ShingleHashes(child: Expression, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[UTF8String].toString.split(' ')
-      val n = math.max(0, toks.length - w + 1)
-      val set = new java.util.TreeSet[java.lang.Long]()
-      var i = 0
-      while (i < n) {
-        val sb = new java.lang.StringBuilder(64)
-        var j = 0
-        while (j < w) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j)); j += 1
-        }
-        set.add(hashUtf8(UTF8String.fromString(sb.toString), Seed))
-        i += 1
-      }
-      val arr = new Array[Long](set.size)
-      val it = set.iterator()
-      var p = 0
-      while (it.hasNext) { arr(p) = it.next(); p += 1 }
-      new GenericArrayData(arr)
-    }
+    override def nullSafeEval(input: Any): Any =
+      TextHashKernels.shingleHashes(input.asInstanceOf[UTF8String], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextHashKernels.shingleHashes($c, $w)")
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
     override def prettyName: String = "shingle_hashes"
   }

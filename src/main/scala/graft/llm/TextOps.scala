@@ -96,7 +96,10 @@ object TextOps {
       docs: DataFrame,
       textCol: String = "text",
       k: Int = 3): DataFrame = {
-    val n = docs.count()
+    // N (corpus size, incl. zero-token docs) folded into the plan as a
+    // broadcast 1-row aggregate instead of a separate blocking
+    // docs.count() job on the driver
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs.select(col("doc_id"),
       explode(tokens(col(textCol))).as("term"))
       .localCheckpoint() // one scan+tokenize for both aggregations below
@@ -105,8 +108,9 @@ object TextOps {
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))

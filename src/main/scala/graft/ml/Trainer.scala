@@ -129,6 +129,11 @@ object Trainer {
     val fitted: PipelineModel =
       if (useCv) {
         val dtc = st(6).asInstanceOf[DecisionTreeClassifier]
+        // maxBins {8,16} vs the reference grid's {2,4} (train.py:330-333):
+        // deliberate — the fixture's 25-country one-hot needs maxBins ≥
+        // the largest categorical cardinality per split or the tree
+        // cannot separate categories; {2,4} underfits here by design of
+        // the reference's tiny demo dims
         val grid = new ParamGridBuilder()
           .addGrid(dtc.maxDepth, Array(2, 3, 4))
           .addGrid(dtc.maxBins, Array(8, 16))

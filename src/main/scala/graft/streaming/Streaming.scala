@@ -4,7 +4,7 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.model.Tables
@@ -109,6 +109,37 @@ object Streaming {
       .start()
     q.awaitTermination()
   }
+
+  /** Update-mode changelog sink with an explicit emission-order column:
+    * each re-emitted aggregate row is appended stamped with its
+    * micro-batch id, so a downstream reader recovers CURRENT state with
+    * latestByKey(key, orderBy=_batch_id) — exactly how the reference's
+    * Mongo sink consumes the stream (document _id upsert,
+    * infra/connect/mongo-sink.json) and how a compacted Kafka topic is
+    * read. [[sinkToParquet]]'s comment documents these semantics; this
+    * sink makes them executable and testable.
+    */
+  def changelogWriter(streamed: DataFrame, path: String): DataStreamWriter[Row] =
+    streamed.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+
+  def sinkChangelog(streamed: DataFrame, path: String): Unit = {
+    val q = changelogWriter(streamed, path).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Recover current state from a [[sinkChangelog]] directory: the upsert
+    * view a document store would hold after consuming the stream.
+    */
+  def readChangelogState(
+      spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame =
+    graft.operators.Relational
+      .latestByKey(spark.read.parquet(path), keyCols, Seq("_batch_id"))
+      .drop("_batch_id")
 
   /** Streaming exact dedup: drop duplicate keys as the stream arrives,
     * with state bounded by the watermark (duplicates arriving within the

@@ -162,6 +162,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1000L, 1001L)))
   }
 
+  test("sketch expressions compile under whole-stage codegen (no silent fallback)") {
+    // with fallback disabled a Janino compile error in our doGenCode
+    // surfaces instead of silently dropping to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
+        .toDF("doc_id", "text")
+      val out = df.select(
+        Dedup.simhash($"text").as("sh"),
+        Dedup.shingleHashes($"text").as("hs"),
+        Dedup.minhashSignature($"text").as("sig")).collect()
+      assert(out.length == 2)
+      assert(out(0).getSeq[Long](2).length == 32)
+      // generated path ≡ interpreted path (same kernels, sanity-check values)
+      val interpreted = df.repartition(1).select(Dedup.simhash($"text")).collect()
+      assert(interpreted.map(_.getLong(0)).toSet == out.map(_.getLong(0)).toSet)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("dedup families are deterministic across repartitioning") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val h1 = Dedup.simhashes(docs).orderBy("doc_id").collect().toSeq

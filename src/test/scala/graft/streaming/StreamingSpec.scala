@@ -93,6 +93,26 @@ class StreamingSpec extends SparkSpec {
     assert(labels.subsetOf(Set("bot", "user")) && labels.nonEmpty)
   }
 
+  test("Update-mode changelog sink: latestByKey over _batch_id recovers upsert state") {
+    val dir = java.nio.file.Files.createTempDirectory("changelog").toString + "/out"
+    val input = MemoryStream[(String, Long)](spark)
+    val counts = input.toDF().toDF("user", "v")
+      .groupBy("user").agg(count(lit(1)).as("n"))
+    val q = Streaming.changelogWriter(counts, dir).start()
+    input.addData(("a", 1L), ("b", 1L))
+    q.processAllAvailable()
+    input.addData(("a", 2L)) // re-emits a with n=2 in a later batch
+    q.processAllAvailable()
+    q.stop()
+    // the raw sink is a CHANGELOG: key a appears once per emission
+    val raw = spark.read.parquet(dir)
+    assert(raw.filter(col("user") === "a").count() == 2)
+    // the upsert view (what the reference's Mongo sink holds) is current state
+    val state = Streaming.readChangelogState(spark, dir, Seq("user"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct events") {
     val input = MemoryStream[(Long, Long, String)](spark)
     val df = input.toDF().toDF("event_id", "epoch", "text")
