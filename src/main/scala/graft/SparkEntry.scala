@@ -450,6 +450,16 @@ object SparkEntry {
   private def qMultimodalPartitioned(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodePartitioned(Multimodal.asMedia(Tables.documents(s, dir)))
 
+  /** Video-modality frame sampling (rows-only: stubbed codec). */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.asMedia(Tables.documents(s, dir)))
+
+  /** Winnowing local fingerprints (rows-only: seeded xxhash64 not
+    * SQL-expressible; the winnowing guarantee is unit-tested).
+    */
+  private def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(Tables.documents(s, dir))
+
   // ---- driver contract maps -------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -490,6 +500,8 @@ object SparkEntry {
     "q_embed_near_dup" -> (qEmbedNearDup _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_partitioned" -> (qMultimodalPartitioned _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_stream_hopping_pivot" -> (qStreamHoppingPivot _),
     "q_stream_flagship" -> (qStreamFlagship _),
     "q_ml_train_score" -> (qMlTrainScore _),

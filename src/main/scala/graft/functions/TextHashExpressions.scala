@@ -81,6 +81,48 @@ object TextHashKernels {
     out
   }
 
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, the MOSS
+    * local fingerprinting scheme): hash every character k-gram, slide a
+    * window of `w` consecutive k-gram hashes, select each window's
+    * minimum (rightmost on ties via the deque's >= eviction), return the
+    * DISTINCT selected hashes sorted ascending. Guarantee: any substring
+    * match of length ≥ w + k - 1 shares at least one fingerprint.
+    * O(n) via a monotonic deque.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val s = text.toString
+    val n = s.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = hashUtf8(UTF8String.fromString(s.substring(i, i + k)), Seed)
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (n <= w) {
+      var m = hashes(0)
+      var j = 1
+      while (j < n) { if (hashes(j) <= m) m = hashes(j); j += 1 }
+      sel.add(m)
+    } else {
+      val dq = new java.util.ArrayDeque[Integer]()
+      i = 0
+      while (i < n) {
+        while (!dq.isEmpty && hashes(dq.peekLast) >= hashes(i)) dq.removeLast()
+        dq.addLast(i)
+        if (dq.peekFirst <= i - w) dq.removeFirst()
+        if (i >= w - 1) sel.add(hashes(dq.peekFirst))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Distinct w-shingle hashes, sorted ascending (the Jaccard item set;
     * sorted so a prefix slice IS the min-wise sample).
     */
@@ -159,6 +201,18 @@ object TextHashExpressions {
     override def prettyName: String = "shingle_hashes"
   }
 
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextHashKernels.winnow(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextHashKernels.winnow($c, $k, $w)")
+    override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
+    override def prettyName: String = "winnow_fingerprint"
+  }
+
   // Column-API wrappers (Spark 4: Column wraps a ColumnNode; the classic
   // bridge lifts a Catalyst Expression)
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
@@ -168,4 +222,6 @@ object TextHashExpressions {
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def shingle_hashes(c: Column, w: Int = 3): Column =
     toCol(ShingleHashes(toExpr(c), w))
+  def winnow_fingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
+    toCol(WinnowFingerprint(toExpr(c), k, w))
 }

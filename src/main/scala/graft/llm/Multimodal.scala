@@ -89,6 +89,32 @@ object Multimodal {
       transform(col("decoded.features"), f => round(f * lit(w.toDouble / 1280), 6))
         .as("features"))
 
+  /** Frame sampling for video-modality payloads: emit one row per
+    * sampled frame (every `everyNth` of `nFrames` total), each with
+    * deterministic pseudo frame features derived from (payload, frame
+    * index) — the STUB stands in for a real container demux + frame
+    * decode, while the Spark-side shape is the real one: a controlled
+    * explode fan-out where output rows ≈ |media| × nFrames/everyNth, the
+    * payload column dropped BEFORE the explode so the wide bytes never
+    * replicate per frame.
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int = 32, everyNth: Int = 8): DataFrame = {
+    require(everyNth > 0 && nFrames > 0, "sampleFrames: positive nFrames/everyNth")
+    media.select(
+      col("media_id"),
+      // hash the payload ONCE; frames derive from (hash, idx) so the
+      // binary column is pruned before the fan-out
+      xxhash64(col("payload")).as("_h"),
+      col("meta.n_bytes").as("n_bytes"))
+      .select(
+        col("media_id"), col("_h"), col("n_bytes"),
+        explode(sequence(lit(0), lit(nFrames - 1), lit(everyNth))).as("frame_idx"))
+      .select(
+        col("media_id"), col("n_bytes"), col("frame_idx"),
+        (pmod(xxhash64(col("_h"), col("frame_idx")), lit(1000L))
+          .cast("double") / lit(1000.0)).as("frame_feature"))
+  }
+
   /** Partition-batched decode via mapPartitions on the raw payload — the
     * seam where a real codec (JNI/FFI, ONNX session, …) would initialize
     * once per partition and stream batches. The fake here mirrors

@@ -61,6 +61,26 @@ object TextOps {
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
 
+  /** Winnowing (rolling-hash) local fingerprints — the MOSS scheme:
+    * k-gram rolling hashes, per-window minima selection (native
+    * expression, O(n) deque). Unlike the whole-document [[fingerprint]],
+    * these catch PARTIAL overlap: any shared substring of length ≥
+    * w + k - 1 chars shares ≥ 1 selected hash, so a plagiarized
+    * paragraph inside an otherwise-new doc still collides. Emitted as
+    * exploded (doc_id, fp) rows — the sketch relation a containment
+    * join runs on (group by fp = candidate generation, same banded-join
+    * shape as the other dedup families).
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      textCol: String = "text",
+      k: Int = 5,
+      w: Int = 4): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(graft.functions.TextHashExpressions
+        .winnow_fingerprint(col(textCol), k, w)).as("fp"))
+
   /** Composite quality score → keep/drop decision (the corpus-filtering
     * step of a training-data pipeline): length band, word-count band,
     * stopword-ratio band combined into [0,1]. All deterministic

@@ -69,6 +69,52 @@ object AvroCodec {
       s"AvroCodec: unsupported Spark type $other for field $fieldName")
   }
 
+  /** Avro record schema → StructType — the registry-style inference
+    * direction: ksql's `CREATE STREAM events WITH (VALUE_FORMAT='AVRO')`
+    * with no column list derives its columns from the Schema-Registry
+    * subject (reference README.md:39); here the caller passes the
+    * registry-served schema (JSON via [[schemaFromJson]]) and gets the
+    * Spark schema, instead of declaring StructTypes by hand.
+    */
+  def structTypeFor(avro: Schema): StructType = {
+    require(avro.getType == Schema.Type.RECORD,
+      s"structTypeFor expects a record schema, got ${avro.getType}")
+    StructType(avro.getFields.asScala.map { f =>
+      val (inner, nullable) = unwrapNullable(f.schema())
+      StructField(f.name, sparkTypeFor(inner), nullable)
+    }.toSeq)
+  }
+
+  /** Parse the JSON text a schema registry serves. */
+  def schemaFromJson(json: String): Schema = new Schema.Parser().parse(json)
+
+  private def unwrapNullable(s: Schema): (Schema, Boolean) =
+    if (s.isUnion) {
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1,
+        s"only union(null, T) nullability is supported, got $s")
+      (nonNull.head, true)
+    } else (s, false)
+
+  private def sparkTypeFor(s: Schema): DataType = s.getType match {
+    case Schema.Type.LONG =>
+      if (s.getLogicalType != null &&
+        s.getLogicalType.getName == "timestamp-micros") TimestampType
+      else LongType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES   => BinaryType
+    case Schema.Type.ARRAY =>
+      val (inner, containsNull) = unwrapNullable(s.getElementType)
+      ArrayType(sparkTypeFor(inner), containsNull)
+    case Schema.Type.RECORD => structTypeFor(s)
+    case other => throw new IllegalArgumentException(
+      s"AvroCodec: unsupported Avro type $other")
+  }
+
   /** Row → Avro binary (one record, raw Avro body, no framing). */
   def encodeRow(row: Row, schema: StructType, avro: Schema): Array[Byte] = {
     val record = toRecord(row, schema, avro)

@@ -77,6 +77,19 @@ object KafkaIO {
       }(enc)
   }
 
+  /** [[fromAvro]] with the schema INFERRED from registry-served Avro
+    * schema JSON instead of a hand-declared StructType — the
+    * `CREATE STREAM … VALUE_FORMAT='AVRO'` no-column-list path.
+    */
+  def fromAvroInferred(
+      df: DataFrame,
+      avroSchemaJson: String,
+      valueCol: String = "value",
+      framed: Boolean = true): DataFrame =
+    fromAvro(df,
+      AvroCodec.structTypeFor(AvroCodec.schemaFromJson(avroSchemaJson)),
+      valueCol, framed)
+
   /** Encode typed columns into a binary Avro `value` column (plus a
     * binary key from `keyCol`), producing the wire frame [[writer]]
     * expects. Inverse of [[fromAvro]].
@@ -86,7 +99,11 @@ object KafkaIO {
       keyCol: String,
       schemaId: Int = 1,
       framed: Boolean = true): DataFrame = {
-    val schema = df.schema
+    // normalize to all-nullable (Connect "optional" fields): Avro binary
+    // carries no field tags, so the DECODER must use the exact writer
+    // schema — fixing the wire schema to the nullable normalization
+    // makes writer and reader agree by construction
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
     val keyIdx = schema.fieldIndex(keyCol)
     val out = StructType(Seq(
       StructField("key", BinaryType, nullable = true),

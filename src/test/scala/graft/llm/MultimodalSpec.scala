@@ -41,4 +41,21 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("o.n_bytes") =!= col("m.meta.n_bytes"))
     assert(joined.count() == 0)
   }
+
+  test("frame sampling fans out per sampled frame with payload pruned pre-explode") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf0001))
+    val frames = Multimodal.sampleFrames(media, nFrames = 32, everyNth = 8)
+    import org.apache.spark.sql.functions._
+    // 4 sampled frames per media row (0, 8, 16, 24)
+    val perDoc = frames.groupBy("media_id").count()
+      .filter(col("count") =!= 4).count()
+    assert(perDoc == 0)
+    assert(frames.count() == media.count() * 4)
+    // features are deterministic and in [0, 1)
+    assert(frames.filter(col("frame_feature") < 0 || col("frame_feature") >= 1).count() == 0)
+    // the payload column is hashed then dropped BEFORE the explode
+    val plan = frames.queryExecution.optimizedPlan.toString
+    assert(!plan.split("Generate")(1).contains("payload"),
+      s"payload must not survive past the explode:\n$plan")
+  }
 }

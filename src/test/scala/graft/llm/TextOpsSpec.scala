@@ -37,4 +37,25 @@ class TextOpsSpec extends SparkSpec {
     val out = TextOps.langId(df).orderBy("doc_id").collect()
     assert(out.map(_.getAs[String]("lang_pred")).toSeq == Seq("en", "de", "fr"))
   }
+
+  test("winnowing: partial overlap shares fingerprints, disjoint text shares none") {
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, shared),
+      (2L, "completely different opening words here. " + shared), // contains doc 1
+      (3L, "zzz qqq vvv kkk www uuu mmm nnn ooo ppp")) // disjoint
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    // winnowing guarantee: the long shared substring must collide
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    // sketch is a compression, not the full k-gram set
+    assert(fps(1L).size < shared.length)
+    // deterministic across partitionings
+    val again = TextOps.winnowFingerprints(docs.repartition(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == fps.toSeq.flatMap { case (id, s2) => s2.map(id -> _) }.toSet)
+  }
 }

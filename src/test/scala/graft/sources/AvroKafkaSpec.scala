@@ -65,6 +65,23 @@ class AvroKafkaSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("schema inference: StructType → Avro JSON → StructType roundtrips") {
+    val avro = AvroCodec.avroSchemaFor(eventsLike, "Event")
+    val inferred = AvroCodec.structTypeFor(
+      AvroCodec.schemaFromJson(avro.toString)) // what a registry serves
+    assert(inferred == eventsLike)
+  }
+
+  test("S1: fromAvroInferred decodes with no hand-declared schema (CREATE STREAM path)") {
+    val events = Tables.events(spark, sf0001).limit(20)
+    val nullable = StructType(events.schema.fields.map(_.copy(nullable = true)))
+    val registryJson = AvroCodec.avroSchemaFor(nullable, "Event").toString
+    val decoded = KafkaIO.fromAvroInferred(
+      KafkaIO.toAvro(events, "user_id"), registryJson)
+    assert(decoded.orderBy("event_id").collect().toSeq ==
+      events.orderBy("event_id").collect().toSeq)
+  }
+
   test("S1: reader/writer construction carries the production options") {
     // the connector jar is absent in this environment (documented hard
     // dependency) — construction must succeed; load() is what needs the jar

@@ -93,6 +93,29 @@ class StreamingSpec extends SparkSpec {
     assert(labels.subsetOf(Set("bot", "user")) && labels.nonEmpty)
   }
 
+  test("ST7: restart against the same checkpoint replays nothing (exactly-once offsets)") {
+    val ck = java.nio.file.Files.createTempDirectory("st7_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("st7_out").toString + "/data"
+    def runOnce(): Unit = {
+      val q = Streaming.eventsStream(spark, sf0001)
+        .select("event_id", "user_id")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == 1000) // full fixture replayed once (earliest offsets, ST4)
+    runOnce() // restart: committed offsets say everything is consumed
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
   test("Update-mode changelog sink: latestByKey over _batch_id recovers upsert state") {
     val dir = java.nio.file.Files.createTempDirectory("changelog").toString + "/out"
     val input = MemoryStream[(String, Long)](spark)
