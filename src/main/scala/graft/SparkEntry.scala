@@ -228,6 +228,20 @@ object SparkEntry {
   private def qQualityFilter(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityFilter(Tables.documents(s, dir))
 
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    TextOps.piiScrub(Tables.documents(s, dir))
+
+  private def qRepetitionStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables.documents(s, dir))
+
+  /** Eval-set leakage check: every 10th doc plays the benchmark set. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.contamination(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+  }
+
   /** normalize() keeps its array-valued API; the comparison view explodes
     * to (vec_id, dim, val) scalar rows because the driver's pandas compare
     * cannot sort raw array columns (round-1 ERRORED row).
@@ -486,6 +500,9 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_quality_filter" -> (qQualityFilter _),
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_repetition_stats" -> (qRepetitionStats _),
+    "q_contamination" -> (qContamination _),
     "q_embed_normalize" -> (qEmbedNormalize _),
     "q_embed_dim_stats" -> (qEmbedDimStats _),
     "q_sim_topk" -> (qSimTopk _),
@@ -870,6 +887,36 @@ object SparkEntry {
         |    4) AS quality_score
         |  FROM documents)
         |SELECT doc_id, quality_score, quality_score >= 0.5 AS keep FROM s""").stripMargin,
+    "q_pii_scrub" ->
+      (s"""SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '${graft.llm.TextOps.EmailRe}')) AS INTEGER) AS n_emails,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '${graft.llm.TextOps.Ipv4Re}')) AS INTEGER) AS n_ips,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(text, '${graft.llm.TextOps.EmailRe}', '<EMAIL>', 'g'),
+        |                 '${graft.llm.TextOps.Ipv4Re}', '<IP>', 'g') AS scrubbed
+        |FROM documents""").stripMargin,
+    "q_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY doc_id, tok),
+        |a AS (SELECT doc_id, MAX(n) AS mx, SUM(n) AS tot, COUNT(*) AS dist
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        |  ROUND(dist * 1.0 / tot, 6) AS type_token_ratio,
+        |  ROUND(mx * 1.0 / tot, 6) AS top_token_ratio
+        |FROM a""".stripMargin,
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(tk) - 2),
+        |    i -> ARRAY_TO_STRING(tk[i+1:i+3], ' ')))) AS s
+        |  FROM toks WHERE LEN(tk) >= 3),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id,
+        |  COUNT(*) AS n_shingles,
+        |  COUNT(b.s) AS n_contaminated,
+        |  ROUND(COUNT(b.s) * 1.0 / COUNT(*), 6) AS contamination_ratio
+        |FROM corp c LEFT JOIN bench b ON c.s = b.s
+        |GROUP BY c.doc_id""".stripMargin,
     "q_tfidf_keywords" ->
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),

@@ -138,6 +138,78 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** PII scrubbing (training-data hygiene): redact emails and IPv4
+    * addresses with placeholder tokens and report per-doc match counts.
+    * Pure regexp projection — scan-speed; patterns chosen to parse
+    * identically under Java regex (Spark) and RE2-ish DuckDB regex so
+    * the op is oracle-checkable.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+        .as("scrubbed"))
+  }
+
+  /** Repetition / diversity stats (Gopher-style quality signals):
+    * type-token ratio (distinct/total tokens) and top-token ratio (most
+    * frequent token's share). Exploded token relation with partial
+    * aggregation — shuffle rows are (doc_id, token) pairs, combined
+    * map-side, so at 100 TB this is one well-shaped aggregation, not a
+    * per-doc driver loop.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"),
+        count(lit(1)).as("dist"))
+      .select(
+        col("doc_id"),
+        round(col("dist").cast("double") / col("tot"), 6).as("type_token_ratio"),
+        round(col("mx").cast("double") / col("tot"), 6).as("top_token_ratio"))
+
+  /** Benchmark-contamination check: for every corpus doc, the fraction
+    * of its distinct w-shingles that also appear in a benchmark corpus
+    * (eval-set leakage detection before training).
+    *
+    * Scale shape: both sides reduce to 8-byte shingle hashes (native
+    * expression); the benchmark's distinct-hash relation is orders of
+    * magnitude smaller than the corpus and joins as a build side
+    * (broadcast when it fits, shuffle-hash otherwise — declared
+    * logically, AQE decides). A left join + conditional count gives
+    * hits without dropping clean docs.
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      w: Int = 3): DataFrame = {
+    val corpusSh = corpus
+      .select(col("doc_id"),
+        explode(graft.functions.TextHashExpressions
+          .shingle_hashes(col(textCol), w)).as("sh"))
+    val benchSh = benchmark
+      .select(explode(graft.functions.TextHashExpressions
+        .shingle_hashes(col(textCol), w)).as("b_sh"))
+      .distinct()
+    corpusSh
+      .join(benchSh, col("sh") === col("b_sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("b_sh")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contamination_ratio"))
+  }
+
   /** Language identification via stopword-hit scoring: count hits against
     * per-language function-word lists, argmax with deterministic
     * preference order on ties. N-gram-free heuristic that stays a pure

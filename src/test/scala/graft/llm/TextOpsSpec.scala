@@ -58,4 +58,40 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == fps.toSeq.flatMap { case (id, s2) => s2.map(id -> _) }.toSet)
   }
+
+  test("piiScrub redacts emails and IPv4s and counts them") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.255.3 now"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiScrub(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_emails") == 1 && out(0).getAs[Int]("n_ips") == 1)
+    assert(out(0).getAs[String]("scrubbed") == "contact <EMAIL> or <IP> now")
+    assert(out(1).getAs[Int]("n_emails") == 0 && out(1).getAs[String]("scrubbed") == "no pii here at all")
+  }
+
+  test("repetitionStats: type-token and top-token ratios") {
+    val df = Seq(
+      (1L, "a a a a b"),      // 2 distinct / 5 total; 'a' 4/5
+      (2L, "w x y z"))        // all distinct
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df).orderBy("doc_id").collect()
+    assert(out(0).getDouble(1) == 0.4 && out(0).getDouble(2) == 0.8)
+    assert(out(1).getDouble(1) == 1.0 && out(1).getDouble(2) == 0.25)
+  }
+
+  test("contamination: planted benchmark overlap detected, clean docs score 0") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),       // fully contained
+      (2L, "alpha beta gamma unrelated tail here"), // partial overlap
+      (3L, "totally different clean document text")) // clean
+      .toDF("doc_id", "text")
+    val out = TextOps.contamination(corpus, bench)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 3L, 3L, 1.0)))
+    assert(out(1)._3 == 1L) // only "alpha beta gamma" shared
+    assert(out(2) == ((3L, 3L, 0L, 0.0)))
+  }
 }
