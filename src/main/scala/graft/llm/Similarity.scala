@@ -196,6 +196,81 @@ object Similarity {
       k)
   }
 
+  /** Materialized IVF index: fit the coarse quantizer, write the corpus
+    * PARTITIONED BY cell id, persist the centroids alongside. This is
+    * the 100 TB layout [[ivfTopK]]'s plan implies: at query time only
+    * the probed cells' files are read (parquet partition pruning), so a
+    * query touches ~nprobe/nlist of the data instead of scanning the
+    * corpus.
+    */
+  def ivfWriteIndex(
+      corpus: DataFrame,
+      path: String,
+      nlist: Int = 16,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = corpus.select(
+      col(idCol), asDouble(col(vecCol)).as("cv"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").fit(corpusVec)
+    model.transform(corpusVec)
+      .select(col(idCol), col("cv"), col("prediction").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a written IVF index: rank the (tiny) centroid relation on the
+    * driver side of the plan, push the probed cell ids into the
+    * partition-pruned scan (`cell IN (...)` hits parquet partition
+    * filters — non-probed directories are never opened), exact-rerank
+    * within the probed cells. The scan-side win is the entire point of
+    * the IVF layout.
+    */
+  def ivfQueryIndex(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int = 5,
+      nprobe: Int = 4,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // probed cell ids, collected once (queries × nprobe values — tiny by
+    // construction), become a literal IN-list the scan can prune on;
+    // keeping them in a join would defeat partition pruning
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val data = spark.read.parquet(s"$indexPath/data")
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol).as("neighbor_id"), col("cv"), col("cell"))
+    rankTopK(
+      data.join(broadcast(probed),
+          data("cell") === probed("cell") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos_sim")),
+      k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
     * cosine ≥ threshold, candidates from SRP buckets (same machinery as
     * lshTopK but corpus-vs-corpus).

@@ -58,6 +58,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("IVF materialized index: partition-pruned query matches in-memory IVF") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.ivfWriteIndex(emb, path)
+    val queries = emb.filter(col("vec_id") < 10)
+    val viaIndex = Similarity.ivfQueryIndex(queries, path)
+    val inMemory = Similarity.ivfTopK(queries, emb)
+    assert(viaIndex.collect().toSet == inMemory.collect().toSet)
+    // the scan must read ONLY the probed cell partitions
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN[^\\]]*\\].*"),
+      s"expected cell IN (...) partition pruning in:\n${plan.take(3000)}")
+  }
+
   test("embeddingNearDups hot-bucket cap bounds a degenerate vector cluster") {
     val rnd = new java.util.Random(11)
     def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)

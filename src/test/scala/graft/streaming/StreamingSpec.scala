@@ -93,6 +93,23 @@ class StreamingSpec extends SparkSpec {
     assert(labels.subsetOf(Set("bot", "user")) && labels.nonEmpty)
   }
 
+  test("llm text ops run unchanged over a stream (shared-expression principle)") {
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val docsStream = spark.readStream.schema(docsSchema)
+      .parquet(s"$sf0001/documents*.parquet")
+    val streamed = Streaming.runToMemory(
+      spark, graft.llm.TextOps.piiScrub(docsStream), OutputMode.Append())
+      .collect().toSet
+    val batch = graft.llm.TextOps.piiScrub(Tables.documents(spark, sf0001))
+      .collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("ST7: restart against the same checkpoint replays nothing (exactly-once offsets)") {
     val ck = java.nio.file.Files.createTempDirectory("st7_ck").toString
     val out = java.nio.file.Files.createTempDirectory("st7_out").toString + "/data"
