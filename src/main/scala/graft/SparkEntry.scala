@@ -857,16 +857,22 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_views,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_views
         |FROM h GROUP BY user_id, w_start""".stripMargin),
+    // per-row RANGE(LEN(v)) + NOT NULL guard mirror Spark's posexplode
+    // exactly (posexplode emits len(vec) rows and drops NULL arrays) —
+    // a hardcoded RANGE(64) would desync on NULL or non-64-dim vectors
     "q_embed_normalize" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |         SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
         |                               CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings)
-        |SELECT vec_id, CAST(i.i AS INTEGER) AS dim,
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |x AS (
+        |  SELECT vec_id, v, nrm, UNNEST(RANGE(LEN(v))) AS i FROM n)
+        |SELECT vec_id, CAST(i AS INTEGER) AS dim,
         |  ROUND(CASE WHEN nrm = 0 THEN 0.0
-        |             ELSE v[CAST(i.i AS INTEGER) + 1] / nrm END, 6) AS val
-        |FROM n, (SELECT UNNEST(RANGE(64)) AS i) i""".stripMargin,
+        |             ELSE v[CAST(i AS INTEGER) + 1] / nrm END, 6) AS val
+        |FROM x""".stripMargin,
     "q_embed_dim_stats" ->
       """SELECT i.i AS dim,
         |  ROUND(AVG(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE)), 4) AS mean,

@@ -101,10 +101,15 @@ object Dedup {
       ).as("bk"))
     // hot-bucket cap: a degenerate band value (empty/boilerplate docs all
     // sharing one simhash chunk) would explode quadratically — cap bucket
-    // membership like ngramJaccardPairs does. Dropped buckets only lose
-    // pairs whose EVERY colliding band is hot; near-dup pairs still meet
-    // on their other bands. No broadcast hint: bucket count is data-sized,
-    // AQE broadcasts when small.
+    // membership like ngramJaccardPairs does. Recall trade-off, stated
+    // precisely: pigeonhole guarantees bands−maxHamming colliding bands
+    // per true pair, so a pair is lost only when ALL of those are hot.
+    // With the defaults (bands−maxHamming = 1) a radius-3 pair whose one
+    // guaranteed collision lands in a hot bucket IS dropped — choose
+    // bands ≥ maxHamming+2 for cap-resilient recall, or
+    // maxBucket=Int.MaxValue to restore exact banding recall. No
+    // broadcast hint: bucket count is data-sized, AQE broadcasts when
+    // small.
     val useful = banded.groupBy(col("bk")).count()
       .filter(col("count") >= 2 && col("count") <= maxBucket)
       .select("bk")
@@ -210,12 +215,15 @@ object Dedup {
     *
     * Implemented as iterative min-label propagation over DataFrames
     * (each iteration: label := min(own, neighbors' labels); converges in
-    * ≤ diameter iterations, capped). At 100 TB the pair graph is tiny
-    * relative to the corpus (only near-dups appear), every iteration is
-    * one shuffle on doc_id, and `maxIter` bounds the cost; real corpora
-    * have small-diameter dup clusters (usually ≤ 3 hops).
+    * ≤ diameter iterations). At 100 TB the pair graph is tiny relative
+    * to the corpus (only near-dups appear), every iteration is one
+    * shuffle on doc_id; real corpora have small-diameter dup clusters
+    * (usually ≤ 3 hops). `maxIter` is a runaway bound, not a silent
+    * truncation: hitting it without convergence THROWS, because
+    * unconverged labels would silently keep/drop the wrong docs (and
+    * diverge from the exact recursive-CTE oracle).
     */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -243,6 +251,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters: min-label propagation did not converge in $maxIter " +
+        "iterations (pair-graph diameter exceeds the bound) — raise maxIter")
     labels.select(col("doc_id"), col("label").as("survivor"),
       (col("doc_id") === col("label")).as("keep"))
   }

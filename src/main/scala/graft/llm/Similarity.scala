@@ -150,6 +150,58 @@ object Similarity {
     * is written partitioned by cell id, so a query reads nprobe/nlist of
     * the data — the standard inverted-file trade (recall vs cells probed).
     */
+  /** Fit the KMeans coarse quantizer once: returns the cell-assigned
+    * corpus (neighbor_id, cv, cell) and the tiny centroid relation
+    * (cell, centroid). Shared by the in-memory and materialized IVF
+    * paths so quantizer construction cannot drift between them.
+    */
+  private[llm] def fitQuantizer(
+      corpus: DataFrame,
+      nlist: Int,
+      seed: Long,
+      vecCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = corpus.select(
+      col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    (assigned, centroids)
+  }
+
+  /** Rank each query's nprobe nearest cells: (query_id, qv, cell).
+    * Deterministic tie-break on (dist, cell). Shared by both IVF paths.
+    */
+  private[llm] def probeCells(
+      queries: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int,
+      vecCol: String,
+      idCol: String): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell"))
+    q.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -159,35 +211,8 @@ object Similarity {
       seed: Long = 42L,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val corpusVec = corpus.select(
-      col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"),
-      array_to_vector(col(vecCol)).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-    val model = km.fit(corpusVec)
-    val assigned = model.transform(corpusVec)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
-
-    // centroid relation (tiny): query × centroid distances → nprobe cells
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("cell"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        aggregate(zip_with(col("qv"), col("centroid"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
-
+    val (assigned, centroids) = fitQuantizer(corpus, nlist, seed, vecCol, idCol)
+    val probed = probeCells(queries, centroids, nprobe, vecCol, idCol)
     rankTopK(
       assigned.join(broadcast(probed),
           assigned("cell") === probed("cell") && col("query_id") =!= col("neighbor_id"))
@@ -210,23 +235,9 @@ object Similarity {
       seed: Long = 42L,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val corpusVec = corpus.select(
-      col(idCol), asDouble(col(vecCol)).as("cv"),
-      array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").fit(corpusVec)
-    model.transform(corpusVec)
-      .select(col(idCol), col("cv"), col("prediction").as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val (assigned, centroids) = fitQuantizer(corpus, nlist, seed, vecCol, idCol)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Query a written IVF index: rank the (tiny) centroid relation on the
@@ -245,24 +256,18 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"$indexPath/centroids")
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("cell"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        aggregate(zip_with(col("qv"), col("centroid"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
-    // probed cell ids, collected once (queries × nprobe values — tiny by
-    // construction), become a literal IN-list the scan can prune on;
+    // materialize the (tiny: queries × nprobe) probe relation ONCE — it
+    // feeds both the IN-list collect and the final join, and without the
+    // checkpoint the crossJoin+window plan would execute twice
+    val probed = probeCells(queries, centroids, nprobe, vecCol, idCol)
+      .localCheckpoint()
+    // probed cell ids become a literal IN-list the scan can prune on;
     // keeping them in a join would defeat partition pruning
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val data = spark.read.parquet(s"$indexPath/data")
       .filter(col("cell").isin(cells: _*))
-      .select(col(idCol).as("neighbor_id"), col("cv"), col("cell"))
+      .select(col("neighbor_id"), col("cv"), col("cell"))
     rankTopK(
       data.join(broadcast(probed),
           data("cell") === probed("cell") && col("query_id") =!= col("neighbor_id"))

@@ -115,22 +115,48 @@ object AvroCodec {
       s"AvroCodec: unsupported Avro type $other")
   }
 
-  /** Row → Avro binary (one record, raw Avro body, no framing). */
-  def encodeRow(row: Row, schema: StructType, avro: Schema): Array[Byte] = {
-    val record = toRecord(row, schema, avro)
-    val out = new ByteArrayOutputStream()
-    val enc = EncoderFactory.get().binaryEncoder(out, null)
-    new GenericDatumWriter[GenericRecord](avro).write(record, enc)
-    enc.flush()
-    out.toByteArray
+  /** Reusable per-partition encoder: datum writer, output buffer, and
+    * binary encoder constructed once and reused per record — the hot
+    * produce path allocates nothing but the output copy.
+    */
+  final class RowEncoder(schema: StructType, avro: Schema) {
+    private val writer = new GenericDatumWriter[GenericRecord](avro)
+    private val out = new ByteArrayOutputStream(256)
+    private var enc = EncoderFactory.get().binaryEncoder(out, null)
+    def encode(row: Row): Array[Byte] = {
+      out.reset()
+      enc = EncoderFactory.get().binaryEncoder(out, enc)
+      writer.write(toRecord(row, schema, avro), enc)
+      enc.flush()
+      out.toByteArray
+    }
   }
 
-  /** Avro binary → Row (inverse of [[encodeRow]]). */
-  def decodeBytes(bytes: Array[Byte], schema: StructType, avro: Schema): Row = {
-    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-    val record = new GenericDatumReader[GenericRecord](avro).read(null, dec)
-    fromRecord(record, schema)
+  /** Reusable per-partition decoder (mirror of [[RowEncoder]]): datum
+    * reader, decoder, and record instance reused across records.
+    */
+  final class RowDecoder(schema: StructType, avro: Schema) {
+    private val reader = new GenericDatumReader[GenericRecord](avro)
+    private var dec: org.apache.avro.io.BinaryDecoder = null
+    private var record: GenericRecord = null
+    def decode(bytes: Array[Byte]): Row = {
+      dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+      record = reader.read(record, dec)
+      fromRecord(record, schema)
+    }
   }
+
+  /** Row → Avro binary (one record, raw Avro body, no framing).
+    * One-shot convenience; batch paths use [[RowEncoder]].
+    */
+  def encodeRow(row: Row, schema: StructType, avro: Schema): Array[Byte] =
+    new RowEncoder(schema, avro).encode(row)
+
+  /** Avro binary → Row (inverse of [[encodeRow]]); batch paths use
+    * [[RowDecoder]].
+    */
+  def decodeBytes(bytes: Array[Byte], schema: StructType, avro: Schema): Row =
+    new RowDecoder(schema, avro).decode(bytes)
 
   private[sources] def toRecord(row: Row, schema: StructType, avro: Schema): GenericRecord = {
     val rec = new GenericData.Record(avro)
@@ -141,6 +167,7 @@ object AvroCodec {
   }
 
   private def toAvroValue(v: Any, dt: DataType): Any = dt match {
+    case ShortType => v.asInstanceOf[Short].toInt // Avro INT carries shorts
     case TimestampType => v match {
       case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
       case i: java.time.Instant =>
@@ -165,6 +192,7 @@ object AvroCodec {
 
   private def fromAvroValue(v: Any, dt: DataType): Any = dt match {
     case StringType => v.toString // Avro Utf8 → String
+    case ShortType => v.asInstanceOf[Int].toShort
     case TimestampType =>
       val micros = v.asInstanceOf[Long]
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(

@@ -64,15 +64,25 @@ object KafkaIO {
       schema: StructType,
       valueCol: String = "value",
       framed: Boolean = true): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(schema)
+    // the wire schema is ALWAYS the all-nullable normalization (see
+    // toAvro) — normalizing here too means a caller passing a
+    // non-nullable schema cannot silently misalign the Avro reader with
+    // the writer (binary Avro has no field tags; a union-vs-plain
+    // mismatch shifts every subsequent field)
+    val wireSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(wireSchema)
     df.select(col(valueCol))
+      // null values are topic tombstones (compaction deletes) — there is
+      // nothing to decode; the changelog consumer handles deletion
+      .filter(col(valueCol).isNotNull)
       .mapPartitions { rows =>
-        // per-partition init: schema + reader built once, reused per record
-        val avro = AvroCodec.avroSchemaFor(schema)
+        // per-partition init: schema parse + datum reader + decoder
+        // constructed once, reused for every record
+        val decoder = new AvroCodec.RowDecoder(
+          wireSchema, AvroCodec.avroSchemaFor(wireSchema))
         rows.map { r =>
           val raw = r.getAs[Array[Byte]](0)
-          val body = if (framed) AvroCodec.unframe(raw)._2 else raw
-          AvroCodec.decodeBytes(body, schema, avro)
+          decoder.decode(if (framed) AvroCodec.unframe(raw)._2 else raw)
         }
       }(enc)
   }
@@ -110,9 +120,10 @@ object KafkaIO {
       StructField("value", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(out)
     df.mapPartitions { rows =>
-      val avro = AvroCodec.avroSchemaFor(schema)
+      val encoder = new AvroCodec.RowEncoder(
+        schema, AvroCodec.avroSchemaFor(schema))
       rows.map { r =>
-        val body = AvroCodec.encodeRow(r, schema, avro)
+        val body = encoder.encode(r)
         val value = if (framed) AvroCodec.frame(body, schemaId) else body
         val key =
           if (r.isNullAt(keyIdx)) null

@@ -65,6 +65,43 @@ class AvroKafkaSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("S1: fromAvro drops null-value tombstones instead of crashing") {
+    val events = Tables.events(spark, sf0001).limit(10)
+    val schema = StructType(events.schema.fields.map(_.copy(nullable = true)))
+    val withTombstones = KafkaIO.toAvro(events, "user_id")
+      .union(spark.createDataFrame(
+        java.util.List.of[Row](Row("k".getBytes, null)),
+        StructType(Seq(
+          StructField("key", BinaryType, nullable = true),
+          StructField("value", BinaryType, nullable = true)))))
+    val decoded = KafkaIO.fromAvro(withTombstones, schema)
+    assert(decoded.count() == 10) // tombstone skipped, real rows decoded
+  }
+
+  test("S1: fromAvro normalizes a non-nullable caller schema to the wire schema") {
+    val strict = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false)))
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    // writer normalized to nullable unions; a verbatim strict reader
+    // schema would misalign the union branch indexes — fromAvro must
+    // normalize the same way
+    val back = KafkaIO.fromAvro(KafkaIO.toAvro(df, "id"), strict)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("S8: ShortType roundtrips through the Avro INT branch") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("s", ShortType, nullable = true)))
+    val avro = AvroCodec.avroSchemaFor(schema, "WithShort")
+    val row = Row(1L, 7.toShort)
+    assert(AvroCodec.decodeBytes(
+      AvroCodec.encodeRow(row, schema, avro), schema, avro) == row)
+  }
+
   test("schema inference: StructType → Avro JSON → StructType roundtrips") {
     val avro = AvroCodec.avroSchemaFor(eventsLike, "Event")
     val inferred = AvroCodec.structTypeFor(
