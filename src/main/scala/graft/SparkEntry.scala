@@ -222,6 +222,9 @@ object SparkEntry {
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(Tables.documents(s, dir))
 
+  private def qLangIdNgram(s: SparkSession, dir: String): DataFrame =
+    TextOps.langIdNgram(Tables.documents(s, dir))
+
   private def qTfidfKeywords(s: SparkSession, dir: String): DataFrame =
     TextOps.tfidfKeywords(Tables.documents(s, dir), k = 3)
 
@@ -498,6 +501,7 @@ object SparkEntry {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_lang_id" -> (qLangId _),
+    "q_lang_id_ngram" -> (qLangIdNgram _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_pii_scrub" -> (qPiiScrub _),
@@ -573,6 +577,14 @@ object SparkEntry {
       |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
       |surv AS (
       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS survivor FROM reach GROUP BY a)""".stripMargin
+
+  /** DuckDB expression for Σ occurrences of each trigram (mirrors
+    * TextOps.ngramCount exactly: plain REPLACE, no regex).
+    */
+  private def ngramScoreSql(grams: Seq[String]): String =
+    grams.map(g =>
+      s"(LENGTH(LOWER(text)) - LENGTH(REPLACE(LOWER(text), '$g', ''))) / ${g.length}")
+      .mkString("(", " + ", ")")
 
   private val hopCte =
     """WITH h AS (
@@ -750,6 +762,19 @@ object SparkEntry {
         |    ELSE 'fr'
         |  END AS lang_pred
         |FROM documents""").stripMargin,
+    "q_lang_id_ngram" -> {
+      val en = ngramScoreSql(graft.llm.TextOps.EnTrigrams)
+      val de = ngramScoreSql(graft.llm.TextOps.DeTrigrams)
+      val fr = ngramScoreSql(graft.llm.TextOps.FrTrigrams)
+      s"""SELECT doc_id,
+         |  CAST($en AS BIGINT) AS en_score,
+         |  CAST($de AS BIGINT) AS de_score,
+         |  CAST($fr AS BIGINT) AS fr_score,
+         |  CASE WHEN $en >= $de AND $en >= $fr THEN 'en'
+         |       WHEN $de >= $fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM documents""".stripMargin
+    },
     "q_ml_features" -> (hopCte +
       """,
         |per_window AS (

@@ -210,11 +210,47 @@ object TextOps {
           .as("contamination_ratio"))
   }
 
+  /** Characteristic character trigrams per language (high-frequency
+    * trigrams of each language's function words) — the tiny profile the
+    * n-gram language-ID heuristic scores against.
+    */
+  val EnTrigrams: Seq[String] = Seq("the", "and", "ing", " of", "ion")
+  val DeTrigrams: Seq[String] = Seq("der", "und", "ein", "ich", "sch")
+  val FrTrigrams: Seq[String] = Seq("les", "des", "ent", "que", "ais")
+
+  /** Occurrences of a literal n-gram in text as a pure column expression:
+    * (len(text) − len(remove(text, g))) / len(g). No regex, no HOF —
+    * whole-stage codegen'd string ops, identical semantics in DuckDB.
+    */
+  private def ngramCount(t: Column, g: String): Column =
+    (length(t) - length(replace(t, lit(g), lit("")))) / g.length
+
+  /** Language ID via the character-n-gram heuristic: score each language
+    * by total occurrences of its characteristic trigrams, argmax with
+    * the same deterministic en ≥ de ≥ fr tie order as [[langId]]. One
+    * projection, scan-speed; unlike the stopword variant this needs no
+    * tokenization and catches inflected/concatenated forms.
+    */
+  def langIdNgram(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = lower(col(textCol))
+    def score(grams: Seq[String]): Column =
+      grams.map(g => ngramCount(t, g)).reduce(_ + _).cast("long")
+    val en = score(EnTrigrams)
+    val de = score(DeTrigrams)
+    val fr = score(FrTrigrams)
+    docs.select(
+      col("doc_id"),
+      en.as("en_score"), de.as("de_score"), fr.as("fr_score"),
+      when(en >= de && en >= fr, lit("en"))
+        .when(de >= fr, lit("de"))
+        .otherwise(lit("fr"))
+        .as("lang_pred"))
+  }
+
   /** Language identification via stopword-hit scoring: count hits against
     * per-language function-word lists, argmax with deterministic
-    * preference order on ties. N-gram-free heuristic that stays a pure
-    * column expression (scan-speed at scale); swap the word lists for
-    * character-n-gram profiles when a real corpus needs it.
+    * preference order on ties. Companion of [[langIdNgram]]; both stay
+    * pure column expressions (scan-speed at scale).
     */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val en = hitCount(textCol, Stopwords.EnSql)

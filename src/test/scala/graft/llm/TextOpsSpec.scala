@@ -94,4 +94,16 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1)._3 == 1L) // only "alpha beta gamma" shared
     assert(out(2) == ((3L, 3L, 0L, 0.0)))
   }
+
+  test("langIdNgram: char-trigram profiles pick the right language") {
+    val df = Seq(
+      (1L, "the thing and the other thing of everything"),
+      (2L, "der hund und der wunderschoene reichtum einiger"),
+      (3L, "les questions des presidents qui entraient"))
+      .toDF("doc_id", "text")
+    val out = TextOps.langIdNgram(df).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("lang_pred")).toSeq == Seq("en", "de", "fr"))
+    // scores are exact substring-occurrence counts
+    assert(out(0).getAs[Long]("en_score") >= 4)
+  }
 }
