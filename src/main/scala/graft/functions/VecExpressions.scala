@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Primitive-loop vector kernel shared by the interpreted and generated
+  * paths (same single-implementation pattern as [[TextHashKernels]]).
+  */
+object VecKernels {
+
+  /** Left-to-right dot product of two double arrays — the SAME fold
+    * order as DuckDB's list_dot_product, which the similarity oracles
+    * rely on for bit-identical doubles. Null elements are not expected
+    * (embedding columns are dense); lengths may differ defensively (the
+    * shorter bounds the loop, matching zip_with semantics).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}
+
+/** Native dot product: the `aggregate(zip_with(...))` higher-order
+  * formulation is evaluated INTERPRETED by Spark (one boxed lambda
+  * application per element plus an intermediate array per row) — on the
+  * brute-force top-k path that is dim × |corpus| × |queries| boxed ops.
+  * This expression runs the same left-to-right fold as a fused primitive
+  * loop inside whole-stage codegen.
+  */
+object VecExpressions {
+
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VecKernels.dot($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "vec_dot"
+  }
+
+  import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+
+  def vec_dot(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+}

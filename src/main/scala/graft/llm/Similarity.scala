@@ -16,16 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays as a codegen'd column expression
-    * (left-to-right summation — deterministic and identical to DuckDB's
-    * list_dot_product fold order, which the oracle relies on).
+  /** Dot product of two double arrays — a native codegen'd expression
+    * with left-to-right summation, deterministic and identical to
+    * DuckDB's list_dot_product fold order, which the oracle relies on.
+    * (The `aggregate(zip_with(...))` HOF formulation this replaces is
+    * evaluated interpreted: one boxed lambda call per element.)
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecExpressions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine via fresh norms — hot paths precompute the norms once per
+    * vector instead (see bruteForceTopK), which is the same arithmetic.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** dot/(qn·cn) with norms computed once per VECTOR rather than once
+    * per candidate pair — identical doubles, 3× less dot work on a
+    * join that compares each vector against many others.
+    */
+  private def cosinePre(qv: Column, cv: Column, qn: Column, cn: Column): Column =
+    dot(qv, cv) / (qn * cn)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -47,15 +59,18 @@ object Similarity {
     val q = queries.select(
       col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+        round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+          .as("cos_sim"))
     rankTopK(scored, k)
   }
 
@@ -123,24 +138,28 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     requireDim(corpus, vecCol, dim)
     requireDim(queries, vecCol, dim) // a short query vector degenerates identically
-    val tables = (0 until nTables).map { t =>
+    def tablesFor(vec: Column) = (0 until nTables).map { t =>
       struct(lit(t).as("table"),
-        srpSignature(col(vecCol), hyperplanes(nBits, dim, seed + t)).as("bucket"))
+        srpSignature(vec, hyperplanes(nBits, dim, seed + t)).as("bucket"))
     }
-    def bucketed(df: DataFrame, id: String, v: String, bk: String): DataFrame =
-      df.select(
-        col(idCol).as(id),
-        asDouble(col(vecCol)).as(v),
-        explode(array(tables: _*)).as(bk))
-    val c = bucketed(corpus, "neighbor_id", "cv", "c_bk")
-    val q = bucketed(queries, "query_id", "qv", "q_bk")
+    // norms computed once per vector BEFORE the per-table explode — the
+    // fan-out and every candidate comparison reuse them
+    def bucketed(df: DataFrame, id: String, v: String, n: String, bk: String): DataFrame =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .withColumn(n, norm(col(v)))
+        .select(col(id), col(v), col(n),
+          explode(array(tablesFor(col(v)): _*)).as(bk))
+    val c = bucketed(corpus, "neighbor_id", "cv", "cn", "c_bk")
+    val q = bucketed(queries, "query_id", "qv", "qn", "q_bk")
     val cand = c
       .join(broadcast(q), col("c_bk") === col("q_bk") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("qv"), col("cv"), col("qn"), col("cn"))
       .dropDuplicates("query_id", "neighbor_id")
     rankTopK(
       cand.select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim")),
+        round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+          .as("cos_sim")),
       k)
   }
 
@@ -171,7 +190,8 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").fit(corpusVec)
     val assigned = model.transform(corpusVec)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+      .select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"),
+        col("prediction").as("cell"))
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
@@ -191,6 +211,7 @@ object Similarity {
       idCol: String): DataFrame = {
     val q = queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("cell"))
     q.crossJoin(broadcast(centroids))
@@ -199,7 +220,7 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
   }
 
   def ivfTopK(
@@ -217,7 +238,8 @@ object Similarity {
       assigned.join(broadcast(probed),
           assigned("cell") === probed("cell") && col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          round(cosine(col("qv"), col("cv")), 6).as("cos_sim")),
+          round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+            .as("cos_sim")),
       k)
   }
 
@@ -267,12 +289,13 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val data = spark.read.parquet(s"$indexPath/data")
       .filter(col("cell").isin(cells: _*))
-      .select(col("neighbor_id"), col("cv"), col("cell"))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
     rankTopK(
       data.join(broadcast(probed),
           data("cell") === probed("cell") && col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          round(cosine(col("qv"), col("cv")), 6).as("cos_sim")),
+          round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+            .as("cos_sim")),
       k)
   }
 
@@ -293,12 +316,12 @@ object Similarity {
     requireDim(corpus, vecCol, dim)
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("table"),
-        srpSignature(col(vecCol), hyperplanes(nBits, dim, seed + t)).as("bucket"))
+        srpSignature(col("v"), hyperplanes(nBits, dim, seed + t)).as("bucket"))
     }
-    val b = corpus.select(
-      col(idCol),
-      asDouble(col(vecCol)).as("v"),
-      explode(array(tables: _*)).as("bk"))
+    val b = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm(col("v"))) // once per vector, reused per pair
+      .select(col(idCol), col("v"), col("vn"), explode(array(tables: _*)).as("bk"))
       .localCheckpoint() // materialize once for both join branches; auto-released on GC
     // hot-bucket cap (same hygiene as Dedup.ngramJaccardPairs): a dense
     // SRP bucket — e.g. a near-zero-vector cluster collapsing to one
@@ -309,11 +332,15 @@ object Similarity {
       .filter(col("count") >= 2 && col("count") <= maxBucket)
       .select("bk")
     val pruned = b.join(useful, "bk")
-    val l = pruned.select(col("bk").as("l_bk"), col(idCol).as("a"), col("v").as("va"))
-    val r = pruned.select(col("bk").as("r_bk"), col(idCol).as("b"), col("v").as("vb"))
+    val l = pruned.select(col("bk").as("l_bk"), col(idCol).as("a"),
+      col("v").as("va"), col("vn").as("na"))
+    val r = pruned.select(col("bk").as("r_bk"), col(idCol).as("b"),
+      col("v").as("vb"), col("vn").as("nb"))
     l.join(r, col("l_bk") === col("r_bk") && col("a") < col("b"))
       .dropDuplicates("a", "b")
-      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .select(col("a"), col("b"),
+        round(cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }
