@@ -24,6 +24,17 @@ object VecKernels {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Positions where two long arrays agree (MinHash signature-agreement
+    * count; est. Jaccard = agreement / k).
+    */
+  def matchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
 }
 
 /** Native dot product: the `aggregate(zip_with(...))` higher-order
@@ -49,8 +60,26 @@ object VecExpressions {
     override def prettyName: String = "vec_dot"
   }
 
+  case class MatchCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.matchCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VecKernels.matchCount($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): MatchCount =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "vec_match_count"
+  }
+
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
 
   def vec_dot(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  def vec_match_count(a: Column, b: Column): Column =
+    toCol(MatchCount(toExpr(a), toExpr(b)))
 }

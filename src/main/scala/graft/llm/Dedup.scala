@@ -310,9 +310,12 @@ object Dedup {
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
       .withColumn(
         "est_jaccard",
+        // native signature-agreement count: the zip_with+filter HOF
+        // formulation evaluates interpreted per position per pair
         round(
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-            p => p)).cast("double") / lit(k), 6))
+          graft.functions.VecExpressions
+            .vec_match_count(col("sig_a"), col("sig_b"))
+            .cast("double") / lit(k), 6))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"))
   }
