@@ -83,6 +83,52 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: native dot equals the HOF formulation bit-for-bit") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-5.0, 5.0))
+    for (pair <- samples(Gen.zip(vecGen, vecGen), 20)) {
+      val (a, b) = pair
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val native = df.select(
+        graft.functions.VecExpressions.vec_dot($"a", $"b")).head().getDouble(0)
+      val hof = df.select(
+        aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)).head().getDouble(0)
+      // same left-to-right fold => identical doubles, not just close
+      assert(java.lang.Double.compare(native, hof) == 0)
+    }
+  }
+
+  test("property: matchCount is symmetric, bounded, and exact on self") {
+    val sigGen = Gen.listOfN(32, Gen.choose(0L, 3L)) // small range => collisions
+    for (pair <- samples(Gen.zip(sigGen, sigGen), 20)) {
+      val (a, b) = pair
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      import graft.functions.VecExpressions.vec_match_count
+      val ab = df.select(vec_match_count($"a", $"b")).head().getInt(0)
+      val ba = df.select(vec_match_count($"b", $"a")).head().getInt(0)
+      val aa = df.select(vec_match_count($"a", $"a")).head().getInt(0)
+      val expected = a.zip(b).count { case (x, y) => x == y }
+      assert(ab == expected && ba == expected && aa == 32)
+      assert(ab >= 0 && ab <= 32)
+    }
+  }
+
+  test("property: winnowing fingerprints are a nonempty subset of all k-gram hashes") {
+    val textGen = Gen.listOfN(30, Gen.oneOf("ab", "cd", "ef", "gh"))
+      .map(_.mkString(" "))
+    for (t <- samples(textGen, 15)) {
+      val df = Seq((1L, t)).toDF("doc_id", "text")
+      val fps = graft.llm.TextOps.winnowFingerprints(df)
+        .collect().map(_.getLong(1)).toSet
+      assert(fps.nonEmpty)
+      // every selected hash is a real k-gram hash (w=1 selects ALL of them)
+      val all = df.select(explode(
+        graft.functions.TextHashExpressions.winnow_fingerprint($"text", 5, 1)).as("h"))
+        .collect().map(_.getLong(0)).toSet
+      assert(fps.subsetOf(all))
+    }
+  }
 }
 
 /** Plain-Scala shingle reference used by the property tests. */
