@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingOps {
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  // native Cast, not the interpreted transform HOF (see Similarity.asDouble)
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** L2-normalize, elements rounded for cross-engine comparison; zero
     * vectors pass through as zeros (guarded divide).

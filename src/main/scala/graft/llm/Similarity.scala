@@ -23,7 +23,7 @@ object Similarity {
     * evaluated interpreted: one boxed lambda call per element.)
     */
   def dot(a: Column, b: Column): Column =
-    graft.functions.VecExpressions.vec_dot(a, b)
+    graft.functions.VecExpressions.vec_dot(asDouble(a), asDouble(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -39,7 +39,12 @@ object Similarity {
   private def cosinePre(qv: Column, cv: Column, qn: Column, cn: Column): Column =
     dot(qv, cv) / (qn * cn)
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** array<float> → array<double> via a native Cast (codegen'd; erased
+    * by SimplifyCasts when the input is already array<double>) — NOT the
+    * `transform` HOF, which allocates and evaluates interpreted per
+    * element.
+    */
+  private[llm] def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact brute-force cosine top-k: for each query vector, scan all
     * candidates, keep the best k. The query side is broadcast (queries
@@ -287,7 +292,13 @@ object Similarity {
     // keeping them in a join would defeat partition pruning
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val data = spark.read.parquet(s"$indexPath/data")
+    val raw = spark.read.parquet(s"$indexPath/data")
+    // pre-norm index format compatibility: recompute cn when an older
+    // index (written before norms were stored) lacks the column
+    val withNorm =
+      if (raw.columns.contains("cn")) raw
+      else raw.withColumn("cn", norm(col("cv")))
+    val data = withNorm
       .filter(col("cell").isin(cells: _*))
       .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
     rankTopK(

@@ -58,6 +58,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("vec kernels: float input casts natively; dimension mismatch fails fast") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0, 2.0, 3.0))).toDF("f", "d")
+    // public dot casts array<float> → array<double> with a native Cast
+    assert(df.select(Similarity.dot($"f", $"f")).head().getDouble(0) == 5.0)
+    // a 2-dim × 3-dim dot must fail loudly, not truncate to a plausible value
+    val ex = intercept[Throwable] {
+      df.select(Similarity.dot($"f", $"d")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      t.getMessage != null && t.getMessage.contains("length mismatch")))
+  }
+
   test("IVF materialized index: partition-pruned query matches in-memory IVF") {
     val emb = Tables.embeddings(spark, sf0001)
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
