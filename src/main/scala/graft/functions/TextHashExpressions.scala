@@ -123,6 +123,22 @@ object TextHashKernels {
     new GenericArrayData(arr)
   }
 
+  /** Order-dependent fold hash of a long-array slice [start, start+len)
+    * — the LSH band key. Chain replicates `aggregate(slice, 17L,
+    * (a, x) => xxhash64(a, x))` exactly: s' = hash(x, seed = hash(s, 42)).
+    */
+  def bandHash(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      start: Int, len: Int): Long = {
+    var s = 17L
+    var i = start
+    val end = math.min(start + len, a.numElements())
+    while (i < end) {
+      s = XXH64.hashLong(a.getLong(i), XXH64.hashLong(s, 42L))
+      i += 1
+    }
+    s
+  }
+
   /** Distinct w-shingle hashes, sorted ascending (the Jaccard item set;
     * sorted so a prefix slice IS the min-wise sample).
     */
@@ -201,6 +217,19 @@ object TextHashExpressions {
     override def prettyName: String = "shingle_hashes"
   }
 
+  case class BandHash(child: Expression, start: Int, len: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      TextHashKernels.bandHash(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], start, len)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextHashKernels.bandHash($c, $start, $len)")
+    override protected def withNewChildInternal(c: Expression): BandHash = copy(child = c)
+    override def prettyName: String = "band_hash"
+  }
+
   case class WinnowFingerprint(child: Expression, k: Int, w: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -224,4 +253,6 @@ object TextHashExpressions {
     toCol(ShingleHashes(toExpr(c), w))
   def winnow_fingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
     toCol(WinnowFingerprint(toExpr(c), k, w))
+  def band_hash(c: Column, start: Int, len: Int): Column =
+    toCol(BandHash(toExpr(c), start, len))
 }

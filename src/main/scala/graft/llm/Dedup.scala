@@ -63,11 +63,9 @@ object Dedup {
   def simhashes(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), simhash(col(textCol)).as("simhash"))
 
-  /** Order-dependent fold hash of a long-array slice (band key).
-    * xxhash64 chaining: overflow-free under ANSI mode, well-mixed.
-    */
-  private def foldHash(arr: Column): Column =
-    aggregate(arr, lit(17L), (a, x) => xxhash64(a, x))
+  // band keys use the native band_hash expression (same xxhash64 chain
+  // the aggregate-HOF fold computed, minus the per-band slice allocation
+  // and interpreted lambda calls)
 
   /** SimHash near-dup pairs within a hamming radius. Candidate generation
     * by banding the 64-bit fingerprint into `bands` chunks (pigeonhole: a
@@ -87,18 +85,18 @@ object Dedup {
     require(64 % bands == 0, s"bands must divide 64 (got $bands)")
     val sh = simhashes(docs, textCol).localCheckpoint()
     val width = 64 / bands
+    // bands is a compile-time constant: build the band array statically
+    // (codegen'd shift/mask per band) instead of a transform-over-sequence
+    // HOF evaluated interpreted per row
     val banded = sh.select(
       col("doc_id"),
       col("simhash"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            call_function("shiftright", col("simhash"), b * width)
-              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
-        )
-      ).as("bk"))
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+      }: _*)).as("bk"))
     // hot-bucket cap: a degenerate band value (empty/boilerplate docs all
     // sharing one simhash chunk) would explode quadratically — cap bucket
     // membership like ngramJaccardPairs does. Recall trade-off, stated
@@ -291,16 +289,15 @@ object Dedup {
       .select(col("doc_id"), minhashSignature(col(textCol), k, w).as("sig"))
       .localCheckpoint()
     // narrow banding relation: (band-key, id) only — signatures rejoin
-    // per unique candidate pair, never ride the pair explosion
+    // per unique candidate pair, never ride the pair explosion. Static
+    // band array + native band_hash: no per-row HOF, no slice allocation
     val banded = sig.select(
       col("doc_id"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            foldHash(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh"))
-        )
-      ).as("bk"))
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          graft.functions.TextHashExpressions
+            .band_hash(col("sig"), b * rows, rows).as("bh"))
+      }: _*)).as("bk"))
     val cand = banded.select(col("bk"), col("doc_id").as("a"))
       .join(banded.select(col("bk").as("r_bk"), col("doc_id").as("b")),
         col("bk") === col("r_bk") && col("a") < col("b"))
