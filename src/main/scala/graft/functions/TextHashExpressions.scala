@@ -129,9 +129,14 @@ object TextHashKernels {
     */
   def bandHash(a: org.apache.spark.sql.catalyst.util.ArrayData,
       start: Int, len: Int): Long = {
+    // fail fast like VecKernels.requireSameLength: a short signature means
+    // a k/bands misconfiguration, not something to silently band anyway
+    if (start + len > a.numElements()) throw new IllegalArgumentException(
+      s"bandHash: slice [$start, ${start + len}) exceeds signature length ${a.numElements()} " +
+        "(k must equal bands*rows)")
     var s = 17L
     var i = start
-    val end = math.min(start + len, a.numElements())
+    val end = start + len
     while (i < end) {
       s = XXH64.hashLong(a.getLong(i), XXH64.hashLong(s, 42L))
       i += 1

@@ -77,12 +77,19 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // pigeonhole: a pair within hamming radius r collides on ≥1 band only
     // when r < bands; a wider radius silently loses recall
     require(maxHamming < bands,
       s"simhashNearDups: maxHamming=$maxHamming requires bands > maxHamming (got $bands)")
     require(64 % bands == 0, s"bands must divide 64 (got $bands)")
+    // A bucket cap drops pairs whose guaranteed-collision bands are all
+    // hot; demand ≥2 guaranteed bands (bands−maxHamming ≥ 2) before
+    // allowing a cap, so a single hot bucket can never erase a true pair.
+    require(maxBucket == Int.MaxValue || bands >= maxHamming + 2,
+      s"simhashNearDups: a finite maxBucket needs bands >= maxHamming+2 " +
+        s"(got bands=$bands, maxHamming=$maxHamming) so every true pair " +
+        "keeps >=2 guaranteed collision bands")
     val sh = simhashes(docs, textCol).localCheckpoint()
     val width = 64 / bands
     // bands is a compile-time constant: build the band array statically

@@ -161,12 +161,21 @@ object AvroCodec {
   private[sources] def toRecord(row: Row, schema: StructType, avro: Schema): GenericRecord = {
     val rec = new GenericData.Record(avro)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      rec.put(f.name, if (row.isNullAt(i)) null else toAvroValue(row.get(i), f.dataType))
+      rec.put(f.name, if (row.isNullAt(i)) null
+        else toAvroValue(row.get(i), f.dataType, nonNullBranch(avro.getField(f.name).schema())))
     }
     rec
   }
 
-  private def toAvroValue(v: Any, dt: DataType): Any = dt match {
+  /** Union-unwrap to the value branch. GenericData resolves union branches
+    * by record full name, so nested records must be encoded against the
+    * schema instance the PARENT declares (graft.<field>_rec) — never a
+    * regenerated one with the default name.
+    */
+  private def nonNullBranch(s: Schema): Schema =
+    if (s.isUnion) s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get else s
+
+  private def toAvroValue(v: Any, dt: DataType, avro: Schema): Any = dt match {
     case ShortType => v.asInstanceOf[Short].toInt // Avro INT carries shorts
     case TimestampType => v match {
       case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
@@ -175,10 +184,11 @@ object AvroCodec {
     }
     case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
     case ArrayType(elem, _) =>
+      val elemSchema = nonNullBranch(avro.getElementType)
       v.asInstanceOf[scala.collection.Seq[Any]]
-        .map(e => if (e == null) null else toAvroValue(e, elem)).asJava
+        .map(e => if (e == null) null else toAvroValue(e, elem, elemSchema)).asJava
     case st: StructType =>
-      toRecord(v.asInstanceOf[Row], st, avroSchemaFor(st))
+      toRecord(v.asInstanceOf[Row], st, avro)
     case _ => v
   }
 

@@ -151,15 +151,22 @@ class DedupSpec extends SparkSpec {
     // candidates unless the cap prunes them
     val boiler = (1L to 100L).map(i => (i, "the same boilerplate text repeated"))
     val df = boiler.toDF("doc_id", "text")
-    assert(Dedup.simhashNearDups(df, maxBucket = 10).count() == 0)
-    // default cap (256) still admits the fixture-scale case
+    // a finite cap demands bands >= maxHamming+2 (>=2 guaranteed collision
+    // bands per true pair), so cap tests run at bands=8
+    assert(Dedup.simhashNearDups(df, bands = 8, maxBucket = 10).count() == 0)
+    // default (no cap) keeps exact banding recall
     assert(Dedup.simhashNearDups(df).count() == 100L * 99 / 2)
     // normal near-dups are still found when an unrelated bucket is hot
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
     val mixed = (Seq((1000L, base), (1001L, base)) ++ boiler).toDF("doc_id", "text")
-    val pairs = Dedup.simhashNearDups(mixed, maxBucket = 10)
+    val pairs = Dedup.simhashNearDups(mixed, bands = 8, maxBucket = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1000L, 1001L)))
+    // the fragile configuration (single guaranteed band + finite cap) is
+    // rejected instead of silently losing recall
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(df, maxHamming = 3, bands = 4, maxBucket = 10)
+    }
   }
 
   test("sketch expressions compile under whole-stage codegen (no silent fallback)") {

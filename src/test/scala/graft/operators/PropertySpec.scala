@@ -129,6 +129,18 @@ class PropertySpec extends SparkSpec {
       assert(fps.subsetOf(all))
     }
   }
+
+  test("band_hash fails fast on a signature shorter than bands*rows") {
+    import graft.functions.TextHashExpressions.band_hash
+    val sigs = Seq((1L, Array(1L, 2L, 3L, 4L))).toDF("id", "sig")
+    // in-range slice evaluates
+    assert(sigs.select(band_hash($"sig", 0, 4)).collect().length == 1)
+    // out-of-range slice throws instead of silently truncating the band
+    val err = intercept[Exception] {
+      sigs.select(band_hash($"sig", 2, 4)).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
 
 /** Plain-Scala shingle reference used by the property tests. */

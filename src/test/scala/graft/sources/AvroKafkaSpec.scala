@@ -43,6 +43,34 @@ class AvroKafkaSpec extends SparkSpec {
     assert(back == row)
   }
 
+  test("S8: nullable nested struct / array-of-struct roundtrip (union by record name)") {
+    // GenericData resolves union branches by record FULL NAME — encoding a
+    // nested record against a regenerated schema (wrong name) throws
+    // UnresolvedUnionException, so this exercises the schema-threading path
+    val inner = StructType(Seq(
+      StructField("lat", DoubleType, nullable = false),
+      StructField("lon", DoubleType, nullable = true)))
+    val nested = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("geo", inner, nullable = true),
+      StructField("path", ArrayType(inner, containsNull = true), nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = true)))
+    val avro = AvroCodec.avroSchemaFor(nested, "Doc")
+    val row = Row(1L, Row(51.1, 17.0),
+      Seq(Row(50.0, 19.9), null, Row(52.2, 21.0)), Seq("a", null, "b"))
+    val back = AvroCodec.decodeBytes(
+      AvroCodec.encodeRow(row, nested, avro), nested, avro)
+    assert(back == row)
+    // null struct + null array still roundtrip
+    val row2 = Row(2L, null, null, null)
+    assert(AvroCodec.decodeBytes(
+      AvroCodec.encodeRow(row2, nested, avro), nested, avro) == row2)
+    // the wire schema parsed back from JSON (registry path) decodes too
+    val parsed = AvroCodec.schemaFromJson(avro.toString)
+    assert(AvroCodec.decodeBytes(
+      AvroCodec.encodeRow(row, nested, avro), nested, parsed) == row)
+  }
+
   test("S8: Schema-Registry wire framing roundtrips and rejects junk") {
     val body = Array[Byte](1, 2, 3, 4)
     val framed = AvroCodec.frame(body, schemaId = 123)
