@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Tables
 import graft.operators.{Joins, Relational, WindowOps}
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.ml.{Registry, Scorer, Trainer}
 import graft.streaming.Streaming
 
@@ -338,6 +338,51 @@ object SparkEntry {
       Map("value_cents" -> cents(col("value"))))
       .select(col("user_id"), col("value_cents"), col("n_rows"))
 
+  // ---- deterministic sampling / mixing / packing (llm.Sampling) -------
+  // all md5-keyed → bit-for-bit reproducible and fully oracle-checkable
+
+  private def qSampleDet(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicSample(Tables.documents(s, dir), col("doc_id"), 0.25)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+      Tables.documents(s, dir), col("doc_id"), col("source"),
+      Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.1),
+      defaultFraction = 0.3)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetSample(Tables.documents(s, dir), budgetTokens = 700L)
+
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(Tables.documents(s, dir), contextLen = 128)
+
+  private def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(Tables.documents(s, dir), chunkTokens = 32, stride = 16)
+
+  /** Exact distribution profiling (percentiles / dispersion / correlation)
+    * — the corpus-statistics pass a data pipeline runs before setting
+    * filter thresholds. Exact `percentile` (not approx) so the DuckDB
+    * quantile_cont oracle matches; rounding absorbs last-ulp FP
+    * differences between the engines' streaming moment formulas.
+    */
+  private def qStatsProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        // + 0.0 normalizes IEEE −0.0 (a tiny negative covariance rounds
+        // to −0.0, which string-compares unequal to the other engine's 0.0)
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0))
+          .as("corr_qty_price"),
+        (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0))
+          .as("cov_disc_tax"))
+
   // rows-only (no SQL oracle: approximate / hash-seeded / stubbed ops)
 
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -535,6 +580,12 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_apply" -> (qDedupApply _),
+    "q_sample_det" -> (qSampleDet _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_stats_profile" -> (qStatsProfile _),
     "q_set_ops" -> (qSetOps _),
     "q_distinct_counts" -> (qDistinctCounts _),
     "q_rollup" -> (qRollup _),
@@ -594,6 +645,22 @@ object SparkEntry {
       |          - 120 * g.i) AS w_start
       |  FROM events e, (SELECT UNNEST(RANGE(5)) AS i) g
       |)""".stripMargin
+
+  /** Shared DuckDB CTE for the window-cumsum sampling family: per-group
+    * running token totals in deterministic (md5-hex, doc_id) order —
+    * mirrors Sampling.tokenBudgetSample / packSequences exactly.
+    */
+  private val samplingCumCte =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+      |    SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM t)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -986,6 +1053,54 @@ object SparkEntry {
         |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
         |           FROM s)
-        |SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    // md5-hex sampling keys: lexicographic hex compare = numeric compare
+    // on the top 32 bits; thresholds are hexThreshold(f) literals
+    "q_sample_det" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN 'cccccccc'
+        |              WHEN 'src1' THEN '80000000'
+        |              WHEN 'src2' THEN '19999999'
+        |              ELSE '4ccccccc' END""".stripMargin,
+    "q_token_budget" -> (samplingCumCte +
+      "\nSELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 700"),
+    "q_pack_sequences" -> (samplingCumCte +
+      """
+        |SELECT doc_id, source, n_tokens,
+        |  cum_tokens - n_tokens AS start_offset,
+        |  CAST(FLOOR((cum_tokens - n_tokens) / 128.0) AS BIGINT) AS bin_id,
+        |  (n_tokens > 0 AND
+        |   CAST(FLOOR((cum_tokens - n_tokens) / 128.0) AS BIGINT)
+        |     <> CAST(FLOOR((cum_tokens - 1) / 128.0) AS BIGINT)) AS crosses_boundary
+        |FROM c""".stripMargin),
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+        |         LEN(STRING_SPLIT(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    UNNEST(RANGE(CASE WHEN n <= 32 THEN 1
+        |      ELSE CAST(FLOOR((n - 32 + 15) / 16.0) AS BIGINT) + 1 END)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  ARRAY_TO_STRING(toks[chunk_id*16 + 1 : chunk_id*16 + 32], ' ') AS chunk_text,
+        |  CAST(LEAST(n - chunk_id*16, 32) AS INTEGER) AS n_chunk_tokens
+        |FROM c""".stripMargin,
+    "q_stats_profile" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50_qty,
+        |  ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty,
+        |  ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25_price,
+        |  ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+        |  ROUND(CORR(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+        |  ROUND(COVAR_SAMP(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data-mixing / sequence-packing operators for
+  * training-data pipelines (driver north star; run on the `documents`
+  * fixture).
+  *
+  * Everything here keys off an md5-derived hex sampling key instead of
+  * `rand()`: the sample is reproducible across runs, engines, cluster
+  * sizes, AND incremental re-runs (a doc's keep/drop decision never
+  * depends on what else is in the corpus), which is what a 100 TB corpus
+  * refresh actually needs — re-sampling must not churn previously
+  * selected documents. rand()-based sampling has none of those
+  * properties; it is also unverifiable, while every operator in this file
+  * is DuckDB-oracle-checked bit-for-bit.
+  *
+  * Scale shapes: [[deterministicSample]] / [[stratifiedSample]] are pure
+  * filters (scan-speed, no shuffle, pushdown-friendly);
+  * [[tokenBudgetSample]] / [[packSequences]] shuffle once on the group
+  * column and sort within group — the canonical window shape whose
+  * parallelism is the number of groups (domains/sources), which is
+  * exactly the unit a mixing policy is written in.
+  */
+object Sampling {
+
+  /** 32-bit sampling key as 8 lowercase hex chars: the first 8 hex digits
+    * of md5 of the key's string form. Lexicographic comparison on the hex
+    * IS numeric comparison on the top 32 bits — portable to any engine
+    * with md5 (DuckDB oracle compares the identical string).
+    */
+  def samplingKey(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** Hex threshold such that P[key < threshold] = fraction under a
+    * uniform 32-bit key. fraction >= 1 returns "g" (above every hex
+    * string — keep all); fraction <= 0 returns "" (below — keep none).
+    */
+  def hexThreshold(fraction: Double): String =
+    if (fraction >= 1.0) "g"
+    else if (fraction <= 0.0) ""
+    else f"${(fraction * 4294967296.0).toLong}%08x"
+
+  /** Keep a deterministic `fraction` of rows by hash of `key`. Pure
+    * filter: no shuffle, no state, no seed to thread — the same row set
+    * at any scale, on any engine, in any run.
+    */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(samplingKey(key) < lit(hexThreshold(fraction)))
+
+  /** Per-group sampling fractions (domain mixing by rate): each group in
+    * `fractions` keeps its own deterministic fraction, everything else
+    * keeps `defaultFraction`. Still a pure filter — the policy compiles
+    * to a CASE chain over the group column, so there is no join and no
+    * shuffle; this is how "oversample curated, downsample crawl" runs at
+    * corpus scale.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      key: Column,
+      group: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (g, f)) => when(group === g, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(samplingKey(key) < threshold)
+  }
+
+  /** Whitespace token count (shared with TextOps.tokens semantics). */
+  private def nTokens(textCol: String): Column =
+    size(split(col(textCol), " "))
+
+  /** Deterministic total order within a group: hash order (uniform,
+    * content-independent) with the unique id as tiebreak.
+    */
+  private def hashOrder(idCol: String): Seq[Column] =
+    Seq(samplingKey(col(idCol)), col(idCol))
+
+  /** Token-budget sampling (domain mixing by budget): walk each group in
+    * deterministic hash order, keep documents while the group's running
+    * token total stays within `budgetTokens`. This is the "N billion
+    * tokens per source" form of a data-mixture spec, as opposed to the
+    * rate form in [[stratifiedSample]].
+    *
+    * One shuffle on the group column + one in-group sort (window with
+    * running sum). Group count = source/domain count, so at 100 TB the
+    * sort is per-domain and domains are independent tasks; a pathological
+    * single-domain corpus degrades to one sorted partition — the price of
+    * an exact budget (the rate form stays scan-speed if that matters
+    * more).
+    */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      budgetTokens: Long,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashOrder(idCol): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(groupCol), nTokens(textCol).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
+  /** Sequence packing (concat-and-chunk): lay each group's documents out
+    * on a token tape in deterministic hash order and assign every doc the
+    * context-window bin its first token lands in — the standard "pack
+    * short docs into fixed-length training sequences" preprocessing.
+    * `crosses_boundary` marks docs straddling a bin edge (the ones a
+    * tokenizer-side splitter would cut).
+    *
+    * Same single-shuffle window shape as [[tokenBudgetSample]]; the bin
+    * arithmetic is pure integer math on the running sum, so the whole
+    * assignment is exact, reproducible, and oracle-checkable (no greedy
+    * driver-side bin packing, which could never run at corpus scale).
+    */
+  def packSequences(
+      docs: DataFrame,
+      contextLen: Int,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1 (got $contextLen)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashOrder(idCol): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = col("cum_tokens") - col("n_tokens")
+    // non-negative longs far below 2^52: double floor-div is exact
+    def binOf(tokenIdx: Column): Column =
+      floor(tokenIdx / contextLen).cast("long")
+    docs
+      .select(col(idCol), col(groupCol), nTokens(textCol).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col(idCol), col(groupCol), col("n_tokens"),
+        start.as("start_offset"),
+        binOf(start).as("bin_id"),
+        (col("n_tokens") > 0 && binOf(start) =!= binOf(col("cum_tokens") - 1))
+          .as("crosses_boundary"))
+  }
+}

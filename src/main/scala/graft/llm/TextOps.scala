@@ -21,6 +21,44 @@ object TextOps {
   private def hitCount(textCol: String, sqlList: String): Column =
     size(expr(s"filter(split($textCol, ' '), x -> x IN $sqlList)"))
 
+  /** Sliding-window document chunking with overlap — the context-window
+    * preprocessing step (split long docs into `chunkTokens`-token pieces
+    * every `stride` tokens, so consecutive chunks share
+    * `chunkTokens - stride` tokens). Chunk count is 1 for short docs,
+    * else 1 + ceil((n − chunkTokens) / stride): every chunk contributes
+    * at least one new token, the tail is covered exactly once.
+    *
+    * Shape: tokenize once, explode a per-doc chunk-id sequence, slice —
+    * all codegen'd native functions (slice/concat_ws/sequence, no lambda
+    * HOFs), no shuffle: chunking runs at parquet-scan speed and the
+    * output is already partitioned like its input.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      chunkTokens: Int = 64,
+      stride: Int = 32,
+      textCol: String = "text"): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    require(chunkTokens >= stride,
+      s"chunkTokens ($chunkTokens) must be >= stride ($stride) or tokens get skipped")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // positive int / int via double division + truncation = floor = ceil
+    // of the original quotient after the (+ stride − 1) shift
+    val extra = ((n - chunkTokens + stride - 1) / stride).cast("int")
+    val nChunks = when(n <= chunkTokens, lit(1)).otherwise(extra + 1)
+    docs
+      .select(col("doc_id"), toks.as("toks"), n.as("n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(col("n") - col("chunk_id") * stride, lit(chunkTokens))
+          .as("n_chunk_tokens"))
+  }
+
   /** Quality-scoring stats: char/word counts, average word length,
     * punctuation and digit ratios. One projection, no shuffle.
     */

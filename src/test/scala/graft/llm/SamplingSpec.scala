@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Deterministic sampling / mixing / packing family: reproducibility,
+  * statistical sanity, exact window semantics, and the no-shuffle plan
+  * claims for the filter-shaped ops.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hexThreshold maps fractions to the top-32-bit boundary") {
+    assert(Sampling.hexThreshold(0.25) == "40000000")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+    assert(Sampling.hexThreshold(1.0) == "g")   // above every hex string
+    assert(Sampling.hexThreshold(0.0) == "")    // below every hex string
+    assert(Sampling.hexThreshold(1.5) == "g" && Sampling.hexThreshold(-1.0) == "")
+  }
+
+  test("deterministicSample: reproducible, scale-free subset within binomial bounds") {
+    val docs = Tables.documents(spark, sf0001)
+    val a = Sampling.deterministicSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b) // same rows every run — no seed, no rand()
+    val n = docs.count().toDouble
+    assert(math.abs(a.size - 0.25 * n) < 4 * math.sqrt(n * 0.25 * 0.75) + 1)
+    // monotone in fraction: a smaller sample is a subset of a larger one
+    val bigger = Sampling.deterministicSample(docs, col("doc_id"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(bigger))
+    // membership is per-row (content-independent): dropping other rows
+    // never changes a kept row's decision (incremental-refresh property)
+    val half = Sampling.deterministicSample(
+      docs.filter(col("doc_id") % 2 === 0), col("doc_id"), 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(half == a.filter(_ % 2 == 0))
+  }
+
+  test("deterministicSample plan has no shuffle and prunes to the filter columns") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = Sampling.deterministicSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pure filter must not shuffle:\n$plan")
+  }
+
+  test("stratifiedSample applies per-group fractions with the default elsewhere") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Sampling.stratifiedSample(
+      docs, col("doc_id"), col("source"),
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultFraction = 0.25)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == totals("src0"))     // fraction 1.0 keeps all
+    assert(!bySrc.contains("src1"))             // fraction 0.0 keeps none
+    // default-fraction groups equal the flat deterministic sample
+    val flat = Sampling.deterministicSample(
+      docs.filter(col("source") === "src2"), col("doc_id"), 0.25)
+    assert(out.filter(col("source") === "src2").count() == flat.count())
+  }
+
+  test("tokenBudgetSample: kept prefix respects the budget, next doc would exceed it") {
+    val docs = Tables.documents(spark, sf0001)
+    val kept = Sampling.tokenBudgetSample(docs, budgetTokens = 700L)
+    val sums = kept.groupBy("source")
+      .agg(sum("n_tokens").as("s"), max("cum_tokens").as("mx"))
+      .as[(String, Long, Long)].collect()
+    assert(sums.nonEmpty)
+    sums.foreach { case (src, s, mx) =>
+      assert(s == mx, s"cum_tokens must be the running sum of kept docs in $src")
+      assert(mx <= 700L, s"budget violated in $src: $mx")
+    }
+    // maximality: for each group the first dropped doc (in hash order)
+    // would push the total past the budget
+    val all = Sampling.tokenBudgetSample(docs, budgetTokens = Long.MaxValue)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    all.foreach { case (_, rows) =>
+      val dropped = rows.sortBy(_._4).dropWhile(r => keptIds.contains(r._2))
+      dropped.headOption.foreach { r => assert(r._4 > 700L) }
+    }
+  }
+
+  test("packSequences: bins are contiguous token ranges, boundary flags exact") {
+    val docs = Tables.documents(spark, sf0001)
+    val packed = Sampling.packSequences(docs, contextLen = 128)
+      .select("source", "doc_id", "n_tokens", "start_offset", "bin_id", "crosses_boundary")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._4)
+      // offsets tile the tape: each doc starts where the previous ended
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a._4 + a._3 == b._4, s"gap in token tape for $src")
+      }
+      sorted.foreach { r =>
+        assert(r._5 == r._4 / 128, "bin = floor(start/context)")
+        val lastTok = r._4 + r._3 - 1
+        assert(r._6 == (r._3 > 0 && r._4 / 128 != lastTok / 128))
+      }
+    }
+  }
+
+  test("chunkDocs: full coverage, correct overlap, no redundant tail chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10 > size
+      (2L, "a b c"),                                  // n=3 <= size → 1 chunk
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, chunkTokens = 8, stride = 4)
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Int, String, Int)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // n=10, size=8, stride=4 → 1 + ceil(2/4) = 2 chunks
+    assert(d1.map(_._3).toSeq == Seq(
+      (1 to 8).map(i => s"t$i").mkString(" "),
+      (5 to 10).map(i => s"t$i").mkString(" ")))
+    assert(d1.map(_._4).toSeq == Seq(8, 6))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "solo", 1)))
+    // coverage invariant on the fixture corpus: every chunking of every
+    // doc reassembles to the original token count with stride-step starts
+    val fix = TextOps.chunkDocs(Tables.documents(spark, sf0001),
+      chunkTokens = 32, stride = 16)
+    val perDoc = fix.groupBy("doc_id")
+      .agg(max(col("chunk_id") * 16 + col("n_chunk_tokens")).as("covered"),
+        count(lit(1)).as("n_chunks"))
+    val joined = perDoc.join(
+      Tables.documents(spark, sf0001)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n")), "doc_id")
+    assert(joined.filter(col("covered") =!= col("n")).count() == 0)
+  }
+}
