@@ -29,6 +29,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark) // SQL surface on
 
     // Warm the JVM/codegen/file-listing paths once, outside timing: the
     // flagship plus one tiny-SF run of each headline query, so measured

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration for the native graft expressions — the
+  * ksql-parity piece: the reference engine's users write SQL, so every
+  * custom kernel is reachable from `spark.sql(...)` text, not only the
+  * Column API.
+  *
+  * Two entry points, one function table:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  *    `builder.withExtensions(new GraftExtensions)`) injects at session
+  *    build — the deployment path.
+  *  - [[GraftFunctions.register]] adds the same functions to an existing
+  *    session's registry — the notebook/test path.
+  *
+  * Int parameters (k/w/band bounds) must be foldable integer literals;
+  * anything else fails analysis with a clear message instead of silently
+  * defaulting.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  import TextHashExpressions._
+  import VecExpressions.{DotProduct, MatchCount}
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def litInt(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], allowed: Range): Unit =
+    if (!allowed.contains(args.length)) throw new IllegalArgumentException(
+      s"$fn expects ${allowed.min}..${allowed.max} arguments, got ${args.length}")
+
+  private def fd(name: String, usage: String)(
+      builder: Seq[Expression] => Expression): FunctionDescription =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder)
+
+  /** The full SQL function table (names match each expression's
+    * prettyName, so plans read identically from either API).
+    */
+  val all: Seq[FunctionDescription] = Seq(
+    fd("simhash64", "simhash64(text) - 64-bit SimHash over whitespace tokens") { args =>
+      arity("simhash64", args, 1 to 1)
+      SimHash64(args.head)
+    },
+    fd("minhash_sig", "minhash_sig(text[, k[, w]]) - k-perm MinHash signature of w-shingles") { args =>
+      arity("minhash_sig", args, 1 to 3)
+      MinHashSig(args.head,
+        if (args.length > 1) litInt("minhash_sig", "k", args(1)) else 32,
+        if (args.length > 2) litInt("minhash_sig", "w", args(2)) else 3)
+    },
+    fd("shingle_hashes", "shingle_hashes(text[, w]) - sorted distinct w-shingle hashes") { args =>
+      arity("shingle_hashes", args, 1 to 2)
+      ShingleHashes(args.head,
+        if (args.length > 1) litInt("shingle_hashes", "w", args(1)) else 3)
+    },
+    fd("band_hash", "band_hash(sig, start, len) - LSH band key of a signature slice") { args =>
+      arity("band_hash", args, 3 to 3)
+      BandHash(args.head,
+        litInt("band_hash", "start", args(1)), litInt("band_hash", "len", args(2)))
+    },
+    fd("winnow_fingerprint", "winnow_fingerprint(text[, k[, w]]) - winnowing fingerprint hashes") { args =>
+      arity("winnow_fingerprint", args, 1 to 3)
+      WinnowFingerprint(args.head,
+        if (args.length > 1) litInt("winnow_fingerprint", "k", args(1)) else 5,
+        if (args.length > 2) litInt("winnow_fingerprint", "w", args(2)) else 4)
+    },
+    fd("vec_dot", "vec_dot(a, b) - dot product of two array<double>") { args =>
+      arity("vec_dot", args, 2 to 2)
+      DotProduct(args(0), args(1))
+    },
+    fd("vec_match_count", "vec_match_count(a, b) - agreeing positions of two array<bigint>") { args =>
+      arity("vec_match_count", args, 2 to 2)
+      MatchCount(args(0), args(1))
+    }
+  )
+
+  /** Register on a live session (idempotent: re-registration replaces). */
+  def register(spark: SparkSession): Unit = all.foreach { case (ident, info, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}

@@ -9,4 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to a fresh
+    * registry and list them — lets tests assert the
+    * `spark.sql.extensions` deployment path registers exactly the graft
+    * function table without building a second SparkSession
+    * (`registerFunctions` is private[sql]).
+    */
+  def materializeFunctions(
+      ext: SparkSessionExtensions): Seq[catalyst.FunctionIdentifier] = {
+    val reg = new catalyst.analysis.SimpleFunctionRegistry()
+    ext.registerFunctions(reg)
+    reg.listFunction()
+  }
 }
