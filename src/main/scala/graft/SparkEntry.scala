@@ -372,8 +372,9 @@ object SparkEntry {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        // one percentile aggregate (one per-group value map) for both
+        // quantity quantiles instead of two
+        expr("percentile(l_quantity, array(0.5, 0.9))").as("_p_qty"),
         round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
         // + 0.0 normalizes IEEE −0.0 (a tiny negative covariance rounds
@@ -382,8 +383,39 @@ object SparkEntry {
           .as("corr_qty_price"),
         (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0))
           .as("cov_disc_tax"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(col("_p_qty").getItem(0), 4).as("p50_qty"),
+        round(col("_p_qty").getItem(1), 4).as("p90_qty"),
+        col("p25_price"), col("sd_price"),
+        col("corr_qty_price"), col("cov_disc_tax"))
 
   // rows-only (no SQL oracle: approximate / hash-seeded / stubbed ops)
+
+  /** Mergeable-sketch distinct counts (rows-only: estimator-specific).
+    * The companion SketchesSpec asserts merged partials ≡ one-shot.
+    */
+  private def qHllDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllMergeEstimate(
+      graft.operators.Sketches.hllPartials(
+        Tables.events(s, dir).withColumn("day", dayofmonth(col("ts"))),
+        col("user_id"), col("event_type"), col("day")),
+      col("event_type"))
+
+  /** Incremental dedup: odd-id docs (the "new batch") against the
+    * even-id corpus index (rows-only: seeded hashes; delta ≡ full-corpus
+    * equivalence is spec-asserted in DedupSpec).
+    */
+  private def qDedupDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    Dedup.minhashWriteIndex(docs.filter(col("doc_id") % 2 === 0), dir2)
+    Dedup.minhashDeltaPairs(
+      docs.filter(col("doc_id") % 2 === 1),
+      s.read.parquet(s"$dir2/bands"),
+      s.read.parquet(s"$dir2/sigs"),
+      threshold = 0.3)
+  }
 
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -590,7 +622,9 @@ object SparkEntry {
     "q_distinct_counts" -> (qDistinctCounts _),
     "q_rollup" -> (qRollup _),
     "q_salted_agg" -> (qSaltedAgg _),
-    "q_approx_distinct" -> (qApproxDistinct _)
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_dedup_delta" -> (qDedupDelta _)
   )
 
   /** Headline subset Bench.scala times per round. */
@@ -599,7 +633,9 @@ object SparkEntry {
     "q_rolling_600s", "q_latest_by_key", "q_left_enrich", "q_inner_enrich",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_token_count",
     "q_sim_topk", "q_topk_orders_per_cust", "q_tumbling_agg",
-    "q_session_window", "q_rollup", "q_salted_agg", "q_distinct_counts")
+    "q_session_window", "q_rollup", "q_salted_agg", "q_distinct_counts",
+    "q_chunk_docs", "q_pack_sequences", "q_sample_stratified",
+    "q_stats_profile")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →

@@ -323,4 +323,94 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"))
   }
+
+  /** Materialize the MinHash dedup index for a corpus: the banded
+    * (band, bh, doc_id) relation and the signature relation, written as
+    * parquet. This is the 100 TB operating mode: the corpus index is
+    * built ONCE; each new ingest batch deduplicates against it via
+    * [[minhashDeltaPairs]] and appends its own rows — the full corpus is
+    * never re-paired. (Band files are written partitioned by nothing but
+    * kept narrow — 2 longs + 1 int — so the delta join's shuffle weighs
+    * |index| × 20 bytes; bucketing the stored relation on `bh` would
+    * remove even that exchange, same trade as ivfWriteIndex.)
+    */
+  def minhashWriteIndex(
+      docs: DataFrame,
+      indexDir: String,
+      textCol: String = "text",
+      k: Int = 32,
+      bands: Int = 8,
+      w: Int = 3): Unit = {
+    val sig = docs
+      .select(col("doc_id"), minhashSignature(col(textCol), k, w).as("sig"))
+      .localCheckpoint()
+    sig.write.mode("overwrite").parquet(s"$indexDir/sigs")
+    bandRelation(sig, k, bands).write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** (doc_id, band, bh) banding of a signature relation — shared by the
+    * batch pairing, the index writer, and the delta query so all three
+    * band identically.
+    */
+  private def bandRelation(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    sig.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          graft.functions.TextHashExpressions
+            .band_hash(col("sig"), b * rows, rows).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Incremental near-dup pairs: new batch vs an existing corpus index
+    * (see [[minhashWriteIndex]]) PLUS within-batch pairs — exactly the
+    * pairs [[minhashNearDups]] on the union corpus would emit that
+    * involve ≥ 1 new doc (equivalence is spec-asserted). Output
+    * (a = new doc, b = matched doc, est_jaccard).
+    *
+    * Scale: the delta's banded relation is small (one ingest batch) and
+    * broadcast-or-shuffle-joins against the index's narrow band relation;
+    * candidate verification rejoins signatures per unique pair only. The
+    * index side is scanned, never re-paired against itself — at 100 TB
+    * that is the difference between O(batch × corpus/bucket) and
+    * O(corpus²/bucket) work per ingest.
+    */
+  def minhashDeltaPairs(
+      newDocs: DataFrame,
+      indexBands: DataFrame,
+      indexSigs: DataFrame,
+      textCol: String = "text",
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      w: Int = 3): DataFrame = {
+    val newSig = newDocs
+      .select(col("doc_id"), minhashSignature(col(textCol), k, w).as("sig"))
+      .localCheckpoint()
+    val newBands = bandRelation(newSig, k, bands)
+    // new-vs-index candidates (any band collision) …
+    val crossCand = newBands.select(col("band"), col("bh"), col("doc_id").as("a"))
+      .join(indexBands.select(col("band"), col("bh"), col("doc_id").as("b")),
+        Seq("band", "bh"))
+      .select("a", "b")
+    // … plus new-vs-new (the batch can contain its own dups)
+    val selfCand = newBands.select(col("band"), col("bh"), col("doc_id").as("a"))
+      .join(newBands.select(col("band"), col("bh"), col("doc_id").as("b")),
+        Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val cand = crossCand.union(selfCand).dropDuplicates("a", "b")
+    val sigsAll = indexSigs.union(newSig)
+    cand
+      .join(newSig.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sigsAll.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .withColumn("est_jaccard",
+        round(graft.functions.VecExpressions
+          .vec_match_count(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(k), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), col("est_jaccard"))
+  }
 }

@@ -169,6 +169,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental delta dedup ≡ full-corpus pairing restricted to new docs") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val old = docs.filter($"doc_id" % 2 === 0)
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    Dedup.minhashWriteIndex(old, dir)
+    val delta = Dedup.minhashDeltaPairs(
+      fresh,
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/sigs"),
+      threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // oracle: batch pairing over the union corpus, keeping pairs that
+    // involve >= 1 new doc, oriented as (new, other)
+    val full = Dedup.minhashNearDups(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.flatMap { case (a, b, j) =>
+      val aNew = a % 2 == 1; val bNew = b % 2 == 1
+      if (aNew && bNew) Seq((math.min(a, b), math.max(a, b), j))
+      else if (aNew) Seq((a, b, j))
+      else if (bNew) Seq((b, a, j))
+      else Nil
+    }.toSet
+    assert(delta == expected)
+    assert(delta.nonEmpty) // fixture corpus has planted cross-half dups
+  }
+
   test("sketch expressions compile under whole-stage codegen (no silent fallback)") {
     // with fallback disabled a Janino compile error in our doGenCode
     // surfaces instead of silently dropping to interpreted eval
