@@ -361,6 +361,14 @@ object SparkEntry {
   private def qChunkDocs(s: SparkSession, dir: String): DataFrame =
     TextOps.chunkDocs(Tables.documents(s, dir), chunkTokens = 32, stride = 16)
 
+  private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(Tables.documents(s, dir), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("source"), col("split"))
+
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.llm.EmbeddingOps.quantize(Tables.embeddings(s, dir))
+
   /** Exact distribution profiling (percentiles / dispersion / correlation)
     * — the corpus-statistics pass a data pipeline runs before setting
     * filter thresholds. Exact `percentile` (not approx) so the DuckDB
@@ -449,6 +457,12 @@ object SparkEntry {
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
     // radius must stay < bands (4) for the banding pigeonhole to hold
     Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 3)
+
+  /** Partial-overlap (plagiarized-paragraph) pairs via winnowing
+    * fingerprints (rows-only: seeded xxhash64).
+    */
+  private def qWinnowOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairs(Tables.documents(s, dir))
 
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.1)
@@ -613,6 +627,9 @@ object SparkEntry {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_sample_det" -> (qSampleDet _),
+    "q_split_assign" -> (qSplitAssign _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_token_budget" -> (qTokenBudget _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -1102,6 +1119,23 @@ object SparkEntry {
         |              WHEN 'src1' THEN '80000000'
         |              WHEN 'src2' THEN '19999999'
         |              ELSE '4ccccccc' END""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i.i AS dim,
+        |    CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT UNNEST(RANGE(64)) AS i) i),
+        |st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim)
+        |SELECT e.vec_id, e.dim,
+        |  CAST(CASE WHEN st.mx = st.mn THEN 0
+        |    ELSE LEAST(255.0, FLOOR((e.v - st.mn) / (st.mx - st.mn) * 256.0))
+        |  END AS INTEGER) AS q
+        |FROM ex e JOIN st USING (dim)""".stripMargin,
     "q_token_budget" -> (samplingCumCte +
       "\nSELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 700"),
     "q_pack_sequences" -> (samplingCumCte +

@@ -324,6 +324,37 @@ object Dedup {
       .select(col("a"), col("b"), col("est_jaccard"))
   }
 
+  /** Partial-overlap pairs via winnowing fingerprints: docs sharing ≥
+    * `minShared` selected k-gram hashes (MOSS-style containment
+    * detection — catches a copied PARAGRAPH inside an otherwise-new doc,
+    * which whole-doc fingerprints and shingle-Jaccard both dilute away).
+    * Same banded-join hygiene as the other families: fingerprints
+    * grouped, singleton and hot buckets pruned, pairs counted on 8-byte
+    * keys only.
+    */
+  def winnowOverlapPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = 1024): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.TextHashExpressions
+        .winnow_fingerprint(col(textCol), k, w)).as("fp"))
+      .localCheckpoint()
+    val useful = fps.groupBy(col("fp")).count()
+      .filter(col("count") >= 2 && col("count") <= maxBucket)
+      .select("fp")
+    val pruned = fps.join(useful, "fp")
+    pruned.select(col("fp"), col("doc_id").as("a"))
+      .join(pruned.select(col("fp").as("r_fp"), col("doc_id").as("b")),
+        col("fp") === col("r_fp") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Materialize the MinHash dedup index for a corpus: the banded
     * (band, bh, doc_id) relation and the signature relation, written as
     * parquet. This is the 100 TB operating mode: the corpus index is

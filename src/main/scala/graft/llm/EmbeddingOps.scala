@@ -38,6 +38,29 @@ object EmbeddingOps {
           .as("unit_vec"))
   }
 
+  /** Scalar (per-dimension min–max) 8-bit quantization — the PQ-lite
+    * compression step an ANN index runs before storing vectors (4×
+    * smaller than float32, 8× than double). Two passes over the
+    * exploded relation: a 64-row per-dim stats aggregate (broadcast
+    * back) and the quantizing projection — at 100 TB the stats pass is
+    * a partial-agg treeover the corpus and the projection stays
+    * scan-speed. All arithmetic in double with a fixed op order, so the
+    * DuckDB oracle matches the int codes exactly.
+    */
+  def quantize(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    def exploded = emb
+      .select(col("vec_id"), posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
+    val stats = exploded.groupBy("dim")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    exploded.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(255.0),
+            floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 256.0)))
+          .cast("int").as("q"))
+  }
+
   /** Per-dimension mean / sample-stddev / min / max across the corpus. */
   def dimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
     emb

@@ -69,6 +69,30 @@ object Sampling {
     df.filter(samplingKey(key) < threshold)
   }
 
+  /** Deterministic train/val/test split assignment: each row gets the
+    * first split whose cumulative hash threshold its key falls under
+    * (fractions must sum to 1; the last split is the catch-all, so hash
+    * boundary rounding never drops a row). Same hash as
+    * [[deterministicSample]] — a row's split never changes as the corpus
+    * grows, which is what keeps eval sets stable across refreshes.
+    */
+  def splitAssign(
+      df: DataFrame,
+      key: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least 2 splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val hk = samplingKey(key)
+    val assigned = splits.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), c)) =>
+        val cond = hk < lit(hexThreshold(c))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+      }.get.otherwise(lit(splits.last._1))
+    df.withColumn("split", assigned)
+  }
+
   /** Whitespace token count (shared with TextOps.tokens semantics). */
   private def nTokens(textCol: String): Column =
     size(split(col(textCol), " "))

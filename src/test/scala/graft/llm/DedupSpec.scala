@@ -169,6 +169,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowOverlapPairs flags a copied paragraph, not unrelated docs") {
+    val para = (1 to 30).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro text alpha beta $para closing remarks one"),
+      (2L, s"completely different opener $para and a new ending here"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((1L, 2L)), "shared paragraph must collide")
+    assert(pairs((1L, 2L)) >= 2)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
   test("incremental delta dedup ≡ full-corpus pairing restricted to new docs") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val old = docs.filter($"doc_id" % 2 === 0)

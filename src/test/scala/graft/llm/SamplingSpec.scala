@@ -63,6 +63,50 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(col("source") === "src2").count() == flat.count())
   }
 
+  test("splitAssign: total partition, stable under corpus growth, near-target sizes") {
+    val docs = Tables.documents(spark, sf0001)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(docs, col("doc_id"), splits)
+    val n = docs.count()
+    val byS = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byS.values.sum == n)                       // every row assigned
+    assert(math.abs(byS("train") - 0.8 * n) < 4 * math.sqrt(n * 0.16) + 1)
+    // stability: a doc's split is identical when assigned within a subset
+    val sub = Sampling.splitAssign(
+      docs.filter($"doc_id" < 100), col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    sub.foreach { case (id, s) => assert(full(id) == s) }
+    // invalid fraction sums are rejected
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, col("doc_id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("quantize: codes in [0,255], order-preserving per dim, extremes hit the ends") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = graft.llm.EmbeddingOps.quantize(emb)
+      .select("dim", "vec_id", "q").as[(Long, Long, Int)].collect()
+    assert(q.nonEmpty && q.forall(r => r._3 >= 0 && r._3 <= 255))
+    // per dim: the min vector gets code 0, the max gets 255 (range > 0)
+    val raw = emb.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._2)
+    val codes = q.groupBy(_._1)
+    raw.foreach { case (dim, rows) =>
+      val c = codes(dim.toLong).map(r => r._2 -> r._3).toMap
+      val lo = rows.minBy(_._3); val hi = rows.maxBy(_._3)
+      if (lo._3 < hi._3) {
+        assert(c(lo._1) == 0, s"dim $dim min vec not code 0")
+        assert(c(hi._1) == 255, s"dim $dim max vec not code 255")
+        // monotone: raw order implies code order
+        val ordered = rows.sortBy(_._3).map(r => c(r._1))
+        ordered.zip(ordered.drop(1)).foreach { case (a, b) => assert(a <= b) }
+      }
+    }
+  }
+
   test("tokenBudgetSample: kept prefix respects the budget, next doc would exceed it") {
     val docs = Tables.documents(spark, sf0001)
     val kept = Sampling.tokenBudgetSample(docs, budgetTokens = 700L)
