@@ -245,6 +245,12 @@ object SparkEntry {
       docs.filter(pmod(col("doc_id"), lit(10)) === 0))
   }
 
+  /** The contamination check executed incrementally over the ingest
+    * stream (stream-static join + stateful agg); shares the batch oracle.
+    */
+  private def qStreamContamination(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s, Streaming.contaminationStream(s, dir))
+
   /** normalize() keeps its array-valued API; the comparison view explodes
     * to (vec_id, dim, val) scalar rows because the driver's pandas compare
     * cannot sort raw array columns (round-1 ERRORED row).
@@ -598,6 +604,7 @@ object SparkEntry {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition_stats" -> (qRepetitionStats _),
     "q_contamination" -> (qContamination _),
+    "q_stream_contamination" -> (qStreamContamination _),
     "q_embed_normalize" -> (qEmbedNormalize _),
     "q_embed_dim_stats" -> (qEmbedDimStats _),
     "q_sim_topk" -> (qSimTopk _),
@@ -714,6 +721,25 @@ object SparkEntry {
       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       |  FROM t)""".stripMargin
+
+  /** Contamination oracle (string shingles; distinct-hash counts equal
+    * distinct-string counts at fixture scale) — shared by the batch query
+    * and its incremental streaming execution.
+    */
+  private val contaminationOracle =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(tk) - 2),
+      |    i -> ARRAY_TO_STRING(tk[i+1:i+3], ' ')))) AS s
+      |  FROM toks WHERE LEN(tk) >= 3),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+      |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+      |SELECT c.doc_id,
+      |  COUNT(*) AS n_shingles,
+      |  COUNT(b.s) AS n_contaminated,
+      |  ROUND(COUNT(b.s) * 1.0 / COUNT(*), 6) AS contamination_ratio
+      |FROM corp c LEFT JOIN bench b ON c.s = b.s
+      |GROUP BY c.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1054,20 +1080,9 @@ object SparkEntry {
         |  ROUND(dist * 1.0 / tot, 6) AS type_token_ratio,
         |  ROUND(mx * 1.0 / tot, 6) AS top_token_ratio
         |FROM a""".stripMargin,
-    "q_contamination" ->
-      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
-        |sh AS (
-        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(tk) - 2),
-        |    i -> ARRAY_TO_STRING(tk[i+1:i+3], ' ')))) AS s
-        |  FROM toks WHERE LEN(tk) >= 3),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
-        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
-        |SELECT c.doc_id,
-        |  COUNT(*) AS n_shingles,
-        |  COUNT(b.s) AS n_contaminated,
-        |  ROUND(COUNT(b.s) * 1.0 / COUNT(*), 6) AS contamination_ratio
-        |FROM corp c LEFT JOIN bench b ON c.s = b.s
-        |GROUP BY c.doc_id""".stripMargin,
+    "q_contamination" -> contaminationOracle,
+    // streaming ≡ batch: the incremental execution shares the oracle
+    "q_stream_contamination" -> contaminationOracle,
     "q_tfidf_keywords" ->
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),

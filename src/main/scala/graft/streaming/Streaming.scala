@@ -44,6 +44,33 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Streaming read of the documents fixture — the continuously-ingesting
+    * corpus a training-data pipeline actually sees (each file = one
+    * replayed ingest batch).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+  }
+
+  /** Streaming eval-leakage check: the ingest stream's shingles
+    * stream-static-join the (small, static) benchmark shingle relation,
+    * then aggregate per doc — the same TextOps.contamination expression
+    * incrementally executed (batch ≡ streaming shares one oracle). At
+    * scale the benchmark side broadcasts per micro-batch and per-doc
+    * state lives in the store until the doc's shingles are all seen.
+    */
+  def contaminationStream(spark: SparkSession, dir: String): DataFrame = {
+    val stream = documentsStream(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val benchmark = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    graft.llm.TextOps.contamination(stream, benchmark)
+  }
+
   /** ST3 production posture: bound state with a watermark (documented
     * deviation from ksql 5.4's unbounded-retention default).
     */

@@ -110,6 +110,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming contamination ≡ batch (stream-static join + stateful agg)") {
+    val streamed = Streaming.runToMemory(
+      spark, Streaming.contaminationStream(spark, sf0001))
+      .collect().toSet
+    val docs = Tables.documents(spark, sf0001)
+    val batch = graft.llm.TextOps.contamination(
+      docs.filter(pmod($"doc_id", lit(10)) =!= 0),
+      docs.filter(pmod($"doc_id", lit(10)) === 0))
+      .collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("deterministic sampling and chunking run unchanged over a stream") {
+    val ds = Streaming.documentsStream(spark, sf0001)
+    val sampled = Streaming.runToMemory(spark,
+      graft.llm.Sampling.deterministicSample(ds, $"doc_id", 0.25)
+        .select($"doc_id"), OutputMode.Append())
+      .collect().map(_.getLong(0)).toSet
+    val batchSample = graft.llm.Sampling.deterministicSample(
+      Tables.documents(spark, sf0001), $"doc_id", 0.25)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled == batchSample && sampled.nonEmpty)
+    val chunked = Streaming.runToMemory(spark,
+      graft.llm.TextOps.chunkDocs(ds, chunkTokens = 32, stride = 16),
+      OutputMode.Append()).collect().toSet
+    val batchChunks = graft.llm.TextOps.chunkDocs(
+      Tables.documents(spark, sf0001), chunkTokens = 32, stride = 16)
+      .collect().toSet
+    assert(chunked == batchChunks && chunked.nonEmpty)
+  }
+
   test("ST7: restart against the same checkpoint replays nothing (exactly-once offsets)") {
     val ck = java.nio.file.Files.createTempDirectory("st7_ck").toString
     val out = java.nio.file.Files.createTempDirectory("st7_out").toString + "/data"
