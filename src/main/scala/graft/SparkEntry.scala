@@ -335,6 +335,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_orders"),
         (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
 
+  /** Salted fact⋈dim join ≡ plain join (skew path; the oracle is the
+    * DIRECT join, proving the rewrite exact).
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+      Tables.events(s, dir), Tables.customer(s, dir), "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+
   /** Salted two-stage aggregation ≡ plain GROUP BY (skew path, SCALE.md).
     * The oracle is the DIRECT aggregation — proving the rewrite exact.
     */
@@ -646,6 +654,7 @@ object SparkEntry {
     "q_distinct_counts" -> (qDistinctCounts _),
     "q_rollup" -> (qRollup _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_dedup_delta" -> (qDedupDelta _)
@@ -1015,6 +1024,10 @@ object SparkEntry {
         |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY user_id""".stripMargin,
+    // oracle = the DIRECT join: the salt+replicate rewrite must be exact
+    "q_salted_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     // identical oracle as q_hopping_pivot: incremental execution must
     // produce exactly the batch answer
     "q_stream_hopping_pivot" -> (hopCte +

@@ -39,4 +39,39 @@ object Skew {
         (sums.tail.map { case (n, _) => sum(col(n)).as(n) }.toSeq :+
           sum(col("_n")).as("n_rows")): _*)
   }
+
+  /** Salted equi-join for a skewed fact side against a
+    * small-but-not-broadcastable dimension: the fact side gets a
+    * per-row salt in [0, saltBuckets), the dimension is replicated once
+    * per salt value, and the join runs on (key, salt) — a hot key's rows
+    * land on `saltBuckets` reducers instead of one. Result ≡ the
+    * unsalted join (each fact row meets exactly one replica of its
+    * dimension row; oracle-gated by q_salted_join).
+    *
+    * This is the manual fallback for shapes AQE's skew-join splitting
+    * does not cover (AQE splits oversized SMJ partitions only after
+    * materializing the map side; salting declares the spread up front
+    * and also helps the preceding exchange). Inner and left joins only:
+    * a right/full join would emit unmatched dimension rows once per
+    * replica.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      saltBuckets: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    saltedFact.join(replicatedDim,
+      saltedFact(factKey) === replicatedDim(dimKey) &&
+        saltedFact("_salt") === replicatedDim("_salt"),
+      joinType)
+      .drop("_salt")
+  }
 }
