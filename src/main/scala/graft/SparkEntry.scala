@@ -430,7 +430,9 @@ object SparkEntry {
     */
   private def qDedupDelta(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val dir2 = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    // fixed path + overwrite mode: repeated Verify/bench invocations
+    // reuse one directory instead of leaking a temp dir per run
+    val dir2 = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_fixture"
     Dedup.minhashWriteIndex(docs.filter(col("doc_id") % 2 === 0), dir2)
     Dedup.minhashDeltaPairs(
       docs.filter(col("doc_id") % 2 === 1),

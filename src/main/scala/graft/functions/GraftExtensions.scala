@@ -46,44 +46,47 @@ object GraftFunctions {
   private def fd(name: String, usage: String)(
       builder: Seq[Expression] => Expression): FunctionDescription =
     (new FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions", name, usage),
+      // 5-arg form: (className, db, name, usage, arguments) — the 3-arg
+      // constructor is (className, db, NAME), which would put the usage
+      // text where the name belongs
+      new ExpressionInfo("graft.functions", null, name, usage, ""),
       builder)
 
   /** The full SQL function table (names match each expression's
     * prettyName, so plans read identically from either API).
     */
   val all: Seq[FunctionDescription] = Seq(
-    fd("simhash64", "simhash64(text) - 64-bit SimHash over whitespace tokens") { args =>
+    fd("simhash64", "_FUNC_(text) - 64-bit SimHash over whitespace tokens") { args =>
       arity("simhash64", args, 1 to 1)
       SimHash64(args.head)
     },
-    fd("minhash_sig", "minhash_sig(text[, k[, w]]) - k-perm MinHash signature of w-shingles") { args =>
+    fd("minhash_sig", "_FUNC_(text[, k[, w]]) - k-perm MinHash signature of w-shingles") { args =>
       arity("minhash_sig", args, 1 to 3)
       MinHashSig(args.head,
         if (args.length > 1) litInt("minhash_sig", "k", args(1)) else 32,
         if (args.length > 2) litInt("minhash_sig", "w", args(2)) else 3)
     },
-    fd("shingle_hashes", "shingle_hashes(text[, w]) - sorted distinct w-shingle hashes") { args =>
+    fd("shingle_hashes", "_FUNC_(text[, w]) - sorted distinct w-shingle hashes") { args =>
       arity("shingle_hashes", args, 1 to 2)
       ShingleHashes(args.head,
         if (args.length > 1) litInt("shingle_hashes", "w", args(1)) else 3)
     },
-    fd("band_hash", "band_hash(sig, start, len) - LSH band key of a signature slice") { args =>
+    fd("band_hash", "_FUNC_(sig, start, len) - LSH band key of a signature slice") { args =>
       arity("band_hash", args, 3 to 3)
       BandHash(args.head,
         litInt("band_hash", "start", args(1)), litInt("band_hash", "len", args(2)))
     },
-    fd("winnow_fingerprint", "winnow_fingerprint(text[, k[, w]]) - winnowing fingerprint hashes") { args =>
+    fd("winnow_fingerprint", "_FUNC_(text[, k[, w]]) - winnowing fingerprint hashes") { args =>
       arity("winnow_fingerprint", args, 1 to 3)
       WinnowFingerprint(args.head,
         if (args.length > 1) litInt("winnow_fingerprint", "k", args(1)) else 5,
         if (args.length > 2) litInt("winnow_fingerprint", "w", args(2)) else 4)
     },
-    fd("vec_dot", "vec_dot(a, b) - dot product of two array<double>") { args =>
+    fd("vec_dot", "_FUNC_(a, b) - dot product of two array<double>") { args =>
       arity("vec_dot", args, 2 to 2)
       DotProduct(args(0), args(1))
     },
-    fd("vec_match_count", "vec_match_count(a, b) - agreeing positions of two array<bigint>") { args =>
+    fd("vec_match_count", "_FUNC_(a, b) - agreeing positions of two array<bigint>") { args =>
       arity("vec_match_count", args, 2 to 2)
       MatchCount(args(0), args(1))
     }

@@ -129,11 +129,15 @@ object TextHashKernels {
     */
   def bandHash(a: org.apache.spark.sql.catalyst.util.ArrayData,
       start: Int, len: Int): Long = {
-    // fail fast like VecKernels.requireSameLength: a short signature means
-    // a k/bands misconfiguration, not something to silently band anyway
-    if (start + len > a.numElements()) throw new IllegalArgumentException(
-      s"bandHash: slice [$start, ${start + len}) exceeds signature length ${a.numElements()} " +
-        "(k must equal bands*rows)")
+    // fail fast like VecKernels.requireSameLength: a bad slice means a
+    // k/bands misconfiguration, not something to silently band anyway.
+    // Long arithmetic: start + len must not pass via int overflow, and a
+    // negative start would be an unchecked off-heap read on
+    // UnsafeArrayData (the SQL surface makes arbitrary args reachable)
+    if (start < 0 || len < 0 || start.toLong + len > a.numElements())
+      throw new IllegalArgumentException(
+        s"bandHash: slice [$start, ${start.toLong + len}) outside signature " +
+          s"length ${a.numElements()} (k must equal bands*rows)")
     var s = 17L
     var i = start
     val end = start + len

@@ -421,10 +421,13 @@ object Dedup {
       .select(col("doc_id"), minhashSignature(col(textCol), k, w).as("sig"))
       .localCheckpoint()
     val newBands = bandRelation(newSig, k, bands)
-    // new-vs-index candidates (any band collision) …
+    // new-vs-index candidates (any band collision). a =!= b guards the
+    // replayed-ingest case: a doc present in BOTH the batch and the index
+    // must not pair with itself (est_jaccard 1.0 → spurious self-drop)
     val crossCand = newBands.select(col("band"), col("bh"), col("doc_id").as("a"))
       .join(indexBands.select(col("band"), col("bh"), col("doc_id").as("b")),
         Seq("band", "bh"))
+      .filter(col("a") =!= col("b"))
       .select("a", "b")
     // … plus new-vs-new (the batch can contain its own dups)
     val selfCand = newBands.select(col("band"), col("bh"), col("doc_id").as("a"))
@@ -433,7 +436,11 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b")
     val cand = crossCand.union(selfCand).dropDuplicates("a", "b")
-    val sigsAll = indexSigs.union(newSig)
+    // replayed ids carry the NEW signature only — the union would
+    // otherwise match two sig rows per overlapping id and duplicate
+    // every pair that doc appears in
+    val sigsAll = newSig.union(
+      indexSigs.join(newSig.select(col("doc_id")), Seq("doc_id"), "left_anti"))
     cand
       .join(newSig.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
       .join(sigsAll.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")

@@ -93,9 +93,12 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
-  /** Whitespace token count (shared with TextOps.tokens semantics). */
+  /** Whitespace token count — counts [[TextOps.tokens]] itself so the
+    * budget/packing arithmetic can never diverge from the tokenization
+    * the chunking/stats operators use.
+    */
   private def nTokens(textCol: String): Column =
-    size(split(col(textCol), " "))
+    size(TextOps.tokens(col(textCol)))
 
   /** Deterministic total order within a group: hash order (uniform,
     * content-independent) with the unique id as tiebreak.

@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt: hash of the row's own columns. A salt
+    * from `rand()` or `monotonically_increasing_id()` changes when a
+    * task recomputes (upstream shuffle order is not stable across
+    * retries), and a shuffle KEY that changes on recompute silently
+    * duplicates or drops rows when only some reducers refetch
+    * (SPARK-23207 class). Content-derived salt is retry-stable;
+    * fully identical rows sharing a salt bucket is harmless — map-side
+    * partial aggregation collapses them anyway.
+    */
+  private def rowSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltBuckets.toLong))
+
   /** Salted two-stage sum/count. `sums` maps output column name → value
     * expression to sum.
     */
@@ -24,8 +36,7 @@ object Skew {
       key: String,
       sums: Map[String, Column],
       saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val salted = df.withColumn("_salt", rowSalt(df, saltBuckets))
     val partial = salted
       .groupBy(col(key), col("_salt"))
       .agg(
@@ -64,8 +75,7 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"saltedJoin supports inner/left joins, got $joinType")
-    val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val saltedFact = fact.withColumn("_salt", rowSalt(fact, saltBuckets))
     val replicatedDim = dim.withColumn("_salt",
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     saltedFact.join(replicatedDim,

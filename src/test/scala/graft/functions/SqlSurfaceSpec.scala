@@ -23,6 +23,13 @@ class SqlSurfaceSpec extends SparkSpec {
       "band_hash", "winnow_fingerprint", "vec_dot", "vec_match_count"))
   }
 
+  test("DESCRIBE FUNCTION shows correct name and usage metadata") {
+    val desc = spark.sql("DESCRIBE FUNCTION simhash64")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("Function: simhash64"), desc)
+    assert(desc.contains("simhash64(text) - 64-bit SimHash"), desc)
+  }
+
   test("SQL text ≡ Column API on the fixture corpus (sketch functions)") {
     Tables.documents(spark, sf0001).createOrReplaceTempView("docs_sql")
     val viaSql = spark.sql(

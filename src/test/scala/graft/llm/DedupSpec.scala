@@ -209,6 +209,18 @@ class DedupSpec extends SparkSpec {
     }.toSet
     assert(delta == expected)
     assert(delta.nonEmpty) // fixture corpus has planted cross-half dups
+
+    // replayed ingest: a doc already in the index re-arrives in the batch
+    // — it must not pair with itself, and pairs it appears in must not
+    // duplicate through the doubled signature row
+    val replay = Dedup.minhashDeltaPairs(
+      fresh.union(old.limit(5)), // batch = fresh + 5 already-indexed docs
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/sigs"),
+      threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!replay.exists(p => p._1 == p._2), "self-pair from replayed doc")
+    assert(replay.length == replay.distinct.length, "duplicated pair rows")
   }
 
   test("sketch expressions compile under whole-stage codegen (no silent fallback)") {
