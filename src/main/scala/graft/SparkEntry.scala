@@ -490,6 +490,9 @@ object SparkEntry {
   private def qNgramJaccardExact(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairsExact(Tables.documents(s, dir), threshold = 0.1)
 
+  private def qNgramContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairsExact(Tables.documents(s, dir), threshold = 0.2)
+
   private def qDedupClustersExact(s: SparkSession, dir: String): DataFrame =
     Dedup.resolveClusters(
       Dedup.ngramJaccardPairsExact(Tables.documents(s, dir), threshold = 0.1))
@@ -623,6 +626,7 @@ object SparkEntry {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_jaccard_exact" -> (qNgramJaccardExact _),
+    "q_ngram_containment" -> (qNgramContainment _),
     "q_dedup_clusters_exact" -> (qDedupClustersExact _),
     "q_dedup_apply_exact" -> (qDedupApplyExact _),
     "q_sim_lsh" -> (qSimLsh _),
@@ -1117,6 +1121,14 @@ object SparkEntry {
         |SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "q_ngram_jaccard_exact" -> (ngramExactCte +
       "\nSELECT a, b, jaccard FROM pairs"),
+    "q_ngram_containment" -> (ngramExactCte +
+      """
+        |SELECT a, b,
+        |  ROUND(inter * 1.0 / n_a, 6) AS containment_a,
+        |  ROUND(inter * 1.0 / n_b, 6) AS containment_b
+        |FROM p0
+        |WHERE ROUND(inter * 1.0 / n_a, 6) >= 0.2
+        |   OR ROUND(inter * 1.0 / n_b, 6) >= 0.2""".stripMargin),
     "q_dedup_clusters_exact" -> (ngramExactCte +
       "\nSELECT doc_id, survivor, doc_id = survivor AS keep FROM surv"),
     "q_dedup_apply_exact" -> (ngramExactCte +

@@ -214,6 +214,38 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs: |A∩B| / |A| and |A∩B| / |B| per
+    * candidate pair — the sub/superset-dedup measure (a short doc fully
+    * quoted inside a long one scores containment ≈ 1 while its Jaccard
+    * is diluted to |A|/|B|). Same provably-complete anchor candidates and
+    * scale caveat as [[ngramJaccardPairsExact]]; keep whichever direction
+    * clears `threshold`.
+    */
+  def ngramContainmentPairsExact(
+      docs: DataFrame,
+      textCol: String = "text",
+      w: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"), shingles(col(textCol), w).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .localCheckpoint()
+    val anchors = sets.select(col("doc_id"), explode(col("sh")).as("anchor"))
+    val cand = anchors.select(col("anchor"), col("doc_id").as("a"))
+      .join(anchors.select(col("anchor").as("r_anchor"), col("doc_id").as("b")),
+        col("anchor") === col("r_anchor") && col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment_a", round(col("inter").cast("double") / col("n_a"), 6))
+      .withColumn("containment_b", round(col("inter").cast("double") / col("n_b"), 6))
+      .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
+      .select(col("a"), col("b"), col("containment_a"), col("containment_b"))
+  }
+
   /** Dedup cluster resolution: given near-dup pairs (a, b), compute the
     * connected component of every doc and elect min(doc_id) as survivor —
     * the step that turns pairwise candidates into a keep/drop decision.

@@ -169,6 +169,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment catches a quoted sub-document that jaccard dilutes away") {
+    val short = (1 to 10).map(i => s"q$i").mkString(" ")
+    val long = s"${(1 to 60).map(i => s"pad$i").mkString(" ")} $short"
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val c = Dedup.ngramContainmentPairsExact(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(c.length == 1)
+    val (a, b, ca, cb) = c.head
+    assert((a, b) == ((1L, 2L)))
+    assert(ca == 1.0, "short doc fully contained")     // |A∩B| / |A|
+    assert(cb < 0.2, "long doc only partially covered")
+    // jaccard on the same pair is far below the containment signal
+    val j = Dedup.ngramJaccardPairsExact(docs, threshold = 0.01)
+      .collect().map(_.getDouble(2))
+    assert(j.forall(_ < 0.2))
+  }
+
   test("winnowOverlapPairs flags a copied paragraph, not unrelated docs") {
     val para = (1 to 30).map(i => s"shared$i").mkString(" ")
     val docs = Seq(
