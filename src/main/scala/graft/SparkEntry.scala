@@ -389,15 +389,18 @@ object SparkEntry {
     * quantile_cont oracle matches; rounding absorbs last-ulp FP
     * differences between the engines' streaming moment formulas.
     */
-  private def qStatsProfile(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  private def qStatsProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // histogram+rank exact percentiles (operators.Stats) instead of the
+    // built-in value-map percentile aggregate — same results (shared
+    // oracle), sort-shaped memory instead of per-group maps
+    val qty = graft.operators.Stats.percentilesByGroup(
+      li, "l_returnflag", "l_quantity", Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
+    val price = graft.operators.Stats.percentilesByGroup(
+      li, "l_returnflag", "l_extendedprice", Seq("p25_price" -> 0.25))
+    val moments = li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        // one percentile aggregate (one per-group value map) for both
-        // quantity quantiles instead of two
-        expr("percentile(l_quantity, array(0.5, 0.9))").as("_p_qty"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
         // + 0.0 normalizes IEEE −0.0 (a tiny negative covariance rounds
         // to −0.0, which string-compares unequal to the other engine's 0.0)
@@ -405,12 +408,15 @@ object SparkEntry {
           .as("corr_qty_price"),
         (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0))
           .as("cov_disc_tax"))
+    moments
+      .join(qty, "l_returnflag").join(price, "l_returnflag")
       .select(
         col("l_returnflag"), col("n"),
-        round(col("_p_qty").getItem(0), 4).as("p50_qty"),
-        round(col("_p_qty").getItem(1), 4).as("p90_qty"),
-        col("p25_price"), col("sd_price"),
-        col("corr_qty_price"), col("cov_disc_tax"))
+        round(col("p50_qty"), 4).as("p50_qty"),
+        round(col("p90_qty"), 4).as("p90_qty"),
+        round(col("p25_price"), 4).as("p25_price"),
+        col("sd_price"), col("corr_qty_price"), col("cov_disc_tax"))
+  }
 
   // rows-only (no SQL oracle: approximate / hash-seeded / stubbed ops)
 

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Histogram+rank exact percentiles must equal the built-in value-map
+  * `percentile` aggregate bit-for-bit (same interpolation arithmetic).
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("percentilesByGroup ≡ built-in percentile on the fixture, incl. edges") {
+    val li = Tables.lineitem(spark, sf0001)
+    val ps = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5,
+      "p90" -> 0.9, "p100" -> 1.0)
+    val ours = Stats.percentilesByGroup(li, "l_returnflag", "l_extendedprice", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to 5).map(r.getDouble)).toMap
+    val builtin = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.0, 0.25, 0.5, 0.9, 1.0))"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(ours.keySet == builtin.keySet && ours.nonEmpty)
+    ours.foreach { case (g, vs) =>
+      vs.zip(builtin(g)).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b, s"group $g percentile #$i: $a != $b")
+      }
+    }
+  }
+
+  test("percentilesByGroup handles repeated values and nulls like the built-in") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+      ("b", Some(5.0))
+    ).toDF("g", "v")
+    val ours = Stats.percentilesByGroup(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ours("a") == 1.0) // median of (1, 1, 2), null ignored
+    assert(ours("b") == 5.0)
+  }
+}
