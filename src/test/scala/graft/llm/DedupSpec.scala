@@ -240,6 +240,42 @@ class DedupSpec extends SparkSpec {
     assert(replay.length == replay.distinct.length, "duplicated pair rows")
   }
 
+  test("bucketed band index: same delta pairs, fewer exchanges than plain parquet") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val old = docs.filter($"doc_id" % 2 === 0)
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+    for (t <- Seq("mhidx_sigs", "mhidx_bands")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(d)
+      }
+    }
+    Dedup.minhashWriteIndexBucketed(old, "mhidx")
+    val pdir = java.nio.file.Files.createTempDirectory("graft_mh_plain").toString
+    Dedup.minhashWriteIndex(old, pdir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = Dedup.minhashDeltaPairs(fresh,
+        spark.table("mhidx_bands"), spark.table("mhidx_sigs"), threshold = 0.3)
+      val plain = Dedup.minhashDeltaPairs(fresh,
+        spark.read.parquet(s"$pdir/bands"), spark.read.parquet(s"$pdir/sigs"),
+        threshold = 0.3)
+      val a = bucketed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = plain.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b && a.nonEmpty)
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(exchanges(bucketed) < exchanges(plain),
+        "bucketed index must remove at least one exchange from the delta join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sketch expressions compile under whole-stage codegen (no silent fallback)") {
     // with fallback disabled a Janino compile error in our doGenCode
     // surfaces instead of silently dropping to interpreted eval
