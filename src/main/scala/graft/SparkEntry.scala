@@ -436,9 +436,11 @@ object SparkEntry {
     */
   private def qDedupDelta(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // fixed path + overwrite mode: repeated Verify/bench invocations
-    // reuse one directory instead of leaking a temp dir per run
-    val dir2 = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_fixture"
+    // per-PROCESS fixed path + overwrite mode: repeated invocations within
+    // one JVM reuse a single directory (no temp-dir leak per run), while
+    // the pid suffix keeps concurrent Verify/Bench processes on the same
+    // machine from overwriting each other's parquet mid-read
+    val dir2 = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_fixture_${ProcessHandle.current().pid()}"
     Dedup.minhashWriteIndex(docs.filter(col("doc_id") % 2 === 0), dir2)
     Dedup.minhashDeltaPairs(
       docs.filter(col("doc_id") % 2 === 1),

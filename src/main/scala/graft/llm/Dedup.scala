@@ -495,7 +495,23 @@ object Dedup {
       .join(newBands.select(col("bkey"), col("doc_id").as("b")), Seq("bkey"))
       .filter(col("a") < col("b"))
       .select("a", "b")
-    val cand = crossCand.union(selfCand).dropDuplicates("a", "b")
+    // Collapse candidates on the UNDIRECTED pair: a replayed doc y (in
+    // batch AND index) matching a fresh doc x > y yields (x, y) from
+    // crossCand and (y, x) from selfCand — dropDuplicates("a","b") would
+    // keep the mirrored tuple as a second output row. min_by prefers the
+    // canonical a < b orientation when both are present (deterministic)
+    // and keeps the (new, old) orientation for pure cross pairs, which
+    // only ever occur in one orientation. (An anti-join of batch ids
+    // against the index side would also fix this, but Catalyst pushes
+    // LeftAnti below the band join — PushDownLeftSemiAntiJoin — which
+    // re-shuffles a bkey-bucketed index; this groupBy costs the same
+    // single exchange dropDuplicates already paid.)
+    val cand = crossCand.union(selfCand)
+      .groupBy(least(col("a"), col("b")).as("_lo"),
+        greatest(col("a"), col("b")).as("_hi"))
+      .agg(min_by(struct(col("a"), col("b")),
+        (col("a") > col("b")).cast("int")).as("_p"))
+      .select(col("_p.a").as("a"), col("_p.b").as("b"))
     // replayed ids carry the NEW signature only — the union would
     // otherwise match two sig rows per overlapping id and duplicate
     // every pair that doc appears in

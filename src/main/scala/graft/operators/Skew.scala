@@ -65,6 +65,17 @@ object Skew {
     * and also helps the preceding exchange). Inner and left joins only:
     * a right/full join would emit unmatched dimension rows once per
     * replica.
+    *
+    * Limitation: the salt is content-derived (see [[rowSalt]]), so
+    * BYTE-IDENTICAL fact rows share one salt bucket. If a hot key's rows
+    * are exact duplicates, all of them still land on one reducer and the
+    * spread is defeated. That degenerate shape needs a pre-shuffle stable
+    * row discriminator mixed into the salt — e.g. a source offset /
+    * line-number column when the source provides one (rand() or
+    * monotonically_increasing_id() are NOT retry-stable and would
+    * corrupt the join on task retry, SPARK-23207 class). For
+    * [[saltedAgg]] identical rows are harmless: map-side combine
+    * collapses them before the exchange.
     */
   def saltedJoin(
       fact: DataFrame,

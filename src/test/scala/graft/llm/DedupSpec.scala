@@ -238,6 +238,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(!replay.exists(p => p._1 == p._2), "self-pair from replayed doc")
     assert(replay.length == replay.distinct.length, "duplicated pair rows")
+    // orientation-normalized: a fresh-x/replayed-y pair must not appear as
+    // BOTH (x,y) from the cross path and (y,x) from the within-batch path
+    val undirected = replay.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    assert(undirected.length == undirected.distinct.length,
+      "mirrored duplicate pair rows")
+    // replayed docs ARE batch members: their pairs with fresh docs must
+    // still be present (min/max-oriented via the within-batch path)
+    val replayedIds = old.limit(5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectReplayPairs = expected.filter { case (a, b, _) =>
+      replayedIds.contains(a) || replayedIds.contains(b) }
+    assert(expectReplayPairs.forall { case (a, b, _) =>
+      undirected.contains((math.min(a, b), math.max(a, b))) },
+      "replayed-doc pairs with fresh docs must survive the anti-join fix")
   }
 
   test("bucketed band index: same delta pairs, fewer exchanges than plain parquet") {
