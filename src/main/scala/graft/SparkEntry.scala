@@ -282,6 +282,29 @@ object SparkEntry {
   private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
     WindowOps.sessionAgg(Tables.events(s, dir), gap = "30 minutes")
 
+  /** The tumbling aggregation executed incrementally (micro-batches +
+    * state store); shares the batch oracle: streaming ≡ batch.
+    */
+  private def qStreamTumbling(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s,
+      WindowOps.tumblingAgg(
+        Streaming.eventsStream(s, dir),
+        aggs = Seq(
+          count(lit(1)).as("n_events"),
+          (sum(cents(col("value"))) / 100.0).as("total_value")),
+        extraKeys = Seq("event_type"))
+        .select(col("w_start"), col("event_type"), col("n_events"),
+          col("total_value")))
+
+  /** Gap-based session windows executed incrementally — Spark's
+    * session_window MERGES open sessions in the state store as events
+    * arrive, a genuinely stateful shape (unlike fixed windows, a
+    * session's extent is data-dependent); shares the batch oracle.
+    */
+  private def qStreamSession(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s,
+      WindowOps.sessionAgg(Streaming.eventsStream(s, dir), gap = "30 minutes"))
+
   /** Interval join: clicks within the 600 s before each purchase. */
   private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsWithEpoch(s, dir)
@@ -379,6 +402,31 @@ object SparkEntry {
     Sampling.splitAssign(Tables.documents(s, dir), col("doc_id"),
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select(col("doc_id"), col("source"), col("split"))
+
+  /** Temperature mixture table: per-source sampling weights/fractions
+    * for alpha = 0.5 targeting 300 rows.
+    */
+  private def qMixtureWeights(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureWeights(Tables.documents(s, dir), "source",
+      alpha = 0.5, targetRows = 300L)
+
+  /** The temperature-flattened sample itself (pure filter against the
+    * broadcast weights relation).
+    */
+  private def qSampleTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(Tables.documents(s, dir), col("doc_id"),
+      "source", alpha = 0.5, targetRows = 300L)
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  /** Perplexity-filter signal: per-doc cross-entropy under the corpus's
+    * own add-k unigram LM.
+    */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LangModel.crossEntropy(Tables.documents(s, dir))
+
+  /** Corpus heavy hitters: top-20 bigrams (boilerplate report). */
+  private def qTopNgrams(s: SparkSession, dir: String): DataFrame =
+    TextOps.topNgrams(Tables.documents(s, dir), n = 2, k = 20)
 
   private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
     graft.llm.EmbeddingOps.quantize(Tables.embeddings(s, dir))
@@ -650,6 +698,8 @@ object SparkEntry {
     "q_ml_features" -> (qMlFeatures _),
     "q_tumbling_agg" -> (qTumblingAgg _),
     "q_session_window" -> (qSessionWindow _),
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_session" -> (qStreamSession _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
@@ -660,6 +710,10 @@ object SparkEntry {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_mixture_weights" -> (qMixtureWeights _),
+    "q_sample_temperature" -> (qSampleTemperature _),
+    "q_lm_score" -> (qLmScore _),
+    "q_top_ngrams" -> (qTopNgrams _),
     "q_token_budget" -> (qTokenBudget _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_chunk_docs" -> (qChunkDocs _),
@@ -763,6 +817,34 @@ object SparkEntry {
       |  ROUND(COUNT(b.s) * 1.0 / COUNT(*), 6) AS contamination_ratio
       |FROM corp c LEFT JOIN bench b ON c.s = b.s
       |GROUP BY c.doc_id""".stripMargin
+
+  /** Tumbling/session oracles — each shared by the batch query and its
+    * incremental streaming execution (streaming ≡ batch).
+    */
+  private val tumblingOracle =
+    """SELECT
+      |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) - (CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 600) AS w_start,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val sessionOracle =
+    """WITH e AS (
+      |  SELECT user_id, EPOCH(ts) AS es,
+      |    LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, es,
+      |    SUM(CASE WHEN prev IS NULL OR es - prev >= 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY es
+      |            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(FLOOR(MIN(es)) AS BIGINT) AS session_start,
+      |  CAST(FLOOR(MAX(es)) AS BIGINT) + 1800 AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -964,29 +1046,10 @@ object SparkEntry {
         |FROM per_window p
         |LEFT JOIN dims d ON p.user_id = d.c_custkey
         |LEFT JOIN nb ON p.user_id = nb.o_custkey""".stripMargin),
-    "q_tumbling_agg" ->
-      """SELECT
-        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) - (CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 600) AS w_start,
-        |  event_type,
-        |  COUNT(*) AS n_events,
-        |  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "q_session_window" ->
-      """WITH e AS (
-        |  SELECT user_id, EPOCH(ts) AS es,
-        |    LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, es,
-        |    SUM(CASE WHEN prev IS NULL OR es - prev >= 1800 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY es
-        |            ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM e)
-        |SELECT user_id,
-        |  CAST(FLOOR(MIN(es)) AS BIGINT) AS session_start,
-        |  CAST(FLOOR(MAX(es)) AS BIGINT) + 1800 AS session_end,
-        |  COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_tumbling_agg" -> tumblingOracle,
+    "q_session_window" -> sessionOracle,
+    "q_stream_tumbling" -> tumblingOracle,
+    "q_stream_session" -> sessionOracle,
     "q_asof_join" ->
       """WITH r0 AS (
         |  SELECT o_custkey, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_sec,
@@ -1186,6 +1249,47 @@ object SparkEntry {
         |    ELSE LEAST(255.0, FLOOR((e.v - st.mn) / (st.mx - st.mn) * 256.0))
         |  END AS INTEGER) AS q
         |FROM ex e JOIN st USING (dim)""".stripMargin,
+    // temperature mixing: ROUND(weight,6) BEFORE deriving frac on both
+    // sides so the engines' different float-sum orders cannot diverge
+    "q_mixture_weights" ->
+      """WITH g AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source),
+        |w AS (SELECT source, n_rows,
+        |        ROUND(POW(n_rows, 0.5) / SUM(POW(n_rows, 0.5)) OVER (), 6) AS weight
+        |      FROM g)
+        |SELECT source, n_rows, weight,
+        |  ROUND(LEAST(1.0, 300.0 * weight / n_rows), 6) AS frac
+        |FROM w""".stripMargin,
+    "q_sample_temperature" ->
+      """WITH g AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source),
+        |w AS (SELECT source, n_rows,
+        |        ROUND(POW(n_rows, 0.5) / SUM(POW(n_rows, 0.5)) OVER (), 6) AS weight
+        |      FROM g),
+        |f AS (SELECT source, ROUND(LEAST(1.0, 300.0 * weight / n_rows), 6) AS frac FROM w),
+        |t AS (SELECT source,
+        |        CASE WHEN frac >= 1.0 THEN 'g'
+        |             ELSE PRINTF('%08x', CAST(FLOOR(frac * 4294967296.0) AS BIGINT)) END AS thr
+        |      FROM f)
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN t USING (source)
+        |WHERE SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr""".stripMargin,
+    "q_lm_score" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        |t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+        |             CAST(COUNT(*) AS DOUBLE) AS vocab FROM c),
+        |p AS (SELECT token, (cnt + 0.5) / (total + 0.5 * vocab) AS p FROM c, t)
+        |SELECT tok.doc_id AS doc_id,
+        |  COUNT(*) AS n_tokens,
+        |  ROUND(AVG(-LOG2(p.p)), 6) AS xent
+        |FROM tok JOIN p USING (token)
+        |GROUP BY tok.doc_id""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH t AS (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |g AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(LEN(toks) - 1),
+        |        i -> ARRAY_TO_STRING(toks[i+1:i+2], ' '))) AS gram
+        |      FROM t WHERE LEN(toks) >= 2)
+        |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
     "q_token_budget" -> (samplingCumCte +
       "\nSELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 700"),
     "q_pack_sequences" -> (samplingCumCte +

@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained statistical language-model scoring — the "perplexity
+  * filter" of LLM data pipelines (docs whose cross-entropy under a
+  * corpus-trained LM is an outlier are boilerplate, non-language, or
+  * mis-identified language), with the corpus itself as the training set
+  * so the operator needs no external model artifact.
+  *
+  * Unlike the KenLM-style filters it stands in for, everything here is
+  * exact, deterministic, and DuckDB-oracle-checkable: train = one
+  * groupBy over exploded tokens, score = one join + one groupBy. At
+  * 100 TB the unigram relation is vocabulary-sized (tens of millions of
+  * rows for whitespace tokens); the score join is a plain equi-join on
+  * `token`, so Catalyst/AQE broadcast it while it fits and shuffle-join
+  * past that — no driver-side model object, no per-row UDF.
+  */
+object LangModel {
+
+  /** Unigram table: (token, cnt) over the whitespace tokenization shared
+    * with [[TextOps]] (same `tokens`, so LM scores and token budgets can
+    * never disagree about what a token is).
+    */
+  def unigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document cross-entropy (bits/token) under the add-k-smoothed
+    * unigram LM trained on `docs` itself:
+    * p(t) = (cnt_t + k) / (total + k·|vocab|), xent = avg(−log2 p(t)).
+    * Output (idCol, n_tokens, xent); xent rounds to 6 places because the
+    * per-doc average's float add order is engine-dependent.
+    */
+  def crossEntropy(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0.0, s"addK must be positive for unseen-token mass, got $addK")
+    val counts = unigramCounts(docs, textCol)
+    // one-row (total, vocab) relation: broadcast cross join, no collect
+    val totals = counts.agg(
+      sum(col("cnt")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("vocab"))
+    val probs = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        ((col("cnt") + lit(addK)) / (col("total") + lit(addK) * col("vocab"))).as("p"))
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .join(probs, "token") // equi-join on token; AQE broadcasts while vocab fits
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log2(col("p"))), 6).as("xent"))
+  }
+}

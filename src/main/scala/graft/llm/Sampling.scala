@@ -93,6 +93,62 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Temperature-scaled mixture weights per group (the multilingual-LM
+    * data-mixing rule): w_g ∝ n_g^alpha, normalized over groups.
+    * alpha = 1 reproduces natural proportions; alpha → 0 flattens toward
+    * uniform, up-weighting small sources relative to their natural share.
+    * Output one row per group: n_rows, the normalized weight, and the
+    * per-row keep fraction that hits `targetRows` in expectation, capped
+    * at 1 (a group cannot emit more rows than it has).
+    *
+    * Shape: one partial-agg groupBy over the corpus, then a global window
+    * over the GROUP relation — |groups| = sources/domains, a handful of
+    * rows, so the single-partition window is free at any corpus size.
+    * weight is rounded to 6 places BEFORE frac is derived from it (and
+    * frac rounded again), so an engine summing the group powers in a
+    * different order (the DuckDB oracle) lands on identical values.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      groupCol: String,
+      alpha: Double,
+      targetRows: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val all = Window.partitionBy()
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("weight",
+        round(pow(col("n_rows"), alpha) / sum(pow(col("n_rows"), alpha)).over(all), 6))
+      .withColumn("frac",
+        round(least(lit(1.0), lit(targetRows.toDouble) * col("weight") / col("n_rows")), 6))
+  }
+
+  /** Temperature sampling (data mixing by temperature): keep each row
+    * deterministically with its group's [[temperatureWeights]] fraction —
+    * the "flatten the source distribution with T = 1/alpha" sampler from
+    * multilingual/multi-domain training recipes, as a pure filter against
+    * a broadcast |groups|-row threshold relation. Same portable md5 key
+    * as [[deterministicSample]]: a row's keep decision only changes if
+    * its group's fraction changes, so corpus refreshes don't churn the
+    * sample.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      key: Column,
+      groupCol: String,
+      alpha: Double,
+      targetRows: Long): DataFrame = {
+    val thr = temperatureWeights(df, groupCol, alpha, targetRows)
+      .select(col(groupCol),
+        when(col("frac") >= 1.0, lit("g"))
+          .otherwise(format_string("%08x",
+            floor(col("frac") * lit(4294967296.0)).cast("long"))).as("_thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(samplingKey(key) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** Whitespace token count — counts [[TextOps.tokens]] itself so the
     * budget/packing arithmetic can never diverge from the tokenization
     * the chunking/stats operators use.

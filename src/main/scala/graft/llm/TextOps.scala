@@ -90,6 +90,30 @@ object TextOps {
     )
   }
 
+  /** Corpus-level top-k n-grams (heavy hitters): the "most common
+    * boilerplate phrases" report that seeds stop-phrase lists and
+    * repeated-template detection. Two-stage: explode n-grams (map-side),
+    * partial-agg count, then a global TakeOrdered for the top k — no full
+    * sort, shuffle volume = |distinct grams| partials. Ties break on the
+    * gram string so the top-k SET is deterministic.
+    */
+  def topNgrams(
+      docs: DataFrame,
+      n: Int = 2,
+      k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    val toks = tokens(col(textCol))
+    docs
+      // guard: sequence(0, negative) would generate a DESCENDING range
+      .filter(size(toks) >= n)
+      .select(explode(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Document fingerprint: canonical-form content hash — lowercase,
     * collapse non-alphanumerics, md5. The exact-dedup key.
     */

@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Corpus-LM scoring: hand-computed probabilities on a tiny corpus,
+  * ordering sanity (repetitive text is cheap to encode), and fixture
+  * determinism.
+  */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("crossEntropy matches hand-computed add-k unigram values") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, total=5, vocab=3, k=0.5
+    val pa = 2.5 / 6.5; val pb = 2.5 / 6.5; val pc = 1.5 / 6.5
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val want = Map(
+      1L -> -(2 * log2(pa) + log2(pb)) / 3.0,
+      2L -> -(log2(pb) + log2(pc)) / 2.0)
+    val out = LangModel.crossEntropy(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == 3L && out(2L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - want(1L)) < 1e-6)
+    assert(math.abs(out(2L)._2 - want(2L)) < 1e-6)
+  }
+
+  test("crossEntropy: repetitive doc encodes cheaper than a diverse doc") {
+    val docs = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "zephyr quartz jumble vortex knack whimsy oxide glyph"))
+      .toDF("doc_id", "text")
+    val xent = LangModel.crossEntropy(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(xent(1L) < xent(2L))
+  }
+
+  test("unigramCounts: counts partition the token stream") {
+    val docs = Tables.documents(spark, sf0001)
+    val fromCounts = LangModel.unigramCounts(docs)
+      .agg(sum("cnt")).as[Long].head()
+    val direct = docs
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    assert(fromCounts == direct)
+    // every in-corpus token's smoothed probability mass is < 1 and the
+    // scoring join covers the whole stream (no token dropped)
+    val scored = LangModel.crossEntropy(docs)
+    assert(scored.agg(sum("n_tokens")).as[Long].head() == direct)
+  }
+}

@@ -180,4 +180,53 @@ class SamplingSpec extends SparkSpec {
         .select(col("doc_id"), size(split(col("text"), " ")).as("n")), "doc_id")
     assert(joined.filter(col("covered") =!= col("n")).count() == 0)
   }
+
+  test("temperatureWeights: natural shares at alpha=1, flattened toward uniform below") {
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count().toDouble
+    def weights(alpha: Double): Map[String, (Long, Double, Double)] =
+      Sampling.temperatureWeights(docs, "source", alpha, 20L)
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val natural = weights(1.0)
+    // alpha = 1 reproduces each group's natural share
+    natural.foreach { case (_, (nRows, w, _)) =>
+      assert(math.abs(w - nRows / n) < 1e-5) }
+    // weights are a distribution
+    assert(math.abs(natural.values.map(_._2).sum - 1.0) < 1e-4)
+    val flat = weights(0.25)
+    assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-4)
+    // frac is a valid probability and caps at 1
+    flat.values.foreach { case (_, _, f) => assert(f >= 0.0 && f <= 1.0) }
+    // temperature flattens: on a SKEWED corpus (the fixture's sources are
+    // near-uniform) the small source gains weight, the big one loses
+    val skew = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    def skewW(alpha: Double): Map[String, Double] =
+      Sampling.temperatureWeights(skew, "source", alpha, 50L)
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> r._3).toMap
+    val sNat = skewW(1.0); val sFlat = skewW(0.25)
+    assert(math.abs(sNat("big") - 0.9) < 1e-5 && math.abs(sNat("small") - 0.1) < 1e-5)
+    assert(sFlat("small") > sNat("small") && sFlat("big") < sNat("big"))
+  }
+
+  test("temperatureSample: deterministic, bounded per group, near expected size") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Sampling.temperatureSample(docs, col("doc_id"), "source",
+      alpha = 0.5, targetRows = 20L)
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(docs, col("doc_id"), "source",
+      alpha = 0.5, targetRows = 20L).select("doc_id").as[Long].collect().toSet
+    assert(a == b) // reproducible — md5-keyed, no rand()
+    // per-group kept counts never exceed group sizes, and the expected
+    // total Σ n_g·f_g ≈ target within binomial noise
+    val fr = Sampling.temperatureWeights(docs, "source", 0.5, 20L)
+      .as[(String, Long, Double, Double)].collect()
+    val expected = fr.map(r => r._2 * r._4).sum
+    assert(math.abs(a.size - expected) < 4 * math.sqrt(expected) + 1)
+    val kept = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    kept.foreach { case (s, k) => assert(k <= totals(s)) }
+  }
 }

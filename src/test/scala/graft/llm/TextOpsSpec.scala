@@ -106,4 +106,26 @@ class TextOpsSpec extends SparkSpec {
     // scores are exact substring-occurrence counts
     assert(out(0).getAs[Long]("en_score") >= 4)
   }
+
+  test("topNgrams: planted boilerplate ranks first, short docs skipped, ties deterministic") {
+    val docs = Seq(
+      (1L, "click here to subscribe now"),
+      (2L, "click here for more info"),
+      (3L, "click here please"),
+      (4L, "unrelated text entirely"),
+      (5L, "solo")) // 1 token < n — must not crash or contribute
+      .toDF("doc_id", "text")
+    val out = TextOps.topNgrams(docs, n = 2, k = 3)
+      .as[(String, Long)].collect()
+    assert(out.head == (("click here", 3L)))
+    assert(out.length == 3)
+    // remaining grams all have count 1 → tie broken by gram string asc
+    assert(out.tail.map(_._1).toSeq == out.tail.map(_._1).sorted.toSeq)
+    // trigrams over the fixture: deterministic across runs
+    val f1 = TextOps.topNgrams(graft.model.Tables.documents(spark, sf0001), 3, 10)
+      .collect().toSeq
+    val f2 = TextOps.topNgrams(graft.model.Tables.documents(spark, sf0001), 3, 10)
+      .collect().toSeq
+    assert(f1 == f2 && f1.size == 10)
+  }
 }
