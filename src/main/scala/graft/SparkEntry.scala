@@ -565,6 +565,15 @@ object SparkEntry {
     Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
   }
 
+  /** PQ-compressed ANN with exact re-rank (rows-only: seeded KMeans
+    * codebook not SQL-expressible; recall-vs-exact asserted in
+    * SimilaritySpec).
+    */
+  private def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5, m = 16)
+  }
+
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
 
@@ -686,6 +695,7 @@ object SparkEntry {
     "q_dedup_clusters_exact" -> (qDedupClustersExact _),
     "q_dedup_apply_exact" -> (qDedupApplyExact _),
     "q_sim_lsh" -> (qSimLsh _),
+    "q_sim_pq" -> (qSimPq _),
     "q_embed_near_dup" -> (qEmbedNearDup _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_partitioned" -> (qMultimodalPartitioned _),

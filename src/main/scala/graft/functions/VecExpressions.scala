@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Primitive-loop vector kernel shared by the interpreted and generated
@@ -44,6 +44,69 @@ object VecKernels {
     var i = 0
     while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
     c
+  }
+
+  /** Product-quantization encode: nearest codebook centroid per
+    * subspace. `cb` is the flattened m × ksub × dsub codebook (subspace-
+    * major, then centroid, then dim). Ties break to the LOWEST centroid
+    * index (strict `<`), so codes are deterministic. Dimension mismatches
+    * fail fast — a silently mis-sliced codebook would yield plausible
+    * garbage codes.
+    */
+  def pqEncode(vec: ArrayData, cb: ArrayData, m: Int, ksub: Int): GenericArrayData = {
+    val dim = vec.numElements()
+    if (m <= 0 || dim % m != 0)
+      throw new IllegalArgumentException(
+        s"pq_encode: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    if (cb.numElements() != m * ksub * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: codebook length ${cb.numElements()} != m*ksub*dsub = ${m * ksub * dsub}")
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = vec.getDouble(j * dsub + t) - cb.getDouble(base + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance (ADC) score: sum of per-subspace lookup-table
+    * entries, `lut[j*ksub + codes[j]]`. The LUT is query-specific
+    * (inner product of the query subvector with every centroid), so a
+    * candidate's score costs m table reads — no float vector is touched
+    * at scan time.
+    */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    if (lut.numElements() != m * ksub)
+      throw new IllegalArgumentException(
+        s"pq_adc: lut length ${lut.numElements()} != m*ksub = ${m * ksub}")
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= ksub)
+        throw new IllegalArgumentException(s"pq_adc: code $c out of [0, $ksub)")
+      s += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    s
   }
 }
 
@@ -102,6 +165,48 @@ object VecExpressions {
     override def prettyName: String = "vec_match_count"
   }
 
+  case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires array<double> (vec, codebook), got $l / $r")
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.pqEncode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m, ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VecKernels.pqEncode($a, $b, $m, $ksub)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqEncode =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "pq_encode"
+  }
+
+  case class PqAdc(left: Expression, right: Expression, ksub: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"pq_adc requires (array<int> codes, array<double> lut), got $l / $r")
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VecKernels.pqAdc($a, $b, $ksub)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdc =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "pq_adc"
+  }
+
   import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
 
   def vec_dot(a: Column, b: Column): Column =
@@ -109,4 +214,10 @@ object VecExpressions {
 
   def vec_match_count(a: Column, b: Column): Column =
     toCol(MatchCount(toExpr(a), toExpr(b)))
+
+  def pq_encode(vec: Column, codebook: Column, m: Int, ksub: Int): Column =
+    toCol(PqEncode(toExpr(vec), toExpr(codebook), m, ksub))
+
+  def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
+    toCol(PqAdc(toExpr(codes), toExpr(lut), ksub))
 }

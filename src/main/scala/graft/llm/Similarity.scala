@@ -310,6 +310,140 @@ object Similarity {
       k)
   }
 
+  /** Product quantization (PQ): compress each (L2-normalized) vector to
+    * m small codes — split the D dims into m subspaces, KMeans each to
+    * ksub centroids, store argmin indices. At 100 TB this is the memory
+    * story IVF alone lacks: a 64-dim float vector (256 B) becomes m = 8
+    * codes (8 B, 32×), so the scan side of ANN reads codes + a per-query
+    * 8×16-entry lookup table instead of float vectors, and the whole
+    * corpus sketch fits where the raw embeddings never could. Composes
+    * with IVF (IVF prunes cells, PQ scores the survivors); here PQ is
+    * exposed standalone with an optional exact re-rank of the ADC top
+    * candidates.
+    */
+
+  /** Train the codebook: per-subspace KMeans over the corpus (seeded →
+    * deterministic). Returns the flattened m × ksub × dsub centroid
+    * array (subspace-major) — a few KB, shipped to executors as a
+    * literal. At full corpus scale you'd train on a
+    * [[Sampling.deterministicSample]] of the corpus; the codebook only
+    * needs distribution coverage, not every row.
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Array[Double] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val normed = normalizedVec(corpus, vecCol).localCheckpoint()
+    val dim = normed.select(size(col("nv"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("pqTrain: empty corpus"))
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).flatMap { j =>
+      val sub = normed.select(
+        array_to_vector(slice(col("nv"), j * dsub + 1, dsub)).as("features"))
+      val model = new KMeans().setK(ksub).setSeed(seed + j)
+        .setFeaturesCol("features").fit(sub)
+      val centers = model.clusterCenters
+      require(centers.length == ksub,
+        s"pqTrain: subspace $j yielded ${centers.length} centroids < ksub=$ksub " +
+          "(corpus too small/degenerate for this ksub)")
+      centers.toSeq.flatMap(_.toArray.toSeq)
+    }.toArray
+  }
+
+  /** L2-normalize so inner product = cosine (PQ approximates the inner
+    * product; training/encoding/scoring must agree on the normalization).
+    */
+  private def normalizedVec(df: DataFrame, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    df.withColumn("nv", zip_with(v, array_repeat(norm(v), size(v)), (x, n) => x / n))
+  }
+
+  /** Encode the corpus against a trained codebook: (neighbor_id, codes).
+    * One codegen'd kernel call per row; the codebook rides along as a
+    * literal (no join, no shuffle).
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      codebook: Array[Double],
+      m: Int = 8,
+      ksub: Int = 16,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    normalizedVec(corpus, vecCol).select(
+      col(idCol).as("neighbor_id"),
+      graft.functions.VecExpressions.pq_encode(
+        col("nv"), typedLit(codebook.toSeq), m, ksub).as("codes"))
+
+  /** PQ-ANN top-k via asymmetric distance: per-query LUT of subspace
+    * inner products (tiny side, HOF arithmetic is fine there), broadcast
+    * against the coded corpus, score = m table lookups per candidate
+    * (codegen'd), bounded TopK per query. With `rerankFactor` > 1 the
+    * ADC top k·factor candidates are exact-cosine re-ranked — the
+    * standard two-stage PQ search; the corpus's float vectors are only
+    * read for the ~k·factor survivors per query.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerankFactor: Int = 4,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val cb = pqTrain(corpus, m, ksub, seed, vecCol, idCol)
+    val coded = pqEncode(corpus, cb, m, ksub, vecCol, idCol)
+    val cbCol = typedLit(cb.toSeq)
+    val dsubTotal = cb.length / (m * ksub)
+    // lut[j*ksub + c] = <q_sub_j, centroid_{j,c}>; query side is tiny by
+    // contract (same as bruteForceTopK's broadcast), so interpreted HOFs
+    // cost nothing here
+    val lut = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
+      // i = j*ksub + c → query subvector j = i div ksub; codebook flat
+      // base for centroid (j, c) is i * dsub
+      val j = floor(i / lit(ksub)).cast("int")
+      aggregate(sequence(lit(0), lit(dsubTotal - 1)), lit(0.0),
+        (acc, d) => acc +
+          element_at(col("qv"), j * lit(dsubTotal) + d + lit(1)) *
+          element_at(cbCol, i * lit(dsubTotal) + d + lit(1)))
+    })
+    val q = normalizedVec(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("nv").as("qv"))
+      .withColumn("lut", lut)
+      .select(col("query_id"), col("qv"), col("lut"))
+    val adcScored = coded
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VecExpressions.pq_adc(col("codes"), col("lut"), ksub), 6)
+          .as("cos_sim"))
+    if (rerankFactor <= 1) rankTopK(adcScored, k)
+    else {
+      // stage 2: exact cosine over the ADC survivors only
+      val cand = rankTopK(adcScored, k * rerankFactor)
+        .select(col("query_id"), col("neighbor_id"))
+      val c = corpus.select(
+        col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      val qn = normalizedVec(queries, vecCol)
+        .select(col(idCol).as("query_id"), col("nv").as("qv"))
+      rankTopK(
+        cand.join(c, "neighbor_id").join(broadcast(qn), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            // qv is unit-norm: dot/cn = cosine
+            round(dot(col("qv"), col("cv")) / col("cn"), 6).as("cos_sim")),
+        k)
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
     * cosine ≥ threshold, candidates from SRP buckets (same machinery as
     * lshTopK but corpus-vs-corpus).

@@ -105,4 +105,57 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((100L, 101L)))
   }
+
+  test("pq kernels: encode picks the nearest centroid, adc sums table entries") {
+    import graft.functions.VecExpressions._
+    // 4-dim, m=2 subspaces, ksub=2: codebook [j0: (0,0),(1,1) | j1: (2,2),(5,5)]
+    val cb = Seq(0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 5.0, 5.0)
+    val df = Seq((Seq(0.9, 0.9, 4.0, 4.0), Seq(0.1, 0.2, 0.3, 0.4)))
+      .toDF("v", "lut")
+    val codes = df.select(
+      pq_encode($"v", typedLit(cb), 2, 2).as("codes"))
+    // sub0 (0.9,0.9) → centroid 1; sub1 (4,4) → centroid 1 (5,5 closer than 2,2)
+    assert(codes.head().getSeq[Int](0) == Seq(1, 1))
+    // adc: lut[0*2+1] + lut[1*2+1] = 0.2 + 0.4
+    val s = codes.withColumn("lut", typedLit(Seq(0.1, 0.2, 0.3, 0.4)))
+      .select(pq_adc($"codes", $"lut", 2)).head().getDouble(0)
+    assert(math.abs(s - 0.6) < 1e-12)
+    // mis-sized codebook fails loudly
+    val ex = intercept[Throwable] {
+      df.select(pq_encode($"v", typedLit(Seq(1.0, 2.0, 3.0)), 2, 2)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      t.getMessage != null && t.getMessage.contains("codebook length")))
+  }
+
+  test("pqTopK: deterministic, and re-ranked recall beats raw ADC on fixture embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def run(factor: Int): Set[(Long, Long)] =
+      Similarity.pqTopK(q, emb, k = 5, m = 16, ksub = 16, rerankFactor = factor)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val reranked = run(6)
+    assert(run(6) == reranked) // seeded KMeans → reproducible
+    val recall = (exact intersect reranked).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"recall=$recall (16-byte codes on random 64-dim embeddings)")
+    // re-ranked output's scores are EXACT cosines: spot-check against
+    // brute force for overlapping pairs
+    val exactScores = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    val prScores = Similarity.pqTopK(q, emb, k = 5, rerankFactor = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    val overlap = exactScores.keySet intersect prScores.keySet
+    assert(overlap.nonEmpty)
+    overlap.foreach { p =>
+      assert(math.abs(exactScores(p) - prScores(p)) < 1e-5,
+        s"re-ranked score must be the exact cosine for $p") }
+  }
 }
