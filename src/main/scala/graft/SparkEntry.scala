@@ -305,6 +305,17 @@ object SparkEntry {
     Streaming.runToMemory(s,
       WindowOps.sessionAgg(Streaming.eventsStream(s, dir), gap = "30 minutes"))
 
+  /** Token-budget admission executed incrementally — 8 bytes of state
+    * per source. Rows-only: admission order is per-micro-batch hash
+    * order, not the batch operator's global hash order (single-batch
+    * equivalence and the budget invariant are spec-asserted).
+    */
+  private def qStreamTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s,
+      Streaming.tokenBudgetStream(
+        Streaming.documentsStream(s, dir), budgetTokens = 700L),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
   /** Interval join: clicks within the 600 s before each purchase. */
   private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsWithEpoch(s, dir)
@@ -439,9 +450,13 @@ object SparkEntry {
     */
   private def qStatsProfile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    // histogram+rank exact percentiles (operators.Stats) instead of the
+    // bucket-localized exact percentiles (operators.Stats) instead of the
     // built-in value-map percentile aggregate — same results (shared
-    // oracle), sort-shaped memory instead of per-group maps
+    // oracle), bounded per-task state, in-group parallelism = buckets.
+    // (Measured: stacking both measure columns through ONE pipeline with a
+    // composite group key is ~2x SLOWER here — every pass re-scans the
+    // union and all percentiles get computed for both measures — so the
+    // two measures keep separate plans.)
     val qty = graft.operators.Stats.percentilesByGroup(
       li, "l_returnflag", "l_quantity", Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
     val price = graft.operators.Stats.percentilesByGroup(
@@ -710,6 +725,7 @@ object SparkEntry {
     "q_session_window" -> (qSessionWindow _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_session" -> (qStreamSession _),
+    "q_stream_token_budget" -> (qStreamTokenBudget _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
@@ -746,7 +762,7 @@ object SparkEntry {
     "q_sim_topk", "q_topk_orders_per_cust", "q_tumbling_agg",
     "q_session_window", "q_rollup", "q_salted_agg", "q_distinct_counts",
     "q_chunk_docs", "q_pack_sequences", "q_sample_stratified",
-    "q_stats_profile")
+    "q_stats_profile", "q_lm_score", "q_top_ngrams", "q_sim_pq")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →

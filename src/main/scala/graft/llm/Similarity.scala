@@ -322,40 +322,80 @@ object Similarity {
     * candidates.
     */
 
-  /** Train the codebook: per-subspace KMeans over the corpus (seeded →
-    * deterministic). Returns the flattened m × ksub × dsub centroid
-    * array (subspace-major) — a few KB, shipped to executors as a
-    * literal. At full corpus scale you'd train on a
-    * [[Sampling.deterministicSample]] of the corpus; the codebook only
-    * needs distribution coverage, not every row.
+  /** Train the codebook: JOINT Lloyd's iterations over all m subspace
+    * k-means problems at once — each iteration is ONE encode pass
+    * (codegen'd argmin per row) plus ONE (subspace, code, dim) mean
+    * aggregation whose output is the m·ksub·dsub-cell codebook itself.
+    * Per-subspace MLlib fits would cost m × iters Spark jobs (the job
+    * overhead dwarfs the math at any m); this costs 2 jobs per iteration
+    * regardless of m, and one corpus pass per job. Returns the flattened
+    * m × ksub × dsub centroid array (subspace-major) — a few KB, shipped
+    * to executors as a literal.
+    *
+    * Deterministic: init picks the md5-hash-first ksub vectors'
+    * subvectors (content-addressed, partition-order-free), and centroid
+    * means are rounded to 9 decimals each iteration so float summation
+    * order cannot leak into an argmin tie. Empty clusters keep their
+    * previous centroid. At full corpus scale, train on a
+    * [[Sampling.deterministicSample]] — the codebook only needs
+    * distribution coverage, not every row.
     */
   def pqTrain(
       corpus: DataFrame,
       m: Int = 8,
       ksub: Int = 16,
+      iters: Int = 8,
       seed: Long = 42L,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): Array[Double] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val normed = normalizedVec(corpus, vecCol).localCheckpoint()
+    val normed = normalizedVec(corpus, vecCol)
+      .select(col(idCol).as("_id"), col("nv")).localCheckpoint()
     val dim = normed.select(size(col("nv"))).limit(1).collect()
       .headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException("pqTrain: empty corpus"))
     require(dim % m == 0, s"pqTrain: dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    (0 until m).flatMap { j =>
-      val sub = normed.select(
-        array_to_vector(slice(col("nv"), j * dsub + 1, dsub)).as("features"))
-      val model = new KMeans().setK(ksub).setSeed(seed + j)
-        .setFeaturesCol("features").fit(sub)
-      val centers = model.clusterCenters
-      require(centers.length == ksub,
-        s"pqTrain: subspace $j yielded ${centers.length} centroids < ksub=$ksub " +
-          "(corpus too small/degenerate for this ksub)")
-      centers.toSeq.flatMap(_.toArray.toSeq)
-    }.toArray
+
+    // init: subvectors of the ksub hash-first vectors (distinct rows by
+    // construction of the ordering; ties on the id column)
+    val initRows = normed
+      .orderBy(md5(concat(col("_id").cast("string"), lit(seed.toString))), col("_id"))
+      .limit(ksub).select(col("nv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(initRows.length == ksub,
+      s"pqTrain: corpus has ${initRows.length} rows < ksub=$ksub")
+    var cb = Array.tabulate(m * ksub * dsub) { i =>
+      val j = i / (ksub * dsub); val c = (i / dsub) % ksub; val d = i % dsub
+      initRows(c)(j * dsub + d)
+    }
+
+    var it = 0
+    while (it < iters) {
+      // one encode + one (subspace, code, dim) mean agg == full Lloyd's
+      // step for every subspace simultaneously
+      val updates = normed
+        .select(
+          graft.functions.VecExpressions
+            .pq_encode(col("nv"), typedLit(cb.toSeq), m, ksub).as("codes"),
+          col("nv"))
+        .select(posexplode(col("nv")).as(Seq("d", "x")), col("codes"))
+        .select(
+          (col("d") / dsub).cast("int").as("j"),
+          element_at(col("codes"), (col("d") / dsub).cast("int") + 1).as("c"),
+          pmod(col("d"), lit(dsub)).as("t"),
+          col("x"))
+        .groupBy(col("j"), col("c"), col("t"))
+        .agg(round(avg(col("x")), 9).as("mu"))
+        .collect()
+      val next = cb.clone() // empty clusters keep their centroid
+      updates.foreach { r =>
+        val j = r.getInt(0); val c = r.getInt(1); val t = r.getInt(2)
+        next((j * ksub + c) * dsub + t) = r.getDouble(3)
+      }
+      cb = next
+      it += 1
+    }
+    cb
   }
 
   /** L2-normalize so inner product = cosine (PQ approximates the inner
@@ -400,7 +440,7 @@ object Similarity {
       seed: Long = 42L,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val cb = pqTrain(corpus, m, ksub, seed, vecCol, idCol)
+    val cb = pqTrain(corpus, m, ksub, seed = seed, vecCol = vecCol, idCol = idCol)
     val coded = pqEncode(corpus, cb, m, ksub, vecCol, idCol)
     val cbCol = typedLit(cb.toSeq)
     val dsubTotal = cb.length / (m * ksub)

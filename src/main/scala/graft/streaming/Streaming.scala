@@ -181,6 +181,55 @@ object Streaming {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming token-budget admission: the per-source running token
+    * total lives in the state store (ONE long per group), and a document
+    * is admitted iff the group's cumulative total — which every doc
+    * advances, admitted or not — stays within the budget. Same
+    * `cum_tokens <= budget` prefix rule as the batch
+    * [[graft.llm.Sampling.tokenBudgetSample]]; the difference is the
+    * order the prefix is taken in: a stream cannot globally hash-sort
+    * first, so docs are walked in md5-hash order WITHIN each micro-batch
+    * and arrival order across batches. A single-batch run is therefore
+    * bit-identical to the batch operator (spec-asserted); multi-batch
+    * runs keep the budget invariant exactly.
+    *
+    * At scale: state is 8 bytes per source/domain — the mixing-policy
+    * unit — so the state store never grows with the corpus.
+    */
+  def tokenBudgetStream(
+      docs: DataFrame,
+      budgetTokens: Long,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val md5Hex8 = (id: Long) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(String.valueOf(id).getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    docs
+      .select(col(idCol).cast("long").as("_id"),
+        col(groupCol).cast("string").as("_g"),
+        size(graft.llm.TextOps.tokens(col(textCol))).cast("long").as("_n"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(Long, String, Long)], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val ordered = rows.toSeq.sortBy(t => (md5Hex8(t._1), t._1))
+          val out = ordered.flatMap { case (id, g, n) =>
+            cum += n // every doc advances the total — strict prefix rule
+            if (cum <= budgetTokens) Some((id, g, n, cum)) else None
+          }
+          state.update(cum)
+          out.iterator
+      }
+      .toDF(idCol, groupCol, "n_tokens", "cum_tokens")
+  }
+
   /** S3/A6 streaming TABLE semantics: continuously-updating latest row
     * per key via mapGroupsWithState (the reference's RocksDB-backed
     * changelog table, ST6). Emits the current latest per key each batch;

@@ -39,4 +39,24 @@ class StatsSpec extends SparkSpec {
     assert(ours("a") == 1.0) // median of (1, 1, 2), null ignored
     assert(ours("b") == 5.0)
   }
+
+  test("bucket localization stays exact on skewed mass and tiny bucket counts") {
+    // 99% of the mass on one value (one hot coarse bucket), an outlier
+    // stretching the range, and buckets=4 so bracketing ranks of
+    // different ps land in different buckets
+    val rows = (1 to 990).map(_ => ("a", 10.0)) ++
+      (1 to 9).map(i => ("a", 100.0 + i)) :+ (("a", 100000.0)) :+ (("b", 1.0))
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p01" -> 0.01, "p50" -> 0.5, "p99" -> 0.99, "p999" -> 0.999)
+    for (b <- Seq(4, 1024)) {
+      val ours = Stats.percentilesByGroup(df, "g", "v", ps, buckets = b)
+        .collect().map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+      val builtin = df.groupBy("g")
+        .agg(expr("percentile(v, array(0.01, 0.5, 0.99, 0.999))"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      ours.foreach { case (g, vs) =>
+        vs.zip(builtin(g)).foreach { case (x, y) =>
+          assert(x == y, s"buckets=$b group $g: $x != $y") } }
+    }
+  }
 }

@@ -285,4 +285,54 @@ class StreamingSpec extends SparkSpec {
     assert(s.subsetOf(b))
     assert(s.size >= b.size / 2, s"${s.size} of ${b.size}")
   }
+
+  test("streaming token budget: single batch ≡ batch operator, multi-batch keeps the invariant") {
+    def docRows(ids: Range): Seq[(Long, String, String)] =
+      ids.map(i => (i.toLong, s"src${i % 2}", ("tok " * (i % 7 + 1)).trim))
+
+    // single micro-batch: identical rows to the batch operator
+    val in1 = MemoryStream[(Long, String, String)](spark)
+    val df1 = in1.toDF().toDF("doc_id", "source", "text")
+    val q1 = Streaming.tokenBudgetStream(df1, budgetTokens = 40L)
+      .writeStream.format("memory").queryName("tb_one")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    in1.addData(docRows(1 to 40): _*)
+    q1.processAllAvailable(); q1.stop()
+    val streamed = spark.table("tb_one")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.llm.Sampling.tokenBudgetSample(
+      docRows(1 to 40).toDF("doc_id", "source", "text"), budgetTokens = 40L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+
+    // two micro-batches: per-group totals never exceed the budget, the
+    // admitted set is a strict prefix (first over-budget doc blocks all
+    // later arrivals in its group), and state carries across batches
+    val in2 = MemoryStream[(Long, String, String)](spark)
+    val df2 = in2.toDF().toDF("doc_id", "source", "text")
+    val q2 = Streaming.tokenBudgetStream(df2, budgetTokens = 12L)
+      .writeStream.format("memory").queryName("tb_two")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    in2.addData(docRows(1 to 10): _*)
+    q2.processAllAvailable()
+    in2.addData(docRows(11 to 20): _*)
+    q2.processAllAvailable(); q2.stop()
+    val rows2 = spark.table("tb_two")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows2.nonEmpty)
+    rows2.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._4).max <= 12L) // budget invariant per group
+      // cum_tokens of admitted rows are consistent partial sums
+      rs.sortBy(_._4).foldLeft(0L) { (prev, r) =>
+        assert(r._4 > prev); r._4 }
+    }
+    // state carried across batches: batch-2 admissions (doc_id > 10)
+    // continue the running total — their cum_tokens sit strictly above
+    // every batch-1 admission's in the same group
+    rows2.groupBy(_._2).foreach { case (_, rs) =>
+      val b1 = rs.filter(_._1 <= 10L).map(_._4)
+      val b2 = rs.filter(_._1 > 10L).map(_._4)
+      if (b1.nonEmpty && b2.nonEmpty) assert(b2.min > b1.max)
+    }
+  }
 }
