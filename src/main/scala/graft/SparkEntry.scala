@@ -589,6 +589,18 @@ object SparkEntry {
     Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5, m = 16)
   }
 
+  /** Materialized IVF+PQ index query — partition pruning (cells) +
+    * column pruning (codes vs raw vectors) on one parquet layout.
+    * Rows-only; plan physics + recall asserted in SimilaritySpec.
+    */
+  private def qSimIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // per-process fixed path + overwrite (same rationale as qDedupDelta)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_fixture_${ProcessHandle.current().pid()}"
+    Similarity.ivfPqWriteIndex(emb, idx, m = 16)
+    Similarity.ivfPqQueryIndex(emb.filter(col("vec_id") < 10), idx, k = 5)
+  }
+
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
 
@@ -711,6 +723,7 @@ object SparkEntry {
     "q_dedup_apply_exact" -> (qDedupApplyExact _),
     "q_sim_lsh" -> (qSimLsh _),
     "q_sim_pq" -> (qSimPq _),
+    "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_embed_near_dup" -> (qEmbedNearDup _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_partitioned" -> (qMultimodalPartitioned _),

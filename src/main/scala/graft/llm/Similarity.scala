@@ -430,6 +430,35 @@ object Similarity {
     * standard two-stage PQ search; the corpus's float vectors are only
     * read for the ~k·factor survivors per query.
     */
+  /** (query_id, qv, lut) relation: unit-norm query vector plus its ADC
+    * lookup table, lut[j*ksub + c] = <q_sub_j, centroid_{j,c}>. Query
+    * side is tiny by contract (same as bruteForceTopK's broadcast), so
+    * interpreted HOF arithmetic costs nothing here.
+    */
+  private def adcQuerySide(
+      queries: DataFrame,
+      cb: Array[Double],
+      m: Int,
+      ksub: Int,
+      vecCol: String,
+      idCol: String): DataFrame = {
+    val cbCol = typedLit(cb.toSeq)
+    val dsub = cb.length / (m * ksub)
+    val lut = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
+      // i = j*ksub + c → query subvector j = i div ksub; codebook flat
+      // base for centroid (j, c) is i * dsub
+      val j = floor(i / lit(ksub)).cast("int")
+      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0),
+        (acc, d) => acc +
+          element_at(col("qv"), j * lit(dsub) + d + lit(1)) *
+          element_at(cbCol, i * lit(dsub) + d + lit(1)))
+    })
+    normalizedVec(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("nv").as("qv"))
+      .withColumn("lut", lut)
+      .select(col("query_id"), col("qv"), col("lut"))
+  }
+
   def pqTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -442,24 +471,7 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     val cb = pqTrain(corpus, m, ksub, seed = seed, vecCol = vecCol, idCol = idCol)
     val coded = pqEncode(corpus, cb, m, ksub, vecCol, idCol)
-    val cbCol = typedLit(cb.toSeq)
-    val dsubTotal = cb.length / (m * ksub)
-    // lut[j*ksub + c] = <q_sub_j, centroid_{j,c}>; query side is tiny by
-    // contract (same as bruteForceTopK's broadcast), so interpreted HOFs
-    // cost nothing here
-    val lut = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
-      // i = j*ksub + c → query subvector j = i div ksub; codebook flat
-      // base for centroid (j, c) is i * dsub
-      val j = floor(i / lit(ksub)).cast("int")
-      aggregate(sequence(lit(0), lit(dsubTotal - 1)), lit(0.0),
-        (acc, d) => acc +
-          element_at(col("qv"), j * lit(dsubTotal) + d + lit(1)) *
-          element_at(cbCol, i * lit(dsubTotal) + d + lit(1)))
-    })
-    val q = normalizedVec(queries, vecCol)
-      .select(col(idCol).as("query_id"), col("nv").as("qv"))
-      .withColumn("lut", lut)
-      .select(col("query_id"), col("qv"), col("lut"))
+    val q = adcQuerySide(queries, cb, m, ksub, vecCol, idCol)
     val adcScored = coded
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -479,6 +491,93 @@ object Similarity {
         cand.join(c, "neighbor_id").join(broadcast(qn), "query_id")
           .select(col("query_id"), col("neighbor_id"),
             // qv is unit-norm: dot/cn = cosine
+            round(dot(col("qv"), col("cv")) / col("cn"), 6).as("cos_sim")),
+        k)
+    }
+  }
+
+  /** Materialized IVF+PQ index — the classic inverted-file +
+    * product-quantization ANN layout expressed as parquet physics: the
+    * coarse KMeans cell is the PARTITION directory (query-time partition
+    * pruning — non-probed cells' files are never opened) and the PQ
+    * codes are a narrow COLUMN beside the raw vector (query-time column
+    * pruning — the ADC scan reads `codes` only; `cv`/`cn` bytes are
+    * decoded just for the re-rank survivors). At 100 TB a query touches
+    * ~nprobe/nlist of the files and ~m bytes per row in them; both
+    * prunings are visible in the executed plan and spec-asserted.
+    */
+  def ivfPqWriteIndex(
+      corpus: DataFrame,
+      path: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val (assigned, centroids) = fitQuantizer(corpus, nlist, seed, vecCol, idCol)
+    val cb = pqTrain(corpus, m, ksub, seed = seed, vecCol = vecCol, idCol = idCol)
+    val coded = pqEncode(corpus, cb, m, ksub, vecCol, idCol)
+    assigned.join(coded, "neighbor_id")
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((m, ksub, cb.toSeq)).toDF("m", "ksub", "cb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Query a written IVF+PQ index: probe cells against the tiny centroid
+    * relation, push the probed ids into the partition-pruned scan, ADC
+    * score the codes column within each query's own probed cells, then
+    * exact-cosine re-rank the top k·rerankFactor survivors against the
+    * raw vectors (a second scan of the SAME pruned files that decodes
+    * cv/cn instead of codes — columnar formats make the two stages read
+    * disjoint bytes).
+    */
+  def ivfPqQueryIndex(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int = 5,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/codebook").collect().head
+    val m = meta.getInt(0)
+    val ksub = meta.getInt(1)
+    val cb = meta.getSeq[Double](2).toArray
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val probed = probeCells(queries, centroids, nprobe, vecCol, idCol)
+      .localCheckpoint()
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // per-query LUT joined to its own probed cells: the (queries×nprobe)
+    // relation the data side broadcast-joins on `cell`
+    val q = adcQuerySide(queries, cb, m, ksub, vecCol, idCol)
+      .join(probed.select(col("query_id"), col("cell")), "query_id")
+    val data = spark.read.parquet(s"$indexPath/data")
+      .filter(col("cell").isin(cells: _*))
+    val adcScored = data.select(col("neighbor_id"), col("codes"), col("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VecExpressions.pq_adc(col("codes"), col("lut"), ksub), 6)
+          .as("cos_sim"))
+    if (rerankFactor <= 1) rankTopK(adcScored, k)
+    else {
+      val cand = rankTopK(adcScored, k * rerankFactor)
+        .select(col("query_id"), col("neighbor_id"))
+      val vecs = spark.read.parquet(s"$indexPath/data")
+        .filter(col("cell").isin(cells: _*))
+        .select(col("neighbor_id"), col("cv"), col("cn"))
+      val qn = normalizedVec(queries, vecCol)
+        .select(col(idCol).as("query_id"), col("nv").as("qv"))
+      rankTopK(
+        cand.join(vecs, "neighbor_id").join(broadcast(qn), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
             round(dot(col("qv"), col("cv")) / col("cn"), 6).as("cos_sim")),
         k)
     }

@@ -130,6 +130,35 @@ class SimilaritySpec extends SparkSpec {
       t.getMessage != null && t.getMessage.contains("codebook length")))
   }
 
+  test("IVF+PQ index: partition AND column pruning in the plan, decent recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.ivfPqWriteIndex(emb, path, nlist = 8, m = 16, ksub = 8)
+    val q = emb.filter($"vec_id" < 5)
+    val out = Similarity.ivfPqQueryIndex(q, path, k = 5, nprobe = 4, rerankFactor = 6)
+    val got = out.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4,
+      s"recall=$recall (nprobe 4/8 cells on random 64-dim embeddings)")
+    // plan physics: both scans prune partitions to the probed cells; the
+    // ADC scan decodes codes WITHOUT cv, the re-rank scan cv WITHOUT codes
+    val plan = out.queryExecution.executedPlan.toString
+    val scans = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(scans.exists(s => s.contains("codes") && !s.contains("cv")),
+      s"ADC scan must not read raw vectors:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("cv") && !s.contains("codes")),
+      s"re-rank scan must not read codes:\n${scans.mkString("\n")}")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN[^\\]]*\\].*"),
+      "expected cell IN (...) partition pruning")
+    // reproducible end to end (seeded coarse + PQ quantizers)
+    val again = Similarity.ivfPqQueryIndex(q, path, k = 5, nprobe = 4, rerankFactor = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(again == got)
+  }
+
   test("pqTopK: deterministic, and re-ranked recall beats raw ADC on fixture embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 5)
