@@ -28,7 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
   import TextHashExpressions._
-  import VecExpressions.{DotProduct, MatchCount}
+  import VecExpressions.{DotProduct, MatchCount, PqAdc, PqEncode}
 
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
@@ -89,6 +89,15 @@ object GraftFunctions {
     fd("vec_match_count", "_FUNC_(a, b) - agreeing positions of two array<bigint>") { args =>
       arity("vec_match_count", args, 2 to 2)
       MatchCount(args(0), args(1))
+    },
+    fd("pq_encode", "_FUNC_(vec, codebook, m, ksub) - product-quantization codes") { args =>
+      arity("pq_encode", args, 4 to 4)
+      PqEncode(args(0), args(1),
+        litInt("pq_encode", "m", args(2)), litInt("pq_encode", "ksub", args(3)))
+    },
+    fd("pq_adc", "_FUNC_(codes, lut, ksub) - asymmetric-distance score from a lookup table") { args =>
+      arity("pq_adc", args, 3 to 3)
+      PqAdc(args(0), args(1), litInt("pq_adc", "ksub", args(2)))
     }
   )
 

@@ -20,7 +20,8 @@ class SqlSurfaceSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     val names = GraftSqlBridge.materializeFunctions(ext).map(_.funcName).toSet
     assert(names == Set("simhash64", "minhash_sig", "shingle_hashes",
-      "band_hash", "winnow_fingerprint", "vec_dot", "vec_match_count"))
+      "band_hash", "winnow_fingerprint", "vec_dot", "vec_match_count",
+      "pq_encode", "pq_adc"))
   }
 
   test("DESCRIBE FUNCTION shows correct name and usage metadata") {
@@ -62,6 +63,13 @@ class SqlSurfaceSpec extends SparkSpec {
     Seq((1L, "a b c d e f")).toDF("id", "text").createOrReplaceTempView("t_sql")
     assert(spark.sql("SELECT minhash_sig(text) AS s FROM t_sql")
       .select(size($"s")).as[Int].head() == 32)
+    // PQ kernels from SQL: encode against a 2x2x2 codebook, score via ADC
+    val pq = spark.sql(
+      """SELECT pq_encode(array(0.9D, 0.9D, 4.0D, 4.0D),
+        |         array(0D, 0D, 1D, 1D, 2D, 2D, 5D, 5D), 2, 2) AS codes""".stripMargin)
+      .select($"codes", expr("pq_adc(codes, array(0.1D, 0.2D, 0.3D, 0.4D), 2)").as("s"))
+      .as[(Seq[Int], Double)].head()
+    assert(pq._1 == Seq(1, 1) && math.abs(pq._2 - 0.6) < 1e-12)
   }
 
   test("non-literal int parameters fail analysis with a clear error") {

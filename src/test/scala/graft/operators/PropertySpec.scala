@@ -141,6 +141,29 @@ class PropertySpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("property: bucket-localized percentiles ≡ built-in across random distributions") {
+    val rowGen = for {
+      g <- Gen.oneOf("x", "y")
+      // mix of heavy repeats, tight clusters, and large outliers — the
+      // shapes that stress bucket boundaries
+      v <- Gen.oneOf(Gen.choose(0, 5).map(_.toDouble),
+        Gen.choose(0.0, 1.0), Gen.oneOf(1e6, -1e6, 42.0))
+    } yield (g, v)
+    val ps = Seq("p10" -> 0.1, "p50" -> 0.5, "p97" -> 0.97)
+    for (rows <- samples(Gen.listOfN(40, rowGen), 6) if rows.nonEmpty) {
+      val df = rows.toDF("g", "v")
+      val ours = Stats.percentilesByGroup(df, "g", "v", ps, buckets = 8)
+        .collect().map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+      val builtin = df.groupBy("g")
+        .agg(expr("percentile(v, array(0.1, 0.5, 0.97))"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(ours.keySet == builtin.keySet)
+      ours.foreach { case (g, vs) =>
+        vs.zip(builtin(g)).foreach { case (a, b) =>
+          assert(a == b, s"group $g: $a != $b for rows=$rows") } }
+    }
+  }
 }
 
 /** Plain-Scala shingle reference used by the property tests. */
