@@ -305,6 +305,23 @@ object SparkEntry {
     Streaming.runToMemory(s,
       WindowOps.sessionAgg(Streaming.eventsStream(s, dir), gap = "30 minutes"))
 
+  /** The changelog TABLE executed incrementally: latest order per
+    * customer via mapGroupsWithState upserts over the order stream. The
+    * Update-mode emissions form a changelog (re-emissions per key), so
+    * the comparison view compacts them with the batch latestByKey —
+    * exactly how a compacted Kafka topic or Mongo upsert sink is
+    * consumed. Shares the batch q_latest_by_key oracle: incremental
+    * TABLE state ≡ batch answer.
+    */
+  private def qStreamLatest(s: SparkSession, dir: String): DataFrame =
+    Relational.latestByKey(
+      Streaming.runToMemory(s,
+        Streaming.latestByKeyStream(
+          Streaming.ordersStream(s, dir), "o_custkey",
+          Seq("o_orderdate", "o_orderkey")),
+        org.apache.spark.sql.streaming.OutputMode.Update()),
+      key = Seq("o_custkey"), orderBy = Seq("o_orderdate", "o_orderkey"))
+
   /** Token-budget admission executed incrementally — 8 bytes of state
     * per source. Rows-only: admission order is per-micro-batch hash
     * order, not the batch operator's global hash order (single-batch
@@ -739,6 +756,7 @@ object SparkEntry {
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_token_budget" -> (qStreamTokenBudget _),
+    "q_stream_latest" -> (qStreamLatest _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
@@ -857,6 +875,14 @@ object SparkEntry {
       |FROM corp c LEFT JOIN bench b ON c.s = b.s
       |GROUP BY c.doc_id""".stripMargin
 
+  private val latestByKeyOracle =
+    """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |FROM (SELECT o.*, ROW_NUMBER() OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders o) t
+      |WHERE rn = 1""".stripMargin
+
   /** Tumbling/session oracles — each shared by the batch query and its
     * incremental streaming execution (streaming ≡ batch).
     */
@@ -912,13 +938,10 @@ object SparkEntry {
         |GROUP BY l.l_orderkey, o.o_orderdate""".stripMargin,
     "q_rekey" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events",
-    "q_latest_by_key" ->
-      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        |FROM (SELECT o.*, ROW_NUMBER() OVER (
-        |        PARTITION BY o_custkey
-        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        |      FROM orders o) t
-        |WHERE rn = 1""".stripMargin,
+    "q_latest_by_key" -> latestByKeyOracle,
+    // identical oracle: the incremental TABLE's compacted state must be
+    // exactly the batch latest-per-key answer
+    "q_stream_latest" -> latestByKeyOracle,
     "q_case_indicator" ->
       """SELECT event_id, user_id, event_type,
         |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,

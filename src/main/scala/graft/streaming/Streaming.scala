@@ -242,37 +242,53 @@ object Streaming {
   def latestByKeyStream(
       df: DataFrame,
       keyCol: String,
-      orderCol: String): DataFrame = {
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "latestByKeyStream needs >= 1 order column")
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
-    val ordIdx = schema.fieldIndex(orderCol)
+    val ordIdxs = orderCols.map(schema.fieldIndex)
     val enc = Encoders.row(schema)
     implicit val rowEnc = enc
     implicit val strEnc = Encoders.STRING
     implicit val tupleEnc = Encoders.tuple(Encoders.STRING, enc)
+    // order by each column's natural ordering in turn (lexicographic over
+    // the order columns; same tie-break chain as the batch max_by struct)
+    // — Timestamp, numeric, String, Date, Instant are all Comparable;
+    // hash-based fallbacks would elect arbitrary rows as "latest"
+    val one = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int = (x, y) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (a: Comparable[_], b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
+        case (a, _) => throw new IllegalArgumentException(
+          s"latestByKeyStream: order column type ${a.getClass} is not Comparable")
+      }
+    }
+    val rowOrd = new Ordering[Row] {
+      def compare(x: Row, y: Row): Int =
+        ordIdxs.iterator.map(i => one.compare(x.get(i), y.get(i)))
+          .find(_ != 0).getOrElse(0)
+    }
     val updated = df
       .groupByKey(r => String.valueOf(r.get(keyIdx)))
       .mapGroupsWithState[Row, (String, Row)](GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val all = (state.getOption.iterator ++ rows).toSeq
-          // order by the column's natural ordering — Timestamp, numeric,
-          // String, Date, Instant are all Comparable; hash-based
-          // fallbacks would elect arbitrary rows as "latest"
-          val latest = all.maxBy(_.get(ordIdx))(new Ordering[Any] {
-            def compare(x: Any, y: Any): Int = (x, y) match {
-              case (null, null) => 0
-              case (null, _) => -1
-              case (_, null) => 1
-              case (a: Comparable[_], b) =>
-                a.asInstanceOf[Comparable[Any]].compareTo(b)
-              case (a, b) => throw new IllegalArgumentException(
-                s"latestByKeyStream: order column type ${a.getClass} is not Comparable")
-            }
-          })
+          val latest = all.max(rowOrd)
           state.update(latest)
           (key, latest)
       }
       .map(_._2)(enc)
     updated
+  }
+
+  /** Streaming read of the orders fixture (schema lifted from the batch
+    * read's footer — one metadata-only pass).
+    */
+  def ordersStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.orders(spark, dir).schema
+    spark.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
   }
 }

@@ -45,7 +45,7 @@ class StreamingSpec extends SparkSpec {
   test("latestByKeyStream upserts to the newest row per key (TABLE semantics)") {
     val input = MemoryStream[(String, String, Long)](spark)
     val df = input.toDF().toDF("id", "v", "ts")
-    val q = Streaming.latestByKeyStream(df, "id", "ts")
+    val q = Streaming.latestByKeyStream(df, "id", Seq("ts"))
       .writeStream.format("memory").queryName("latest_tbl")
       .outputMode(OutputMode.Update()).start()
     input.addData(("a", "v1", 1L), ("b", "x1", 1L))
