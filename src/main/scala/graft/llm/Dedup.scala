@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (driver north
@@ -381,6 +382,47 @@ object Dedup {
     val pruned = fps.join(useful, "fp")
     pruned.select(col("fp"), col("doc_id").as("a"))
       .join(pruned.select(col("fp").as("r_fp"), col("doc_id").as("b")),
+        col("fp") === col("r_fp") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** Oracle-grade winnowing overlap: the same MOSS window-minimum
+    * selection as [[winnowOverlapPairs]] but minimizing k-gram STRINGS
+    * lexicographically instead of rolling hashes — every step (substring
+    * grams, per-window MIN over a rows-following frame, distinct
+    * selection, pair counts) is plain relational algebra both engines
+    * evaluate identically, so the whole partial-overlap family gets a
+    * DuckDB hash-match, not just a rows count. The winnowing GUARANTEE is
+    * unchanged (any shared substring of length ≥ w + k − 1 shares ≥ 1
+    * selected gram — the guarantee needs only a total order on grams,
+    * not a uniform one). The hashed variant remains the scale path:
+    * this one shuffles k-gram strings and skips hot-bucket hygiene,
+    * exactly like [[ngramJaccardPairsExact]].
+    */
+  def winnowOverlapPairsExact(
+      docs: DataFrame,
+      textCol: String = "text",
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val n = length(col(textCol))
+    val grams = docs
+      // complete windows need n - k + 1 >= w grams
+      .filter(n >= k + w - 1)
+      .select(col("doc_id"), (n - (k - 1)).as("ng"),
+        posexplode(transform(sequence(lit(0), n - k),
+          i => col(textCol).substr(i + lit(1), lit(k)))).as(Seq("pos", "gram")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = grams
+      .withColumn("fp", min(col("gram")).over(win))
+      // only COMPLETE windows select (tail windows have < w grams)
+      .filter(col("pos") <= col("ng") - w)
+      .select(col("doc_id"), col("fp")).distinct()
+    fps.select(col("fp"), col("doc_id").as("a"))
+      .join(fps.select(col("fp").as("r_fp"), col("doc_id").as("b")),
         col("fp") === col("r_fp") && col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_fps"))
