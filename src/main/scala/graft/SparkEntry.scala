@@ -559,14 +559,29 @@ object SparkEntry {
     Dedup.simhashes(Tables.documents(s, dir))
 
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    // radius must stay < bands (4) for the banding pigeonhole to hold
-    Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 3)
+    // the 100 TB-safe parameterization: bands=8 keeps >= 5 guaranteed
+    // collision bands per radius-3 pair (pigeonhole), so the finite
+    // hot-bucket cap may legally engage (bands >= maxHamming+2) and a
+    // degenerate band value (boilerplate corpus sharing an 8-bit chunk)
+    // can no longer go quadratic — >= 2 guaranteed bands survive any
+    // single hot bucket, so no true pair is lost (DedupSpec adversarial
+    // boilerplate test)
+    Dedup.simhashNearDups(Tables.documents(s, dir),
+      maxHamming = 3, bands = 8, maxBucket = 1024)
 
   /** Partial-overlap (plagiarized-paragraph) pairs via winnowing
     * fingerprints (rows-only: seeded xxhash64).
     */
   private def qWinnowOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowOverlapPairs(Tables.documents(s, dir))
+
+  /** Oracle-grade winnowing: the same MOSS window-minimum selection with
+    * lexicographic string minimization — every step ANSI-expressible, so
+    * the winnowing family's SEMANTICS get a DuckDB hash-match, not just a
+    * row count.
+    */
+  private def qWinnowOverlapExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairsExact(Tables.documents(s, dir))
 
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.1)
@@ -766,6 +781,7 @@ object SparkEntry {
     "q_split_assign" -> (qSplitAssign _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
+    "q_winnow_overlap_exact" -> (qWinnowOverlapExact _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_mixture_weights" -> (qMixtureWeights _),
     "q_sample_temperature" -> (qSampleTemperature _),
@@ -1377,6 +1393,28 @@ object SparkEntry {
         |  ARRAY_TO_STRING(toks[chunk_id*16 + 1 : chunk_id*16 + 32], ' ') AS chunk_text,
         |  CAST(LEAST(n - chunk_id*16, 32) AS INTEGER) AS n_chunk_tokens
         |FROM c""".stripMargin,
+    // winnowing with string-min selection: substring k-grams, per-window
+    // MIN over a rows-following frame, distinct selection, pair counts —
+    // plain relational algebra both engines evaluate identically
+    "q_winnow_overlap_exact" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, text, LENGTH(text) - 4 AS ng
+        |  FROM documents WHERE LENGTH(text) >= 8),
+        |g AS (
+        |  SELECT doc_id, ng, UNNEST(RANGE(ng)) AS pos, text FROM g0),
+        |gr AS (
+        |  SELECT doc_id, ng, pos, SUBSTR(text, CAST(pos AS INTEGER) + 1, 5) AS gram
+        |  FROM g),
+        |w AS (
+        |  SELECT doc_id, ng, pos,
+        |    MIN(gram) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM gr),
+        |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - 4)
+        |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared_fps
+        |FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id
+        |HAVING COUNT(*) >= 2""".stripMargin,
     "q_stats_profile" ->
       """SELECT l_returnflag,
         |  COUNT(*) AS n,

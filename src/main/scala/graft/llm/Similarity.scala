@@ -514,9 +514,26 @@ object Similarity {
       ksub: Int = 16,
       seed: Long = 42L,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id",
+      trainFraction: Option[Double] = None): Unit = {
     val (assigned, centroids) = fitQuantizer(corpus, nlist, seed, vecCol, idCol)
-    val cb = pqTrain(corpus, m, ksub, seed = seed, vecCol = vecCol, idCol = idCol)
+    // The codebook needs DISTRIBUTION COVERAGE, not every row: train
+    // Lloyd's on a deterministic (md5-keyed, partition-order-free) sample
+    // sized ~100 rows per centroid by default, so the 2-jobs-per-iteration
+    // training cost is constant in corpus size while ENCODING still covers
+    // every row. This is the 100 TB codebook path in code, not a comment;
+    // recall parity vs full-corpus training is spec-asserted.
+    val trainTarget = ksub * 100L
+    val trainRows = trainFraction match {
+      case Some(f) if f < 1.0 =>
+        Sampling.deterministicSample(corpus, col(idCol), f)
+      case Some(_) => corpus
+      case None =>
+        val n = corpus.count()
+        if (n <= trainTarget) corpus
+        else Sampling.deterministicSample(corpus, col(idCol), trainTarget.toDouble / n)
+    }
+    val cb = pqTrain(trainRows, m, ksub, seed = seed, vecCol = vecCol, idCol = idCol)
     val coded = pqEncode(corpus, cb, m, ksub, vecCol, idCol)
     assigned.join(coded, "neighbor_id")
       .select(col("neighbor_id"), col("cv"), col("cn"), col("codes"), col("cell"))

@@ -169,6 +169,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("registered simhash parameterization: cap prunes boilerplate, keeps planted radius-3 pairs") {
+    // adversarial corpus for the REGISTERED q_simhash_pairs shape
+    // (maxHamming=3, bands=8, finite cap): a boilerplate block whose 8-bit
+    // band chunks are all hot, plus planted pairs within hamming <= 3
+    // that must survive because >= 5 of their 8 bands are guaranteed
+    // collisions and at most a coincidental few can land in hot buckets
+    val boiler = (1L to 80L).map(i =>
+      (i, "the same boilerplate text repeated again and again"))
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    // candidate variants: appending one token flips only zero-margin bits
+    // → many land within hamming 1..3 of base (xxhash64 is seedless, so
+    // the selection below is deterministic across runs)
+    val candidates = (999L, base) +: (1 to 200).map(j => (1000L + j, s"$base extra$j"))
+    val hs = Dedup.simhashes(candidates.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val planted = candidates.tail
+      .filter { case (id, _) => (1 to 3).contains(ham(hs(999L), hs(id))) }
+      .take(6)
+    assert(planted.size >= 2, s"need >= 2 planted radius-3 variants, got ${planted.size}")
+    val corpus = (boiler ++ ((999L, base) +: planted)).toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDups(corpus,
+      maxHamming = 3, bands = 8, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: every planted pair found despite the hot boilerplate buckets
+    planted.foreach { case (id, _) =>
+      assert(capped.contains((999L, id)), s"planted pair (999,$id) lost under cap")
+    }
+    // bounded candidates: the 80×79/2 boilerplate pairs are pruned, not joined
+    assert(!capped.exists(p => p._1 <= 80L && p._2 <= 80L),
+      "hot boilerplate bucket must be capped out")
+    // and the cap loses nothing OUTSIDE hot buckets: restricted to
+    // non-boilerplate ids, capped ≡ uncapped
+    val uncapped = Dedup.simhashNearDups(corpus, maxHamming = 3, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped.filterNot(p => p._1 <= 80L && p._2 <= 80L))
+  }
+
   test("containment catches a quoted sub-document that jaccard dilutes away") {
     val short = (1 to 10).map(i => s"q$i").mkString(" ")
     val long = s"${(1 to 60).map(i => s"pad$i").mkString(" ")} $short"

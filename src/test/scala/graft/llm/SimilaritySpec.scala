@@ -159,6 +159,27 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("IVF+PQ codebook trained on a deterministic sample keeps recall parity") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 5)
+    def recallOf(frac: Option[Double]): Double = {
+      val path = java.nio.file.Files.createTempDirectory("ivfpq_sample").toString
+      Similarity.ivfPqWriteIndex(emb, path, nlist = 8, m = 16, ksub = 8,
+        trainFraction = frac)
+      val got = Similarity.ivfPqQueryIndex(q, path, k = 5, nprobe = 4, rerankFactor = 6)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val full = recallOf(Some(1.0))
+    val sampled = recallOf(Some(0.5)) // forces the sample path on the fixture
+    assert(sampled >= 0.4, s"sample-trained recall=$sampled")
+    assert(sampled >= full - 0.2,
+      s"sample-trained recall $sampled must stay near full-trained $full")
+  }
+
   test("pqTopK: deterministic, and re-ranked recall beats raw ADC on fixture embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 5)
