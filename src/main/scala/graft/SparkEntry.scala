@@ -642,6 +642,36 @@ object SparkEntry {
   private def qStreamHoppingPivot(s: SparkSession, dir: String): DataFrame =
     Streaming.runToMemory(s, Streaming.hoppingPivotStream(s, dir))
 
+  /** Stream-STREAM interval join executed incrementally: both sides are
+    * watermarked streams with two-sided join state (ksql `JOIN … WITHIN`),
+    * not a stream-static enrich. Shares a plain-SQL oracle: the finite
+    * replay must produce exactly the batch join.
+    */
+  private def qStreamIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s, Streaming.intervalJoinStream(s, dir),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
+  /** The hopping pivot streamed through the Update-mode changelog parquet
+    * SINK and recovered with readChangelogState — the CSAS → compacted
+    * topic → consumer path with the SINK semantics inside the checked
+    * query (q_stream_hopping_pivot only covers the memory-sink
+    * materialization). Shares the batch hopping-pivot oracle: the
+    * compacted changelog state must be exactly the batch answer.
+    */
+  private def qStreamChangelogPivot(s: SparkSession, dir: String): DataFrame = {
+    // per-process fixed path (same rationale as qDedupDelta) — but the
+    // changelog sink APPENDS, so wipe the dir first or a second run in
+    // the same JVM would stack a second replay's emissions
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_changelog_pivot_${ProcessHandle.current().pid()}"
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+      x.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    Streaming.sinkChangelog(Streaming.hoppingPivotStream(s, dir), path)
+    Streaming.readChangelogState(s, path, Seq("user_id", "w_start"))
+  }
+
   /** The reference's headline continuously-emitting statement
     * (README.md:56-70): hopping pivot → user enrich → in-stream predict,
     * executed incrementally (state store + micro-batches) and sharing the
@@ -762,6 +792,8 @@ object SparkEntry {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_stream_hopping_pivot" -> (qStreamHoppingPivot _),
+    "q_stream_interval_join" -> (qStreamIntervalJoin _),
+    "q_stream_changelog_pivot" -> (qStreamChangelogPivot _),
     "q_stream_flagship" -> (qStreamFlagship _),
     "q_ml_train_score" -> (qMlTrainScore _),
     "q_predict_udf" -> (qPredictUdf _),
@@ -1183,6 +1215,26 @@ object SparkEntry {
     "q_salted_join" ->
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    // stream-stream join: the incremental two-sided join must emit
+    // exactly the batch join's pairs
+    "q_stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 600 SECOND AND c.ts <= p.ts""".stripMargin,
+    // identical oracle as q_hopping_pivot: the compacted changelog-sink
+    // state must be exactly the batch answer (sink semantics included)
+    "q_stream_changelog_pivot" -> (hopCte +
+      """
+        |SELECT user_id, w_start,
+        |  STRFTIME(MIN(ts), '%H:%M:%S') AS window_start,
+        |  STRFTIME(MAX(ts), '%H:%M:%S') AS window_end,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_views,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_views,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_views,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_views,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_views
+        |FROM h GROUP BY user_id, w_start""".stripMargin),
     // identical oracle as q_hopping_pivot: incremental execution must
     // produce exactly the batch answer
     "q_stream_hopping_pivot" -> (hopCte +

@@ -284,6 +284,38 @@ object Streaming {
     updated
   }
 
+  /** Stream-stream interval self-join — clicks within the 600 s before
+    * each purchase, BOTH sides incremental (the genuinely two-sided
+    * stateful join ksql's `JOIN … WITHIN` maps to; unlike the
+    * stream-static enrich, neither side is a table). Both sides carry a
+    * watermark so each side's state is evicted once the other side's
+    * event time passes the join range — state is bounded by
+    * rate × (lateness + interval), not by the stream length. Inner join
+    * ⇒ matches emit as they arrive (Append), so the finite-fixture
+    * replay produces exactly the batch join (spec + shared oracle).
+    */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    // watermark while the event-time column is still named ts; the rename
+    // afterwards preserves the watermark metadata
+    val p = withLateness(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts")),
+      "10 minutes").withColumnRenamed("ts", "p_ts")
+    val c = withLateness(
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts")),
+      "10 minutes").withColumnRenamed("ts", "c_ts")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 600 SECONDS") &&
+        col("c_ts") <= col("p_ts"),
+      "inner")
+      .select(col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming read of the orders fixture (schema lifted from the batch
     * read's footer — one metadata-only pass).
     */

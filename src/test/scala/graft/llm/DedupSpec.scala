@@ -207,6 +207,35 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped.filterNot(p => p._1 <= 80L && p._2 <= 80L))
   }
 
+  test("minhash-driven clusters ≡ exact-jaccard clusters on the fixture corpus") {
+    // the registered q_dedup_clusters / q_dedup_apply are rows-only
+    // (seeded signature hashes); this pins their SEMANTICS to the
+    // oracle-grade exact pipeline: on the fixture the estimated-jaccard
+    // pairs at 0.3 drive the same connected components, survivors and
+    // keep/drop decisions as exact jaccard — so the rows the driver
+    // counts are the rows the exact oracle family proves correct
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    def decisions(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.resolveClusters(pairs).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val mh = decisions(Dedup.minhashNearDups(docs, threshold = 0.3))
+    val ex = decisions(Dedup.ngramJaccardPairsExact(docs, threshold = 0.3))
+    assert(mh.nonEmpty)
+    assert(mh == ex, {
+      val onlyMh = mh.keySet -- ex.keySet; val onlyEx = ex.keySet -- mh.keySet
+      s"cluster decisions diverge: onlyMinhash=$onlyMh onlyExact=$onlyEx " +
+        s"diff=${mh.filter { case (k, v) => ex.get(k).exists(_ != v) }}"
+    })
+    // and the applied corpora agree row-for-row
+    val mhKept = Dedup.applyDedup(docs,
+      Dedup.resolveClusters(Dedup.minhashNearDups(docs, threshold = 0.3)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exKept = Dedup.applyDedup(docs,
+      Dedup.resolveClusters(Dedup.ngramJaccardPairsExact(docs, threshold = 0.3)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mhKept == exKept)
+  }
+
   test("containment catches a quoted sub-document that jaccard dilutes away") {
     val short = (1 to 10).map(i => s"q$i").mkString(" ")
     val long = s"${(1 to 60).map(i => s"pad$i").mkString(" ")} $short"

@@ -147,6 +147,30 @@ class AvroKafkaSpec extends SparkSpec {
       events.orderBy("event_id").collect().toSeq)
   }
 
+  test("S1 end-to-end: framed Avro topic fixture → streaming decode → hopping pivot ≡ batch") {
+    // the S1 stand-in's decode seam exercised INSIDE an incremental
+    // query, not just in unit roundtrips: events serialized to the
+    // Confluent-framed (key, value) wire shape a topic carries, replayed
+    // through the file stream, decoded with fromAvro per micro-batch,
+    // then windowed — the result must equal the parquet-path batch pivot
+    val ev = Tables.events(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("avro_topic").toString
+    KafkaIO.toAvro(ev, "user_id").write.mode("overwrite").parquet(dir)
+    val wire = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType)))
+    val topicLike = spark.readStream.schema(wire).parquet(s"$dir/*.parquet")
+    val decoded = KafkaIO.fromAvro(topicLike, ev.schema)
+    val streamed = graft.streaming.Streaming.runToMemory(spark,
+      graft.operators.WindowOps.hoppingPivot(decoded,
+        eventTypes = Tables.EventTypes))
+    val batch = graft.operators.WindowOps.hoppingPivot(ev,
+      eventTypes = Tables.EventTypes)
+    val s = streamed.collect().toSet
+    val b = batch.collect().toSet
+    assert(b.nonEmpty)
+    assert(s == b, s"streamed ${s.size} windows vs batch ${b.size}")
+  }
+
   test("S1: reader/writer construction carries the production options") {
     // the connector jar is absent in this environment (documented hard
     // dependency) — construction must succeed; load() is what needs the jar
