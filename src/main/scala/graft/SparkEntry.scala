@@ -431,6 +431,36 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select(col("doc_id"), col("source"), col("split"))
 
+  /** Per-group deterministic cap — "max 50 docs per source", the count
+    * form of a mixing policy guardrail.
+    */
+  private def qCapPerGroup(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(Tables.documents(s, dir), col("doc_id"), "source", 50)
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  /** Distribution-driven outlier filter: keep docs inside each source's
+    * exact p05–p95 length band (profiling → threshold → filter, the
+    * standard quality-gate chain).
+    */
+  private def qOutlierFilter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.outlierFilter(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", 0.05, 0.95)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  /** Decontamination applied: the corpus minus docs whose benchmark
+    * contamination ratio reaches 0.2 (flag → anti-join).
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      threshold = 0.2)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Temperature mixture table: per-source sampling weights/fractions
     * for alpha = 0.5 targeting 300 rows.
     */
@@ -810,6 +840,9 @@ object SparkEntry {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_sample_det" -> (qSampleDet _),
+    "q_cap_per_group" -> (qCapPerGroup _),
+    "q_outlier_filter" -> (qOutlierFilter _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_split_assign" -> (qSplitAssign _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
@@ -904,18 +937,21 @@ object SparkEntry {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       |  FROM t)""".stripMargin
 
-  /** Contamination oracle (string shingles; distinct-hash counts equal
-    * distinct-string counts at fixture scale) — shared by the batch query
-    * and its incremental streaming execution.
+  /** Contamination CTE chain (string shingles; distinct-hash counts equal
+    * distinct-string counts at fixture scale) — shared by the flag query,
+    * its incremental streaming execution, and the decontamination apply.
     */
-  private val contaminationOracle =
+  private val contaminationCte =
     """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
       |sh AS (
       |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(tk) - 2),
       |    i -> ARRAY_TO_STRING(tk[i+1:i+3], ' ')))) AS s
       |  FROM toks WHERE LEN(tk) >= 3),
       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
-      |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+      |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)""".stripMargin
+
+  private val contaminationOracle = contaminationCte +
+    """
       |SELECT c.doc_id,
       |  COUNT(*) AS n_shingles,
       |  COUNT(b.s) AS n_contaminated,
@@ -1362,6 +1398,35 @@ object SparkEntry {
         |              WHEN 'src1' THEN '80000000'
         |              WHEN 'src2' THEN '19999999'
         |              ELSE '4ccccccc' END""".stripMargin,
+    "q_cap_per_group" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 50""".stripMargin,
+    // bounds ROUNDED to 6 decimals on both sides: quantile_cont
+    // interpolates lo + f*(hi-lo) while Spark uses the weighted form —
+    // unrounded they can differ in the last ulp at a boundary row
+    "q_outlier_filter" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ROUND(QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.05), 6) AS lo,
+        |    ROUND(QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.95), 6) AS hi
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN b USING (source)
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""".stripMargin,
+    "q_decontaminate" -> (contaminationCte +
+      """,
+        |r AS (
+        |  SELECT c.doc_id,
+        |    ROUND(COUNT(b.s) * 1.0 / COUNT(*), 6) AS ratio
+        |  FROM corp c LEFT JOIN bench b ON c.s = b.s
+        |  GROUP BY c.doc_id)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 10 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM r WHERE ratio >= 0.2)""".stripMargin),
     "q_split_assign" ->
       """SELECT doc_id, source,
         |  CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'

@@ -162,6 +162,29 @@ object Sampling {
   private def hashOrder(idCol: String): Seq[Column] =
     Seq(samplingKey(col(idCol)), col(idCol))
 
+  /** Deterministic per-group cap: keep at most `k` rows per group, chosen
+    * by sampling-key order — the "max docs per domain" guardrail of a
+    * mixing policy, in count form rather than [[stratifiedSample]]'s rate
+    * form. Hash order makes the kept subset reproducible and
+    * engine-portable, and stable under corpus growth: a new doc can
+    * displace at most the highest-keyed survivor of its own group, never
+    * reshuffle the selection.
+    *
+    * Scale: one shuffle on the group column; parallelism = group count
+    * (domains — large by construction). The rank window sorts one group
+    * per task; a pathological single mega-group should be pre-thinned
+    * with [[deterministicSample]] before an exact cap.
+    */
+  def capPerGroup(
+      df: DataFrame, key: Column, groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"capPerGroup needs k >= 1, got $k")
+    df.withColumn("_rk",
+      row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(samplingKey(key), key)))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Token-budget sampling (domain mixing by budget): walk each group in
     * deterministic hash order, keep documents while the group's running
     * token total stays within `budgetTokens`. This is the "N billion

@@ -272,6 +272,26 @@ object TextOps {
           .as("contamination_ratio"))
   }
 
+  /** Apply the contamination decision: drop every corpus doc whose
+    * shingle contamination ratio against the benchmark set reaches
+    * `threshold` (left-anti join on the flagged ids) — the action a
+    * pipeline takes after [[contamination]] flags eval-set leakage.
+    * Threshold compares the ROUNDED ratio (6 decimals, what
+    * [[contamination]] emits), so the keep/drop boundary is
+    * engine-deterministic. Docs too short to shingle are never flagged.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.2,
+      textCol: String = "text",
+      w: Int = 3): DataFrame = {
+    val flagged = contamination(corpus, benchmark, textCol, w)
+      .filter(col("contamination_ratio") >= threshold)
+      .select(col("doc_id"))
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   /** Characteristic character trigrams per language (high-frequency
     * trigrams of each language's function words) — the tiny profile the
     * n-gram language-ID heuristic scores against.

@@ -17,25 +17,28 @@ import org.apache.spark.sql.functions._
   * sf0.1, a scale-killer for a 100 TB fact table where one group's
   * distinct values don't fit one task.
   *
-  * This version localizes TWICE before any exact work: per-group
-  * (min, max, n) in one scan-agg, then a coarse B-bucket count histogram
-  * (map-side combined, B rows per group) whose tiny cumulative window
-  * pinpoints the buckets containing each percentile's bracketing ranks —
-  * and then the SAME localization again inside those kept buckets, over
-  * each kept bucket's own observed [min, max] sub-range. Only rows in
-  * kept SUB-buckets (≈ n/B² each when values spread; bounded by the kept
-  * bucket's distinct values over B sub-ranges otherwise) enter the exact
-  * value-histogram window. The round-4 worst case — all mass landing in
-  * one coarse bucket (an outlier stretching the range) — now degrades to
-  * a second B-way split of that bucket instead of a full per-group sort;
-  * a distribution would have to collapse both levels (n·(1−1/B²) of its
-  * mass inside a range B² times smaller than its extent, with the
-  * remaining distinct values still huge) before any window grows beyond
-  * ~distinct/B² — and repeated values never hurt at all, because the
-  * exact pass groups by value BEFORE the window. No stage holds
-  * per-group state larger than one (value, count) row; every exact-pass
-  * shuffle key includes (bucket, sub-bucket), so in-group parallelism is
-  * the number of kept sub-buckets, not 1.
+  * Plan shape: per-group (min, max, n) in one scan-agg, then a coarse
+  * B-bucket count histogram (map-side combined, B rows per group) whose
+  * tiny cumulative window pinpoints the buckets containing each
+  * percentile's bracketing ranks and the exact rank offset below them.
+  * Only rows inside those ≤ 2·|ps| kept buckets per group enter the
+  * exact value-histogram window (which groups by value BEFORE the
+  * window, so repeated values collapse for free).
+  *
+  * Worst case — (almost) all mass in one coarse bucket because an
+  * outlier stretched the range — is handled by a CONDITIONAL second
+  * localization: the kept-bucket relation (≤ 2·|ps| rows per group)
+  * already carries each bucket's row count, so one tiny driver-side agg
+  * decides whether any kept bucket exceeds `refineThreshold`. If none
+  * does (the overwhelmingly common case), the exact pass runs directly —
+  * three base scans total, nothing re-localized. If one does, the kept
+  * rows are materialized once (localCheckpoint, ≈ 2·|ps|·n/B rows) and
+  * the SAME localization runs again inside each kept bucket over its own
+  * OBSERVED [min, max] — observed, not grid-subdivided, so a tight value
+  * cluster inside a huge bucket still splits B ways. Either way no stage
+  * holds per-group state larger than one (value, count) row, and every
+  * exact-pass shuffle key includes the (sub-)bucket, so in-group
+  * parallelism is the kept-bucket count, not 1.
   *
   * Interpolation matches `percentile`/DuckDB `quantile_cont`:
   * pos = p·(n−1); result = (⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi with the
@@ -45,14 +48,19 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** One output column per (name, p) on top of the group column. */
+  /** One output column per (name, p) on top of the group column.
+    * `refineThreshold` is the largest row count a kept bucket may have
+    * before the second localization engages (≈ the most rows one exact
+    * window task should ever sort).
+    */
   def percentilesByGroup(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       ps: Seq[(String, Double)],
-      buckets: Int = 1024): DataFrame = {
-    val ranked = localizedRanks(df, groupCol, valueCol, ps, buckets)
+      buckets: Int = 1024,
+      refineThreshold: Long = 1L << 16): DataFrame = {
+    val ranked = localizedRanks(df, groupCol, valueCol, ps, buckets, refineThreshold)
     val aggs = ps.map { case (name, p) =>
       val pos = lit(p) * (col("_n") - 1)
       val lo = min(when(col("_cum") >= floor(pos) + 1, col("_v")))
@@ -69,29 +77,63 @@ object Stats {
       .withColumnRenamed("_g", groupCol)
   }
 
+  /** Robust per-group outlier filter: keep rows whose value lies inside
+    * the group's [loP, hiP] EXACT percentile band — the
+    * distribution-driven filter a pipeline derives from profiling (e.g.
+    * drop documents outside each source's p05–p95 length band). Bounds
+    * are rounded to 6 decimals before comparison on BOTH engines: the
+    * DuckDB oracle's `quantile_cont` interpolates with lo + f·(hi−lo)
+    * while Spark uses the weighted form, so an unrounded bound could
+    * differ in the last ulp and flip a boundary row.
+    *
+    * Scale: percentile bounds via [[percentilesByGroup]] (bounded-state
+    * localization), then one broadcast join of the one-row-per-group
+    * bounds relation — the corpus never shuffles.
+    */
+  def outlierFilter(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loP: Double = 0.05,
+      hiP: Double = 0.95,
+      buckets: Int = 1024): DataFrame = {
+    require(loP <= hiP, s"outlierFilter: loP $loP must be <= hiP $hiP")
+    val b = percentilesByGroup(df, groupCol, valueCol,
+      Seq("_lo" -> loP, "_hi" -> hiP), buckets)
+      .select(col(groupCol),
+        round(col("_lo"), 6).as("_lo"), round(col("_hi"), 6).as("_hi"))
+    df.join(broadcast(b), groupCol)
+      .filter(col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"))
+      .drop("_lo", "_hi")
+  }
+
   /** The exact (value, absolute in-group rank) relation feeding percentile
-    * selection, after two levels of bucket localization. Package-private
-    * so the spec can assert the exact pass's window partitions stay
-    * bounded on adversarial (all-mass-one-bucket) distributions.
-    * Columns: _g, _v, _c (count of _v), _cum (absolute 1-based rank of
-    * the last occurrence of _v in its group), _n (group row count).
+    * selection. Package-private so the spec can assert the exact pass's
+    * window partitions stay bounded on adversarial (all-mass-one-bucket)
+    * distributions. Columns: _g, _v, _c (count of _v), _cum (absolute
+    * 1-based rank of the last occurrence of _v in its group), _n (group
+    * row count), _b/_sb (window partition keys).
     */
   private[operators] def localizedRanks(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       ps: Seq[(String, Double)],
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      refineThreshold: Long = 1L << 16): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       s"percentiles must lie in [0,1]: $ps")
     require(buckets >= 2, s"need >= 2 coarse buckets, got $buckets")
+    require(refineThreshold >= 1, s"refineThreshold must be >= 1: $refineThreshold")
     val rows = df
       .filter(col(valueCol).isNotNull) // percentile semantics ignore nulls
       .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
 
-    // pass 0: per-group extent + count
+    // pass 0: per-group extent + count — one row per group, checkpointed
+    // so the refine decision below doesn't force a recompute of this scan
     val bounds = rows.groupBy(col("_g")).agg(
       count(lit(1)).as("_n"), min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+      .localCheckpoint()
 
     // identical expression wherever bucket ids are computed → identical
     // assignment across passes
@@ -119,42 +161,60 @@ object Stats {
       .withColumn("_cumb", sum(col("_bc")).over(wB))
       .withColumn("_beforeb", col("_cumb") - col("_bc"))
       .join(bounds.select(col("_g"), col("_n")), "_g")
+    // kept buckets, ≤ 2·|ps| rows per group — tiny; checkpointed because
+    // the refine decision reads it eagerly and the exact pass reads it
+    // again (without the checkpoint the coarse scan would run twice)
     val kept1 = cumB.filter(needed(col("_beforeb"), col("_cumb")))
-      .select(col("_g"), col("_b"), col("_beforeb"))
-
-    // rows inside kept coarse buckets (≈ 2·|ps|·n/B of the input when
-    // values spread over the range) — materialized once so the three
-    // refinement passes below don't re-scan the base relation
-    val keptRows = rows.join(broadcast(bounds), "_g")
-      .withColumn("_b", bucketOf(col("_v"), col("_mn"), col("_mx")))
-      .drop("_n", "_mn", "_mx")
-      .join(broadcast(kept1), Seq("_g", "_b"))
+      .select(col("_g"), col("_b"), col("_beforeb"), col("_bc"))
       .localCheckpoint()
 
-    // pass 1.5: localize AGAIN inside each kept bucket, over the bucket's
-    // own observed extent — this is what bounds the worst case where one
-    // coarse bucket holds (almost) all the group's mass
-    val subBounds = keptRows.groupBy(col("_g"), col("_b"))
-      .agg(min(col("_v")).as("_smn"), max(col("_v")).as("_smx"))
-    val subCoarse = keptRows.join(broadcast(subBounds), Seq("_g", "_b"))
-      .groupBy(col("_g"), col("_b"), col("_beforeb"),
-        bucketOf(col("_v"), col("_smn"), col("_smx")).as("_sb"))
-      .agg(count(lit(1)).as("_sc"))
-    val wSB = Window.partitionBy(col("_g"), col("_b")).orderBy(col("_sb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumSB = subCoarse
-      .withColumn("_cums", col("_beforeb") + sum(col("_sc")).over(wSB))
-      .withColumn("_befores", col("_cums") - col("_sc"))
-      .join(broadcast(bounds.select(col("_g"), col("_n"))), "_g")
-    val kept2 = cumSB.filter(needed(col("_befores"), col("_cums")))
-      .select(col("_g"), col("_b"), col("_sb"), col("_befores"))
+    // refine decision: one tiny agg over the checkpointed kept relation —
+    // deterministic (row counts, not timing), costs no extra base scan
+    val maxBc = kept1.agg(coalesce(max(col("_bc")), lit(0L))).head().getLong(0)
 
-    // pass 2: exact value histogram + rank window INSIDE kept sub-buckets
-    // only; _cum is the absolute in-group rank (sub-bucket offset + local
+    // (_g, _b, _sb, _befores, _v) rows entering the exact pass
+    val exact =
+      if (maxBc <= refineThreshold) {
+        // common case: every kept bucket fits one exact window task —
+        // single-level plan, 3 base scans total
+        rows.join(broadcast(bounds), "_g")
+          .withColumn("_b", bucketOf(col("_v"), col("_mn"), col("_mx")))
+          .join(broadcast(kept1.drop("_bc")), Seq("_g", "_b"))
+          .select(col("_g"), col("_b"), lit(0).as("_sb"),
+            col("_beforeb").as("_befores"), col("_v"))
+      } else {
+        // adversarial case: localize AGAIN inside each kept bucket, over
+        // the bucket's own OBSERVED extent; kept rows are materialized
+        // once so the three refinement passes don't re-scan the base
+        val keptRows = rows.join(broadcast(bounds), "_g")
+          .withColumn("_b", bucketOf(col("_v"), col("_mn"), col("_mx")))
+          .drop("_n", "_mn", "_mx")
+          .join(broadcast(kept1.drop("_bc")), Seq("_g", "_b"))
+          .localCheckpoint()
+        val subBounds = keptRows.groupBy(col("_g"), col("_b"))
+          .agg(min(col("_v")).as("_smn"), max(col("_v")).as("_smx"))
+        val subCoarse = keptRows.join(broadcast(subBounds), Seq("_g", "_b"))
+          .groupBy(col("_g"), col("_b"), col("_beforeb"),
+            bucketOf(col("_v"), col("_smn"), col("_smx")).as("_sb"))
+          .agg(count(lit(1)).as("_sc"))
+        val wSB = Window.partitionBy(col("_g"), col("_b")).orderBy(col("_sb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cumSB = subCoarse
+          .withColumn("_cums", col("_beforeb") + sum(col("_sc")).over(wSB))
+          .withColumn("_befores", col("_cums") - col("_sc"))
+          .join(broadcast(bounds.select(col("_g"), col("_n"))), "_g")
+        val kept2 = cumSB.filter(needed(col("_befores"), col("_cums")))
+          .select(col("_g"), col("_b"), col("_sb"), col("_befores"))
+        keptRows.join(broadcast(subBounds), Seq("_g", "_b"))
+          .withColumn("_sb", bucketOf(col("_v"), col("_smn"), col("_smx")))
+          .join(broadcast(kept2), Seq("_g", "_b", "_sb"))
+          .select(col("_g"), col("_b"), col("_sb"), col("_befores"), col("_v"))
+      }
+
+    // exact pass: value histogram + rank window inside kept (sub-)buckets
+    // only; _cum is the absolute in-group rank (bucket offset + local
     // running count), so rank selection is unchanged semantics
-    val fine = keptRows.join(broadcast(subBounds), Seq("_g", "_b"))
-      .withColumn("_sb", bucketOf(col("_v"), col("_smn"), col("_smx")))
-      .join(broadcast(kept2), Seq("_g", "_b", "_sb"))
+    val fine = exact
       .groupBy(col("_g"), col("_b"), col("_sb"), col("_befores"), col("_v"))
       .agg(count(lit(1)).as("_c"))
     val wV = Window.partitionBy(col("_g"), col("_b"), col("_sb")).orderBy(col("_v"))

@@ -284,6 +284,26 @@ object Streaming {
     updated
   }
 
+  /** `CREATE STREAM <name> WITH (VALUE_FORMAT='AVRO')` with NO column
+    * list: define a typed stream straight from the registry-served Avro
+    * schema JSON over a binary-valued topic stand-in, and register it in
+    * the session catalog so subsequent `spark.sql` statements query it by
+    * name — the reference's registry-inferred stream definition as a
+    * catalog-level convenience (decode mechanics in
+    * [[graft.sources.KafkaIO.fromAvroInferred]]).
+    */
+  def defineStream(
+      spark: SparkSession,
+      name: String,
+      avroSchemaJson: String,
+      binaryTopic: DataFrame,
+      valueCol: String = "value"): DataFrame = {
+    val typed = graft.sources.KafkaIO
+      .fromAvroInferred(binaryTopic, avroSchemaJson, valueCol)
+    typed.createOrReplaceTempView(name)
+    typed
+  }
+
   /** Stream-stream interval self-join — clicks within the 600 s before
     * each purchase, BOTH sides incremental (the genuinely two-sided
     * stateful join ksql's `JOIN … WITHIN` maps to; unlike the

@@ -229,4 +229,24 @@ class SamplingSpec extends SparkSpec {
     val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
     kept.foreach { case (s, k) => assert(k <= totals(s)) }
   }
+
+  test("capPerGroup: exact cap, deterministic, stable under corpus growth") {
+    val docs = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val capped = Sampling.capPerGroup(docs, $"doc_id", "source", 20)
+    val counts = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 20L), s"each group capped at 20: $counts")
+    // under the cap, groups pass through whole
+    val small = Sampling.capPerGroup(docs.filter($"doc_id" <= 30), $"doc_id", "source", 20)
+    assert(small.count() == 30)
+    // growth stability: adding docs evicts at most the highest-keyed
+    // survivors; it never admits a previously-rejected doc
+    val before = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val grown = Sampling.capPerGroup(
+      docs.union(Seq((1000L, "src0"), (1001L, "src1")).toDF("doc_id", "source")),
+      $"doc_id", "source", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((grown -- before).subsetOf(Set(1000L, 1001L)),
+      "growth must not resurrect previously-rejected docs")
+  }
 }

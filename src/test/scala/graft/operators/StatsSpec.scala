@@ -49,23 +49,31 @@ class StatsSpec extends SparkSpec {
     val df = ((1 to 4000).map(i => ("a", i / 4000000.0)) :+ (("a", 1e9)))
       .toDF("g", "v")
     val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)
-    val ours = Stats.percentilesByGroup(df, "g", "v", ps, buckets = b)
-      .collect().map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
-    val builtin = df.groupBy("g")
-      .agg(expr("percentile(v, array(0.25, 0.5, 0.99))"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    ours("a").zip(builtin("a")).foreach { case (x, y) =>
-      assert(x == y, s"$x != $y") }
-    // boundedness: no exact-pass window partition sees more than ~1/B of
-    // the hot bucket's distinct values (was 4000 in one partition before)
-    val ranked = Stats.localizedRanks(df, "g", "v", ps, buckets = b)
+    // refineThreshold below the hot bucket's 4000 rows forces the second
+    // localization; the default threshold must give identical results
+    for (thr <- Seq(256L, 1L << 16)) {
+      val ours = Stats.percentilesByGroup(df, "g", "v", ps, buckets = b,
+        refineThreshold = thr)
+        .collect().map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+      val builtin = df.groupBy("g")
+        .agg(expr("percentile(v, array(0.25, 0.5, 0.99))"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      ours("a").zip(builtin("a")).foreach { case (x, y) =>
+        assert(x == y, s"thr=$thr: $x != $y") }
+    }
+    // boundedness: with refinement engaged, no exact-pass window partition
+    // sees more than ~1/B of the hot bucket's distinct values (was 4000
+    // in one partition before)
+    val ranked = Stats.localizedRanks(df, "g", "v", ps, buckets = b,
+      refineThreshold = 256L)
     val maxPart = ranked.groupBy("_g", "_b", "_sb").count()
       .agg(max("count")).head().getLong(0)
     assert(maxPart <= 4000 / b + 32,
       s"exact window partition of $maxPart rows — sub-localization not engaged")
     // constant-heavy mass never hurts: the exact pass groups by value
     val const = ((1 to 5000).map(_ => ("c", 7.0)) :+ (("c", 9.0))).toDF("g", "v")
-    val cr = Stats.localizedRanks(const, "g", "v", Seq("p50" -> 0.5), buckets = b)
+    val cr = Stats.localizedRanks(const, "g", "v", Seq("p50" -> 0.5), buckets = b,
+      refineThreshold = 256L)
     assert(cr.count() <= 2, "repeated values must collapse before the window")
     val cp = Stats.percentilesByGroup(const, "g", "v", Seq("p50" -> 0.5), buckets = b)
       .head().getDouble(1)

@@ -234,6 +234,27 @@ class StreamingSpec extends SparkSpec {
     assert(s == b, s"streamed ${s.size} vs batch ${b.size}")
   }
 
+  test("continuous Trigger.ProcessingTime delivery updates results across batches (push query)") {
+    // the reference's EMIT CHANGES push query over chunked HTTP: a
+    // LONG-RUNNING trigger (not AvailableNow) whose result table keeps
+    // updating as data arrives — the delivery posture itself, demo-scale
+    val input = MemoryStream[(Long, String)](spark)
+    val counts = input.toDF().toDF("id", "k").groupBy("k").count()
+    val q = counts.writeStream.format("memory").queryName("push_tbl")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    assert(spark.table("push_tbl").count() == 2)
+    input.addData((3L, "a")) // the running query picks this up on its own
+    q.processAllAvailable()
+    val a = spark.table("push_tbl").filter(col("k") === "a")
+      .head().getLong(1)
+    q.stop()
+    assert(a == 2L, "second batch must update the continuously-served result")
+  }
+
   test("ST3: late event re-emits the updated hopping aggregate (EMIT CHANGES)") {
     val input = MemoryStream[(Long, Long, String)](spark)
     val df = input.toDF().toDF("user_id", "epoch", "event_type")
