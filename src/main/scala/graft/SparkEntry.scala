@@ -114,6 +114,33 @@ object SparkEntry {
         .as("revenue"))
   }
 
+  /** TPC-H Q5 shape — the 6-table join-planning benchmark: two big
+    * fact tables (lineitem ⋈ orders) shuffle on their keys while every
+    * dimension (region→nation→supplier, customer) broadcasts; the
+    * local-supplier condition (c_nationkey = s_nationkey) closes the
+    * snowflake. This is the query that punishes a bad join order.
+    */
+  private def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name") === lit("ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast("timestamp") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate").cast("timestamp") < to_timestamp(lit("1997-01-01")))
+    Tables.lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0)
+        .as("revenue"))
+  }
+
   private def qRekey(s: SparkSession, dir: String): DataFrame =
     Relational.rekey(Tables.events(s, dir), "user_id")
 
@@ -362,6 +389,41 @@ object SparkEntry {
       col("o_totalprice").as("last_order_price"))
     Joins.asOfJoin(l, r, "user_id", "o_custkey", "ts_sec", "o_sec",
       Seq("last_order_key", "last_order_price"))
+  }
+
+  /** Full-outer reconciliation (engine completeness): per-user event and
+    * order counts stitched across both activity tables, keeping users
+    * present on either side.
+    */
+  private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val oc = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    ev.join(oc, col("user_id") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("o_custkey")).as("id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  /** Salted-hash pseudonymization of the user id over the event log —
+    * the PII-unlinking projection (stable within a salt, shredded by
+    * rotating it).
+    */
+  private def qPseudonymize(s: SparkSession, dir: String): DataFrame =
+    TextOps.pseudonymize(
+      Tables.events(s, dir).select(col("event_id"), col("user_id")),
+      "user_id", salt = "pepper")
+
+  /** Per-source embedding centroids + each vector's cosine to its own
+    * centroid — the semantic-outlier score of the embedding QA family.
+    */
+  private def qEmbedCentroid(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    graft.llm.EmbeddingOps.centroidCosine(emb, "source")
   }
 
   /** Set operations (engine completeness; absent from the reference). */
@@ -776,6 +838,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_segment_revenue" -> (q3SegmentRevenue _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q_full_outer" -> (qFullOuter _),
+    "q_pseudonymize" -> (qPseudonymize _),
+    "q_embed_centroid" -> (qEmbedCentroid _),
     "q_rekey" -> (qRekey _),
     "q_latest_by_key" -> (qLatestByKey _),
     "q_case_indicator" -> (qCaseIndicator _),
@@ -868,7 +934,8 @@ object SparkEntry {
 
   /** Headline subset Bench.scala times per round. */
   def benchQueries: Seq[String] = Seq(
-    "q1_pricing_summary", "q3_segment_revenue", "q_hopping_pivot",
+    "q1_pricing_summary", "q3_segment_revenue", "q5_region_revenue",
+    "q_hopping_pivot",
     "q_rolling_600s", "q_latest_by_key", "q_left_enrich", "q_inner_enrich",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_token_count",
     "q_sim_topk", "q_topk_orders_per_cust", "q_tumbling_agg",
@@ -1020,6 +1087,48 @@ object SparkEntry {
         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l.l_shipdate > TIMESTAMP '1995-06-30 00:00:00'
         |GROUP BY l.l_orderkey, o.o_orderdate""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q_full_outer" ->
+      """WITH e AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+        |o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(e.user_id, o.o_custkey) AS id,
+        |  COALESCE(e.n_events, 0) AS n_events,
+        |  COALESCE(o.n_orders, 0) AS n_orders
+        |FROM e FULL JOIN o ON e.user_id = o.o_custkey""".stripMargin,
+    "q_pseudonymize" ->
+      """SELECT event_id,
+        |  SHA256('pepper' || CAST(user_id AS VARCHAR)) AS user_id_pseudo
+        |FROM events""".stripMargin,
+    // centroid components ROUNDED before the dot (AVG summation order
+    // differs across engines); the dot itself is the left-to-right array
+    // fold both engines evaluate bit-identically
+    "q_embed_centroid" ->
+      """WITH e AS (
+        |  SELECT d.source, m.vec_id, CAST(m.embedding AS DOUBLE[]) AS v
+        |  FROM embeddings m JOIN documents d ON m.vec_id = d.doc_id),
+        |x AS (SELECT source, vec_id, UNNEST(RANGE(LEN(v))) AS dim, v FROM e),
+        |comp AS (
+        |  SELECT source, dim,
+        |    ROUND(AVG(v[CAST(dim AS INTEGER) + 1]), 6) AS c
+        |  FROM x GROUP BY source, dim),
+        |cent AS (SELECT source, LIST(c ORDER BY dim) AS cv FROM comp GROUP BY source)
+        |SELECT e.vec_id, e.source,
+        |  ROUND(LIST_DOT_PRODUCT(e.v, c.cv)
+        |    / (SQRT(LIST_DOT_PRODUCT(e.v, e.v)) * SQRT(LIST_DOT_PRODUCT(c.cv, c.cv))), 6)
+        |    AS cos_to_centroid
+        |FROM e JOIN cent c USING (source)""".stripMargin,
     "q_rekey" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events",
     "q_latest_by_key" -> latestByKeyOracle,

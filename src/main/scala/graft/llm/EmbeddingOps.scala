@@ -61,6 +61,40 @@ object EmbeddingOps {
           .cast("int").as("q"))
   }
 
+  /** Cosine of every vector to its own group's centroid — the
+    * embedding-space cohesion score a pipeline uses to flag semantic
+    * outliers within a source/domain (low cosine = doc unlike its
+    * domain). Centroid components are ROUNDED (6 decimals) before the
+    * dot product: the per-dimension AVG is a float sum whose order
+    * differs across engines/partitionings, and rounding pins it; the
+    * dot itself is the native left-to-right array fold both engines
+    * evaluate bit-identically.
+    *
+    * Scale: one explode + (group, dim)-keyed partial agg for centroids
+    * (|groups|·dim rows — tiny), broadcast back; the scoring pass is a
+    * pure projection, the corpus never shuffles.
+    */
+  def centroidCosine(
+      emb: DataFrame,
+      groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val comp = emb
+      .select(col(groupCol).as("_grp"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy(col("_grp"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("c"))
+    val cent = comp.groupBy(col("_grp"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    emb
+      .join(broadcast(cent), col(groupCol) === col("_grp"))
+      .select(col("vec_id"), col(groupCol),
+        round(Similarity.dot(asDouble(col(vecCol)), col("cv")) /
+          (sqrt(Similarity.dot(asDouble(col(vecCol)), asDouble(col(vecCol)))) *
+            sqrt(Similarity.dot(col("cv"), col("cv")))), 6)
+          .as("cos_to_centroid"))
+  }
+
   /** Per-dimension mean / sample-stddev / min / max across the corpus. */
   def dimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
     emb

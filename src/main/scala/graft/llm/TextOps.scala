@@ -272,6 +272,18 @@ object TextOps {
           .as("contamination_ratio"))
   }
 
+  /** Salted-hash pseudonymization of an identifier column (PII family,
+    * beside [[piiScrub]]): replaces the raw id with
+    * sha256(salt ‖ id) — stable within one salt (joins/grouping still
+    * work downstream) and irreversible without it; rotating the salt is
+    * the crypto-shredding move a privacy pipeline uses to unlink history.
+    * Pure projection, codegen'd sha2, no shuffle.
+    */
+  def pseudonymize(df: DataFrame, keyCol: String, salt: String): DataFrame =
+    df.withColumn(s"${keyCol}_pseudo",
+      sha2(concat(lit(salt), col(keyCol).cast("string")), 256))
+      .drop(keyCol)
+
   /** Apply the contamination decision: drop every corpus doc whose
     * shingle contamination ratio against the benchmark set reaches
     * `threshold` (left-anti join on the flagged ids) — the action a

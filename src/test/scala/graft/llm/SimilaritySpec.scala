@@ -208,4 +208,23 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(exactScores(p) - prScores(p)) < 1e-5,
         s"re-ranked score must be the exact cosine for $p") }
   }
+
+  test("centroidCosine: in-group vectors score high, a planted outlier scores lowest") {
+    // two tight clusters around orthogonal axes + one outlier in group a
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => x + (if (d == i % 4) 0.01f else 0f) }
+    val aBase = Array(1f, 0f, 0f, 0f)
+    val bBase = Array(0f, 1f, 0f, 0f)
+    val rows =
+      (0 until 8).map(i => (i.toLong, "a", jitter(aBase, i))) ++
+        (8 until 16).map(i => (i.toLong, "b", jitter(bBase, i))) :+
+        ((16L, "a", Array(0f, 0f, 1f, 0f))) // outlier in group a
+    val df = rows.toDF("vec_id", "source", "embedding")
+    val out = graft.llm.EmbeddingOps.centroidCosine(df, "source")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size == 17)
+    (0 until 16).foreach(i => assert(out(i.toLong) > 0.9, s"in-cluster $i: ${out(i.toLong)}"))
+    assert(out(16L) < 0.5, s"outlier must score low: ${out(16L)}")
+    assert(out(16L) < (0 until 8).map(i => out(i.toLong)).min)
+  }
 }

@@ -128,4 +128,30 @@ class TextOpsSpec extends SparkSpec {
       .collect().toSeq
     assert(f1 == f2 && f1.size == 10)
   }
+
+  test("pseudonymize: stable within a salt, unlinked across salts, raw id gone") {
+    val df = Seq((1L, 42L), (2L, 42L), (3L, 7L)).toDF("event_id", "user_id")
+    val a = TextOps.pseudonymize(df, "user_id", "s1")
+    assert(!a.columns.contains("user_id"))
+    val rows = a.orderBy("event_id").collect().map(_.getString(1))
+    assert(rows(0) == rows(1), "same id + same salt → same pseudonym (joins survive)")
+    assert(rows(0) != rows(2))
+    assert(rows(0).matches("[0-9a-f]{64}"))
+    // rotating the salt unlinks every pseudonym (crypto-shredding)
+    val b = TextOps.pseudonymize(df, "user_id", "s2")
+      .orderBy("event_id").collect().map(_.getString(1))
+    assert(rows.toSet.intersect(b.toSet).isEmpty)
+  }
+
+  test("decontaminate drops flagged docs, keeps clean and unshingleable ones") {
+    val bench = Seq((100L, "secret eval question about llamas today")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "secret eval question about llamas today padded"), // heavy overlap
+      (2L, "a completely unrelated document about weather patterns"),
+      (3L, "too short")) // < w tokens: never flagged
+      .toDF("doc_id", "text")
+    val kept = TextOps.decontaminate(corpus, bench, threshold = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"kept=$kept")
+  }
 }
