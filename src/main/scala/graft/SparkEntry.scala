@@ -602,6 +602,41 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("day")),
       col("event_type"))
 
+  /** Mergeable quantile sketches: per-(flag, status) KLL partials merged
+    * up to per-flag quantile estimates — the stored-sketch path beside
+    * the exact q_stats_profile (rows-only: sketch estimates; rank-error
+    * bound spec-asserted against the exact percentile).
+    */
+  private def qKllQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kllMergeQuantiles(
+      graft.operators.Sketches.kllPartials(
+        Tables.lineitem(s, dir), col("l_quantity"),
+        col("l_returnflag"), col("l_linestatus")),
+      Seq("p50_est" -> 0.5, "p90_est" -> 0.9),
+      col("l_returnflag"))
+
+  /** Theta-sketch distinct algebra: estimated count of users active in
+    * BOTH segments (clickers ∩ purchasers) from per-segment sketches —
+    * set intersection over distinct counts, which HLL cannot do
+    * (rows-only; accuracy spec-asserted vs the exact intersect).
+    */
+  private def qThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def seg(t: String) = graft.operators.Sketches.thetaPartials(
+      ev.filter(col("event_type") === t).withColumn("seg", lit("click_x_purchase")),
+      col("user_id"), col("seg"))
+    graft.operators.Sketches.thetaIntersectEstimate(
+      seg("click"), seg("purchase"), "seg")
+  }
+
+  /** Bounded-memory approximate heavy hitters over the same bigram
+    * relation as the exact q_top_ngrams (rows-only; heavy-item agreement
+    * with the exact top-k spec-asserted).
+    */
+  private def qApproxTopNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.approxTopK(
+      TextOps.ngrams(Tables.documents(s, dir), n = 2), col("gram"), 20)
+
   /** Incremental dedup: odd-id docs (the "new batch") against the
     * even-id corpus index (rows-only: seeded hashes; delta ≡ full-corpus
     * equivalence is spec-asserted in DedupSpec).
@@ -929,6 +964,9 @@ object SparkEntry {
     "q_salted_join" -> (qSaltedJoin _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_hll_distinct" -> (qHllDistinct _),
+    "q_kll_quantiles" -> (qKllQuantiles _),
+    "q_theta_overlap" -> (qThetaOverlap _),
+    "q_approx_top_ngrams" -> (qApproxTopNgrams _),
     "q_dedup_delta" -> (qDedupDelta _)
   )
 

@@ -97,18 +97,30 @@ object TextOps {
     * sort, shuffle volume = |distinct grams| partials. Ties break on the
     * gram string so the top-k SET is deterministic.
     */
-  def topNgrams(
+  /** One row per word-n-gram occurrence across the corpus — shared by
+    * the exact [[topNgrams]] and the sketch-based approximate heavy
+    * hitters ([[graft.operators.Sketches.approxTopK]]).
+    */
+  def ngrams(
       docs: DataFrame,
       n: Int = 2,
-      k: Int = 20,
       textCol: String = "text"): DataFrame = {
-    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    require(n >= 1, s"need n >= 1, got n=$n")
     val toks = tokens(col(textCol))
     docs
       // guard: sequence(0, negative) would generate a DESCENDING range
       .filter(size(toks) >= n)
       .select(explode(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " "))).as("gram"))
+  }
+
+  def topNgrams(
+      docs: DataFrame,
+      n: Int = 2,
+      k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    ngrams(docs, n, textCol)
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)

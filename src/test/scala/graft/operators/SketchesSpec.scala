@@ -38,4 +38,60 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(merged == oneShot) // sketch union is exact over sketches
   }
+
+  test("KLL merged quantiles land within rank error of the exact percentile") {
+    val li = Tables.lineitem(spark, sf0001)
+    val est = Sketches.kllMergeQuantiles(
+      Sketches.kllPartials(li, col("l_quantity"),
+        col("l_returnflag"), col("l_linestatus")),
+      Seq("p50" -> 0.5, "p90" -> 0.9), col("l_returnflag"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // rank-error check: the fraction of values at-or-below the estimate
+    // must bracket the target rank within KLL's ~1.65% (+ slack)
+    est.foreach { case (flag, (p50, p90)) =>
+      val g = li.filter(col("l_returnflag") === flag)
+      val n = g.count().toDouble
+      def rankLe(v: Double) = g.filter(col("l_quantity") <= v).count() / n
+      def rankLt(v: Double) = g.filter(col("l_quantity") < v).count() / n
+      assert(rankLe(p50) >= 0.45 && rankLt(p50) <= 0.55,
+        s"$flag p50=$p50 rank [${rankLt(p50)}, ${rankLe(p50)}]")
+      assert(rankLe(p90) >= 0.85 && rankLt(p90) <= 0.95,
+        s"$flag p90=$p90 rank [${rankLt(p90)}, ${rankLe(p90)}]")
+    }
+  }
+
+  test("theta intersection estimates the exact distinct overlap (exact below nominal entries)") {
+    val ev = Tables.events(spark, sf0001)
+    def seg(t: String) = Sketches.thetaPartials(
+      ev.filter(col("event_type") === t).withColumn("seg", lit("s")),
+      col("user_id"), col("seg"))
+    val est = Sketches.thetaIntersectEstimate(seg("click"), seg("purchase"), "seg")
+      .head().getLong(1).toDouble
+    val exact = ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .count().toDouble
+    assert(exact > 0)
+    assert(math.abs(est - exact) <= math.max(1.0, 0.02 * exact),
+      s"theta overlap $est vs exact $exact")
+  }
+
+  test("approxTopK agrees with the exact heavy hitters on skewed data") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val grams = graft.llm.TextOps.ngrams(docs, 2)
+    val approx = Sketches.approxTopK(grams, col("gram"), 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val exact = graft.llm.TextOps.topNgrams(docs, 2, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(approx.length == 10)
+    // the heavy boilerplate items sit far above sketch error: the top
+    // sets agree and the reported counts for common items are exact or
+    // near-exact
+    val aMap = approx.toMap; val eMap = exact.toMap
+    val common = aMap.keySet intersect eMap.keySet
+    assert(common.size >= 7, s"approx/exact top-10 overlap only $common")
+    common.foreach { g =>
+      assert(math.abs(aMap(g) - eMap(g)) <= math.max(2.0, 0.05 * eMap(g)),
+        s"$g: approx ${aMap(g)} vs exact ${eMap(g)}")
+    }
+  }
 }
