@@ -562,14 +562,16 @@ object SparkEntry {
     // bucket-localized exact percentiles (operators.Stats) instead of the
     // built-in value-map percentile aggregate — same results (shared
     // oracle), bounded per-task state, in-group parallelism = buckets.
-    // (Measured: stacking both measure columns through ONE pipeline with a
-    // composite group key is ~2x SLOWER here — every pass re-scans the
-    // union and all percentiles get computed for both measures — so the
-    // two measures keep separate plans.)
-    val qty = graft.operators.Stats.percentilesByGroup(
-      li, "l_returnflag", "l_quantity", Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
-    val price = graft.operators.Stats.percentilesByGroup(
-      li, "l_returnflag", "l_extendedprice", Seq("p25_price" -> 0.25))
+    // Both measures ride ONE localization pipeline (percentilesMulti):
+    // the measure ordinal is part of every bucket key, so each keeps its
+    // own ps and exact semantics while sharing the three base scans.
+    // (The round-3 stacked experiment that measured 2x slower computed
+    // ALL percentiles for BOTH measures; the measure-tagged keys fix
+    // that.)
+    val pcts = graft.operators.Stats.percentilesMulti(li, "l_returnflag",
+      Seq(
+        "l_quantity" -> Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9),
+        "l_extendedprice" -> Seq("p25_price" -> 0.25)))
     val moments = li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
@@ -581,7 +583,7 @@ object SparkEntry {
         (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0))
           .as("cov_disc_tax"))
     moments
-      .join(qty, "l_returnflag").join(price, "l_returnflag")
+      .join(pcts, "l_returnflag")
       .select(
         col("l_returnflag"), col("n"),
         round(col("p50_qty"), 4).as("p50_qty"),

@@ -59,19 +59,42 @@ object Stats {
       valueCol: String,
       ps: Seq[(String, Double)],
       buckets: Int = 1024,
+      refineThreshold: Long = 1L << 16): DataFrame =
+    percentilesMulti(df, groupCol, Seq(valueCol -> ps), buckets, refineThreshold)
+
+  /** Exact percentiles for SEVERAL measure columns in one localization
+    * pipeline: the measures ride through pass 0/1/2 tagged with a
+    * measure ordinal folded into the composite group key (_g, _m), so
+    * profiling k columns costs the SAME three base scans as one column
+    * instead of 3·k — per-measure semantics are untouched because every
+    * stage partitions on the composite key. One output column per
+    * (name, p) across all measures, one row per group.
+    */
+  def percentilesMulti(
+      df: DataFrame,
+      groupCol: String,
+      measures: Seq[(String, Seq[(String, Double)])],
+      buckets: Int = 1024,
       refineThreshold: Long = 1L << 16): DataFrame = {
-    val ranked = localizedRanks(df, groupCol, valueCol, ps, buckets, refineThreshold)
-    val aggs = ps.map { case (name, p) =>
-      val pos = lit(p) * (col("_n") - 1)
-      val lo = min(when(col("_cum") >= floor(pos) + 1, col("_v")))
-      val hi = min(when(col("_cum") >= ceil(pos) + 1, col("_v")))
-      val posA = min(pos) // per-group constant, carried through the agg
-      // (ceil−pos)·lo + (pos−floor)·hi with the integer-position branch —
-      // Spark's Percentile.getPercentile arithmetic exactly, so results
-      // compare bit-identically with the built-in (spec-asserted)
-      when(floor(posA) === ceil(posA), lo)
-        .otherwise((ceil(posA) - posA) * lo + (posA - floor(posA)) * hi)
-        .as(name)
+    require(measures.nonEmpty, "percentilesMulti needs >= 1 measure")
+    val names = measures.flatMap(_._2.map(_._1))
+    require(names.distinct.size == names.size,
+      s"duplicate output names across measures: $names")
+    val ranked = localizedRanks(df, groupCol, measures, buckets, refineThreshold)
+    val aggs = measures.zipWithIndex.flatMap { case ((_, ps), mi) =>
+      ps.map { case (name, p) =>
+        val m = col("_m") === mi
+        val pos = lit(p) * (col("_n") - 1)
+        val lo = min(when(m && col("_cum") >= floor(pos) + 1, col("_v")))
+        val hi = min(when(m && col("_cum") >= ceil(pos) + 1, col("_v")))
+        val posA = min(when(m, pos)) // per-(group, measure) constant
+        // (ceil−pos)·lo + (pos−floor)·hi with the integer-position branch
+        // — Spark's Percentile.getPercentile arithmetic exactly, so
+        // results compare bit-identically with the built-in
+        when(floor(posA) === ceil(posA), lo)
+          .otherwise((ceil(posA) - posA) * lo + (posA - floor(posA)) * hi)
+          .as(name)
+      }
     }
     ranked.groupBy(col("_g")).agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("_g", groupCol)
@@ -119,19 +142,36 @@ object Stats {
       groupCol: String,
       valueCol: String,
       ps: Seq[(String, Double)],
+      buckets: Int,
+      refineThreshold: Long): DataFrame =
+    localizedRanks(df, groupCol, Seq(valueCol -> ps), buckets, refineThreshold)
+
+  private[operators] def localizedRanks(
+      df: DataFrame,
+      groupCol: String,
+      measures: Seq[(String, Seq[(String, Double)])],
       buckets: Int = 1024,
       refineThreshold: Long = 1L << 16): DataFrame = {
-    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
-      s"percentiles must lie in [0,1]: $ps")
+    require(measures.nonEmpty &&
+      measures.forall(_._2.forall { case (_, p) => p >= 0.0 && p <= 1.0 }),
+      s"percentiles must lie in [0,1]: $measures")
+    require(measures.forall(_._2.nonEmpty), "every measure needs >= 1 percentile")
     require(buckets >= 2, s"need >= 2 coarse buckets, got $buckets")
     require(refineThreshold >= 1, s"refineThreshold must be >= 1: $refineThreshold")
+    // composite localization key: (_g, _m) — each measure is its own
+    // independent percentile problem riding the same scans
+    val gm = Seq(col("_g"), col("_m"))
+    val measureArr = array(measures.zipWithIndex.map { case ((vc, _), mi) =>
+      struct(lit(mi).as("m"), col(vc).cast("double").as("v"))
+    }: _*)
     val rows = df
-      .filter(col(valueCol).isNotNull) // percentile semantics ignore nulls
-      .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
+      .select(col(groupCol).as("_g"), explode(measureArr).as("_mv"))
+      .select(col("_g"), col("_mv.m").as("_m"), col("_mv.v").as("_v"))
+      .filter(col("_v").isNotNull) // percentile semantics ignore nulls
 
-    // pass 0: per-group extent + count — one row per group, checkpointed
-    // so the refine decision below doesn't force a recompute of this scan
-    val bounds = rows.groupBy(col("_g")).agg(
+    // pass 0: per-(group, measure) extent + count — checkpointed so the
+    // refine decision below doesn't force a recompute of this scan
+    val bounds = rows.groupBy(gm: _*).agg(
       count(lit(1)).as("_n"), min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
       .localCheckpoint()
 
@@ -143,86 +183,98 @@ object Stats {
           floor((v - mn) / ((mx - mn) / buckets)).cast("int")))
 
     // a bucket/sub-bucket is needed iff it contains a bracketing rank of
-    // some p: ranks ⌊pos⌋+1 and ⌈pos⌉+1, pos = p·(n−1)
-    def needed(before: Column, cum: Column): Column = ps.map { case (_, p) =>
-      val pos = lit(p) * (col("_n") - 1)
-      (before < floor(pos) + 1 && cum >= floor(pos) + 1) ||
-        (before < ceil(pos) + 1 && cum >= ceil(pos) + 1)
-    }.reduce(_ || _)
+    // one of ITS OWN measure's ps: ranks ⌊pos⌋+1 / ⌈pos⌉+1, pos = p·(n−1)
+    def needed(before: Column, cum: Column): Column =
+      measures.zipWithIndex.flatMap { case ((_, ps), mi) =>
+        ps.map { case (_, p) =>
+          val pos = lit(p) * (col("_n") - 1)
+          col("_m") === mi && (
+            (before < floor(pos) + 1 && cum >= floor(pos) + 1) ||
+              (before < ceil(pos) + 1 && cum >= ceil(pos) + 1))
+        }
+      }.reduce(_ || _)
 
     // pass 1: coarse per-bucket counts; the cumulative window runs over
-    // ≤ B rows per group — negligible at any data size
-    val coarse = rows.join(broadcast(bounds), "_g")
-      .groupBy(col("_g"), bucketOf(col("_v"), col("_mn"), col("_mx")).as("_b"))
+    // ≤ B rows per (group, measure) — negligible at any data size
+    val coarse = rows.join(broadcast(bounds), Seq("_g", "_m"))
+      .groupBy(gm :+ bucketOf(col("_v"), col("_mn"), col("_mx")).as("_b"): _*)
       .agg(count(lit(1)).as("_bc"))
-    val wB = Window.partitionBy(col("_g")).orderBy(col("_b"))
+    val wB = Window.partitionBy(gm: _*).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumB = coarse
       .withColumn("_cumb", sum(col("_bc")).over(wB))
       .withColumn("_beforeb", col("_cumb") - col("_bc"))
-      .join(bounds.select(col("_g"), col("_n")), "_g")
-    // kept buckets, ≤ 2·|ps| rows per group — tiny; checkpointed because
-    // the refine decision reads it eagerly and the exact pass reads it
-    // again (without the checkpoint the coarse scan would run twice)
+      .join(bounds.select(col("_g"), col("_m"), col("_n")), Seq("_g", "_m"))
+    // kept buckets, ≤ 2·|ps| rows per (group, measure) — tiny;
+    // checkpointed because the refine decision reads it eagerly and the
+    // exact pass reads it again (without the checkpoint the coarse scan
+    // would run twice)
     val kept1 = cumB.filter(needed(col("_beforeb"), col("_cumb")))
-      .select(col("_g"), col("_b"), col("_beforeb"), col("_bc"))
+      .select(col("_g"), col("_m"), col("_b"), col("_beforeb"), col("_bc"))
       .localCheckpoint()
 
     // refine decision: one tiny agg over the checkpointed kept relation —
     // deterministic (row counts, not timing), costs no extra base scan
     val maxBc = kept1.agg(coalesce(max(col("_bc")), lit(0L))).head().getLong(0)
 
-    // (_g, _b, _sb, _befores, _v) rows entering the exact pass
+    // (_g, _m, _b, _sb, _befores, _v) rows entering the exact pass
     val exact =
       if (maxBc <= refineThreshold) {
         // common case: every kept bucket fits one exact window task —
         // single-level plan, 3 base scans total
-        rows.join(broadcast(bounds), "_g")
+        rows.join(broadcast(bounds), Seq("_g", "_m"))
           .withColumn("_b", bucketOf(col("_v"), col("_mn"), col("_mx")))
-          .join(broadcast(kept1.drop("_bc")), Seq("_g", "_b"))
-          .select(col("_g"), col("_b"), lit(0).as("_sb"),
+          .join(broadcast(kept1.drop("_bc")), Seq("_g", "_m", "_b"))
+          .select(col("_g"), col("_m"), col("_b"), lit(0).as("_sb"),
             col("_beforeb").as("_befores"), col("_v"))
       } else {
         // adversarial case: localize AGAIN inside each kept bucket, over
         // the bucket's own OBSERVED extent; kept rows are materialized
         // once so the three refinement passes don't re-scan the base
-        val keptRows = rows.join(broadcast(bounds), "_g")
+        val keptRows = rows.join(broadcast(bounds), Seq("_g", "_m"))
           .withColumn("_b", bucketOf(col("_v"), col("_mn"), col("_mx")))
           .drop("_n", "_mn", "_mx")
-          .join(broadcast(kept1.drop("_bc")), Seq("_g", "_b"))
+          .join(broadcast(kept1.drop("_bc")), Seq("_g", "_m", "_b"))
           .localCheckpoint()
-        val subBounds = keptRows.groupBy(col("_g"), col("_b"))
+        val gmb = Seq(col("_g"), col("_m"), col("_b"))
+        val subBounds = keptRows.groupBy(gmb: _*)
           .agg(min(col("_v")).as("_smn"), max(col("_v")).as("_smx"))
-        val subCoarse = keptRows.join(broadcast(subBounds), Seq("_g", "_b"))
-          .groupBy(col("_g"), col("_b"), col("_beforeb"),
-            bucketOf(col("_v"), col("_smn"), col("_smx")).as("_sb"))
+        val subCoarse = keptRows.join(broadcast(subBounds), Seq("_g", "_m", "_b"))
+          .groupBy(gmb :+ col("_beforeb") :+
+            bucketOf(col("_v"), col("_smn"), col("_smx")).as("_sb"): _*)
           .agg(count(lit(1)).as("_sc"))
-        val wSB = Window.partitionBy(col("_g"), col("_b")).orderBy(col("_sb"))
+        val wSB = Window.partitionBy(gmb: _*).orderBy(col("_sb"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cumSB = subCoarse
           .withColumn("_cums", col("_beforeb") + sum(col("_sc")).over(wSB))
           .withColumn("_befores", col("_cums") - col("_sc"))
-          .join(broadcast(bounds.select(col("_g"), col("_n"))), "_g")
+          .join(broadcast(bounds.select(col("_g"), col("_m"), col("_n"))),
+            Seq("_g", "_m"))
         val kept2 = cumSB.filter(needed(col("_befores"), col("_cums")))
-          .select(col("_g"), col("_b"), col("_sb"), col("_befores"))
-        keptRows.join(broadcast(subBounds), Seq("_g", "_b"))
+          .select(col("_g"), col("_m"), col("_b"), col("_sb"), col("_befores"))
+        keptRows.join(broadcast(subBounds), Seq("_g", "_m", "_b"))
           .withColumn("_sb", bucketOf(col("_v"), col("_smn"), col("_smx")))
-          .join(broadcast(kept2), Seq("_g", "_b", "_sb"))
-          .select(col("_g"), col("_b"), col("_sb"), col("_befores"), col("_v"))
+          .join(broadcast(kept2), Seq("_g", "_m", "_b", "_sb"))
+          .select(col("_g"), col("_m"), col("_b"), col("_sb"),
+            col("_befores"), col("_v"))
       }
 
     // exact pass: value histogram + rank window inside kept (sub-)buckets
-    // only; _cum is the absolute in-group rank (bucket offset + local
-    // running count), so rank selection is unchanged semantics
+    // only; _cum is the absolute in-(group, measure) rank (bucket offset
+    // + local running count), so rank selection is unchanged semantics
     val fine = exact
-      .groupBy(col("_g"), col("_b"), col("_sb"), col("_befores"), col("_v"))
+      .groupBy(col("_g"), col("_m"), col("_b"), col("_sb"),
+        col("_befores"), col("_v"))
       .agg(count(lit(1)).as("_c"))
-    val wV = Window.partitionBy(col("_g"), col("_b"), col("_sb")).orderBy(col("_v"))
+    val wV = Window
+      .partitionBy(col("_g"), col("_m"), col("_b"), col("_sb"))
+      .orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     fine
       .withColumn("_cum", col("_befores") + sum(col("_c")).over(wV))
-      .join(broadcast(bounds.select(col("_g"), col("_n"))), "_g")
-      .select(col("_g"), col("_v"), col("_c"), col("_cum"), col("_n"),
-        col("_b"), col("_sb"))
+      .join(broadcast(bounds.select(col("_g"), col("_m"), col("_n"))),
+        Seq("_g", "_m"))
+      .select(col("_g"), col("_m"), col("_v"), col("_c"), col("_cum"),
+        col("_n"), col("_b"), col("_sb"))
   }
 }

@@ -80,6 +80,25 @@ class StatsSpec extends SparkSpec {
     assert(cp == 7.0)
   }
 
+  test("percentilesMulti ≡ per-measure percentilesByGroup, bit-for-bit") {
+    val li = Tables.lineitem(spark, sf0001)
+    val multi = Stats.percentilesMulti(li, "l_returnflag",
+      Seq(
+        "l_quantity" -> Seq("q50" -> 0.5, "q90" -> 0.9),
+        "l_extendedprice" -> Seq("p25" -> 0.25, "p99" -> 0.99)))
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    val qty = Stats.percentilesByGroup(li, "l_returnflag", "l_quantity",
+      Seq("q50" -> 0.5, "q90" -> 0.9))
+      .collect().map(r => r.getString(0) -> (1 to 2).map(r.getDouble)).toMap
+    val price = Stats.percentilesByGroup(li, "l_returnflag", "l_extendedprice",
+      Seq("p25" -> 0.25, "p99" -> 0.99))
+      .collect().map(r => r.getString(0) -> (1 to 2).map(r.getDouble)).toMap
+    assert(multi.nonEmpty && multi.keySet == qty.keySet)
+    multi.foreach { case (g, vs) =>
+      assert(vs == qty(g) ++ price(g), s"group $g: $vs vs ${qty(g) ++ price(g)}")
+    }
+  }
+
   test("bucket localization stays exact on skewed mass and tiny bucket counts") {
     // 99% of the mass on one value (one hot coarse bucket), an outlier
     // stretching the range, and buckets=4 so bracketing ranks of
