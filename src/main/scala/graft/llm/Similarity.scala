@@ -545,6 +545,39 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
   }
 
+  /** Append a new ingest batch to an existing IVF+PQ index WITHOUT
+    * retraining: cells assigned against the STORED coarse centroids
+    * (nprobe=1 probe ≡ nearest-cell assignment), codes computed with the
+    * STORED codebook, rows appended into the same cell-partitioned
+    * layout. This is the incremental 100 TB operating mode — the mirror
+    * of [[Dedup.minhashWriteIndex]]/[[Dedup.minhashDeltaPairs]] for the
+    * ANN side: the index is built once and each ingest batch encodes
+    * only itself; the corpus is never re-encoded. Codes are
+    * deterministic given the stored codebook (spec-asserted), so an
+    * appended row is exactly what the original build would have written
+    * for that vector. Distribution drift is handled by periodic full
+    * rebuilds, as in any IVF deployment.
+    */
+  def ivfPqAppendIndex(
+      newVecs: DataFrame,
+      path: String,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = spark.read.parquet(s"$path/codebook").collect().head
+    val m = meta.getInt(0)
+    val ksub = meta.getInt(1)
+    val cb = meta.getSeq[Double](2).toArray
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = probeCells(newVecs, centroids, 1, vecCol, idCol)
+      .select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
+        col("qn").as("cn"), col("cell"))
+    val coded = pqEncode(newVecs, cb, m, ksub, vecCol, idCol)
+    assigned.join(coded, "neighbor_id")
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+  }
+
   /** Query a written IVF+PQ index: probe cells against the tiny centroid
     * relation, push the probed ids into the partition-pruned scan, ADC
     * score the codes column within each query's own probed cells, then

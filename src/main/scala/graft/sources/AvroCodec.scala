@@ -133,15 +133,21 @@ object AvroCodec {
   }
 
   /** Reusable per-partition decoder (mirror of [[RowEncoder]]): datum
-    * reader, decoder, and record instance reused across records.
+    * reader, decoder, and record instance reused across records. The
+    * three-argument form takes SEPARATE writer/reader schemas and runs
+    * full Avro schema resolution between them — removed fields skipped,
+    * added fields filled from defaults, int→long promotions applied —
+    * the consumer-side evolution path a registry deployment exercises on
+    * every producer upgrade.
     */
-  final class RowDecoder(schema: StructType, avro: Schema) {
-    private val reader = new GenericDatumReader[GenericRecord](avro)
+  final class RowDecoder(schema: StructType, writer: Schema, reader: Schema) {
+    def this(schema: StructType, avro: Schema) = this(schema, avro, avro)
+    private val datumReader = new GenericDatumReader[GenericRecord](writer, reader)
     private var dec: org.apache.avro.io.BinaryDecoder = null
     private var record: GenericRecord = null
     def decode(bytes: Array[Byte]): Row = {
       dec = DecoderFactory.get().binaryDecoder(bytes, dec)
-      record = reader.read(record, dec)
+      record = datumReader.read(record, dec)
       fromRecord(record, schema)
     }
   }

@@ -87,6 +87,39 @@ object KafkaIO {
       }(enc)
   }
 
+  /** Consumer-side SCHEMA EVOLUTION: decode bytes produced under an
+    * older writer schema (the registry-served JSON for the frame's
+    * schema id) into the CURRENT reader StructType via Avro schema
+    * resolution — fields the reader dropped are skipped, fields it added
+    * are filled from their defaults (null for nullable columns), and
+    * numeric promotions (int→long, float→double) apply. This is what a
+    * registry consumer does on every producer upgrade; binary Avro has
+    * no field tags, so this resolution is the ONLY correct way to read
+    * old bytes with a new schema.
+    */
+  def fromAvroEvolved(
+      df: DataFrame,
+      writerSchemaJson: String,
+      readerSchema: StructType,
+      valueCol: String = "value",
+      framed: Boolean = true): DataFrame = {
+    val wireReader = StructType(readerSchema.fields.map(_.copy(nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(wireReader)
+    df.select(col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .mapPartitions { rows =>
+        // writer schema ships as JSON (serializable) and parses once per
+        // partition, like a registry client's per-id cache entry
+        val decoder = new AvroCodec.RowDecoder(wireReader,
+          AvroCodec.schemaFromJson(writerSchemaJson),
+          AvroCodec.avroSchemaFor(wireReader))
+        rows.map { r =>
+          val raw = r.getAs[Array[Byte]](0)
+          decoder.decode(if (framed) AvroCodec.unframe(raw)._2 else raw)
+        }
+      }(enc)
+  }
+
   /** [[fromAvro]] with the schema INFERRED from registry-served Avro
     * schema JSON instead of a hand-declared StructType — the
     * `CREATE STREAM … VALUE_FORMAT='AVRO'` no-column-list path.

@@ -209,6 +209,40 @@ class SimilaritySpec extends SparkSpec {
         s"re-ranked score must be the exact cosine for $p") }
   }
 
+  test("IVF+PQ append: batch encodes under stored quantizers, queries span old and new") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    Similarity.ivfPqWriteIndex(base, path, nlist = 8, m = 16, ksub = 8)
+    val before = spark.read.parquet(s"$path/data").count()
+    Similarity.ivfPqAppendIndex(batch, path)
+    val data = spark.read.parquet(s"$path/data")
+    assert(data.count() == before + batch.count(), "append adds exactly the batch")
+    // appended codes are exactly what the stored codebook produces — no
+    // retraining happened
+    val meta = spark.read.parquet(s"$path/codebook").collect().head
+    val expect = Similarity.pqEncode(batch, meta.getSeq[Double](2).toArray,
+      meta.getInt(0), meta.getInt(1)).collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getSeq[Int](1)).toMap
+    val stored = data.join(batch.select($"vec_id".as("neighbor_id")), "neighbor_id")
+      .select($"neighbor_id", $"codes").collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getSeq[Int](1)).toMap
+    assert(stored == expect)
+    // the queryable index now spans both halves: recall vs brute force
+    // over the FULL corpus
+    val q = emb.filter($"vec_id" < 5)
+    val got = Similarity.ivfPqQueryIndex(q, path, k = 5, nprobe = 4, rerankFactor = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"post-append recall=$recall")
+    assert(got.exists { case (_, n) => n % 2 == 1 },
+      "appended (odd-id) vectors must be findable")
+  }
+
   test("centroidCosine: in-group vectors score high, a planted outlier scores lowest") {
     // two tight clusters around orthogonal axes + one outlier in group a
     def jitter(base: Array[Float], i: Int): Array[Float] =

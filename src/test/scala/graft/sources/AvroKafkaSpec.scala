@@ -171,6 +171,36 @@ class AvroKafkaSpec extends SparkSpec {
     assert(s == b, s"streamed ${s.size} windows vs batch ${b.size}")
   }
 
+  test("S8: consumer-side schema evolution — old-writer bytes under a new reader schema") {
+    // v1 producer: (id, name, legacy int). v2 consumer: drops `legacy`,
+    // adds nullable `score`, and promotes nothing it kept.
+    val v1 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("legacy", IntegerType, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a", 7), Row(2L, null, null)), v1)
+    val encoded = KafkaIO.toAvro(df, "id")
+    val writerJson = AvroCodec.avroSchemaFor(
+      StructType(v1.fields.map(_.copy(nullable = true)))).toString
+    val v2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val out = KafkaIO.fromAvroEvolved(encoded, writerJson, v2)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.get(1), r.get(2))).toSeq ==
+      Seq((1L, "a", null), (2L, null, null)),
+      "dropped field skipped, added nullable field defaults to null")
+    // numeric promotion: the v1 INT decodes into a LONG reader column
+    val v2b = StructType(Seq(
+      StructField("id", LongType), StructField("legacy", LongType)))
+    val promoted = KafkaIO.fromAvroEvolved(encoded, writerJson, v2b)
+      .orderBy("id").collect()
+    assert(promoted.map(r => (r.getLong(0), r.get(1))).toSeq ==
+      Seq((1L, 7L), (2L, null)))
+  }
+
   test("defineStream: registry-JSON schema + SQL over the catalog view (no column list)") {
     // CREATE STREAM with no declared columns: schema comes from the
     // registry-served Avro JSON, the stream lands in the catalog, and a
