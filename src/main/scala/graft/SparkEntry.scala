@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.operators.{Joins, Relational, WindowOps}
+import graft.operators.{Incremental, Joins, Relational, WindowOps}
 import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.ml.{Registry, Scorer, Trainer}
 import graft.streaming.Streaming
@@ -140,6 +140,80 @@ object SparkEntry {
       .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0)
         .as("revenue"))
   }
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose lineitem
+    * quantity total exceeds a threshold, enriched with the customer dim.
+    * Scale: the HAVING subquery is a map-side-combinable agg on the
+    * join key itself, so the orders probe arrives pre-filtered (874 of
+    * 15 k orders at sf0.01) and the customer dim broadcasts — the 100 TB
+    * lineitem side is touched once, at scan speed.
+    */
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
+  /** Blocked fuzzy entity matching on part names within a brand block
+    * (Joins.fuzzyBlockedPairs): O(n²) → Σ|block|² via the blocking key.
+    */
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    Joins.fuzzyBlockedPairs(Tables.part(s, dir),
+      "p_brand", "p_partkey", "p_name", maxDistance = 2)
+
+  /** Cohort retention matrix over the event stream. */
+  private def qRetentionCohort(s: SparkSession, dir: String): DataFrame =
+    WindowOps.retentionCohorts(Tables.events(s, dir))
+
+  /** Incremental MV maintenance: per-customer order profile maintained
+    * as mergeable partial state over a base/delta date split, finalized
+    * at read — oracled against the full recompute (merge ≡ recompute).
+    */
+  private def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    val base = Incremental.orderState(orders.filter(col("o_orderdate") < cutoff))
+    val delta = Incremental.orderState(orders.filter(col("o_orderdate") >= cutoff))
+    Incremental.finalizeState(Incremental.mergeStates(Seq(base, delta)))
+  }
+
+  /** Z-order (Morton) clustering key over lineitem's (partkey, suppkey)
+    * — the multi-dimensional layout value itself, oracled bit-for-bit;
+    * the range-partitioned write + file-level pruning guarantee is
+    * spec-tested (ZOrderSpec).
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      graft.functions.ZOrder.zValue2(col("l_partkey"), col("l_suppkey"), 16)
+        .as("zvalue"))
+
+  /** Benchmark decontamination with the broadcast-Bloom prefilter —
+    * same relation as q_decontaminate (shared oracle), ~1/contamination
+    * of the shingle shuffle at scale.
+    */
+  private def qBloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.decontaminateBloom(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      threshold = 0.2)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Streaming exact distinct on (user_id, event_type) — stateful dedup
+    * whose key-only projection shares the batch DISTINCT oracle.
+    */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s, Streaming.distinctKeysStream(s, dir),
+      org.apache.spark.sql.streaming.OutputMode.Append())
 
   private def qRekey(s: SparkSession, dir: String): DataFrame =
     Relational.rekey(Tables.events(s, dir), "user_id")
@@ -876,6 +950,13 @@ object SparkEntry {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_segment_revenue" -> (q3SegmentRevenue _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_retention_cohort" -> (qRetentionCohort _),
+    "q_incr_agg" -> (qIncrAgg _),
+    "q_zorder" -> (qZorder _),
+    "q_bloom_decontaminate" -> (qBloomDecontaminate _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_full_outer" -> (qFullOuter _),
     "q_pseudonymize" -> (qPseudonymize _),
     "q_embed_centroid" -> (qEmbedCentroid _),
@@ -981,7 +1062,9 @@ object SparkEntry {
     "q_sim_topk", "q_topk_orders_per_cust", "q_tumbling_agg",
     "q_session_window", "q_rollup", "q_salted_agg", "q_distinct_counts",
     "q_chunk_docs", "q_pack_sequences", "q_sample_stratified",
-    "q_stats_profile", "q_lm_score", "q_top_ngrams", "q_sim_pq")
+    "q_stats_profile", "q_lm_score", "q_top_ngrams", "q_sim_pq",
+    "q18_large_orders", "q_fuzzy_match", "q_retention_cohort",
+    "q_bloom_decontaminate", "q_zorder")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -1102,6 +1185,33 @@ object SparkEntry {
       |  COUNT(*) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** DuckDB rendering of [[graft.functions.ZOrder.zValue2]]: the same
+    * static shift/mask fold, all-BIGINT, so the z-value hash-matches
+    * bit-for-bit.
+    */
+  private def zorderSql(x: String, y: String, bits: Int): String = {
+    val m = (1L << bits) - 1
+    (0 until bits).flatMap { i =>
+      Seq(s"((($x & $m) & ${1L << i}) << $i)",
+        s"((($y & $m) & ${1L << i}) << ${i + 1})")
+    }.mkString("(", " | ", ")")
+  }
+
+  /** Shared by the exact decontamination and its Bloom-prefiltered
+    * execution (identical relation by construction — the Bloom pass
+    * only reorders which shingles reach the exact confirm join).
+    */
+  private val decontaminateOracle = contaminationCte +
+    """,
+      |r AS (
+      |  SELECT c.doc_id,
+      |    ROUND(COUNT(b.s) * 1.0 / COUNT(*), 6) AS ratio
+      |  FROM corp c LEFT JOIN bench b ON c.s = b.s
+      |  GROUP BY c.doc_id)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id % 10 <> 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM r WHERE ratio >= 0.2)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1140,6 +1250,46 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200)
+        |SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+        |       o.o_totalprice, b.total_qty
+        |FROM orders o
+        |JOIN big b ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT a.p_brand AS block,
+        |  a.p_partkey AS left_id, a.p_name AS left_name,
+        |  b.p_partkey AS right_id, b.p_name AS right_name,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        |f AS (
+        |  SELECT u, d, MIN(d) OVER (PARTITION BY u) AS cohort_day FROM days)
+        |SELECT cohort_day,
+        |  CAST(DATE_DIFF('day', cohort_day, d) AS INTEGER) AS day_offset,
+        |  COUNT(DISTINCT u) AS n_users
+        |FROM f GROUP BY cohort_day, day_offset""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT o_custkey,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+        |        / COUNT(*), 6) AS avg_price
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  ${zorderSql("l_partkey", "l_suppkey", 16)} AS zvalue
+        |FROM lineitem""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "q_full_outer" ->
       """WITH e AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
         |o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
@@ -1566,16 +1716,8 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d JOIN b USING (source)
         |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""".stripMargin,
-    "q_decontaminate" -> (contaminationCte +
-      """,
-        |r AS (
-        |  SELECT c.doc_id,
-        |    ROUND(COUNT(b.s) * 1.0 / COUNT(*), 6) AS ratio
-        |  FROM corp c LEFT JOIN bench b ON c.s = b.s
-        |  GROUP BY c.doc_id)
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id % 10 <> 0
-        |  AND doc_id NOT IN (SELECT doc_id FROM r WHERE ratio >= 0.2)""".stripMargin),
+    "q_decontaminate" -> decontaminateOracle,
+    "q_bloom_decontaminate" -> decontaminateOracle,
     "q_split_assign" ->
       """SELECT doc_id, source,
         |  CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'

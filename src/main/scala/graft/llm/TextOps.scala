@@ -316,6 +316,56 @@ object TextOps {
     corpus.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** [[decontaminate]] with a broadcast Bloom-filter prefilter — the
+    * 100 TB shape of benchmark decontamination. The exact pipeline
+    * shuffles EVERY corpus shingle into the probe join even though only
+    * a tiny fraction can match the (comparatively small) benchmark set.
+    * Here the benchmark's distinct shingle hashes are first folded into
+    * a Bloom filter (~1.2 bytes/shingle at 1 % fpp, so a 10⁹-shingle
+    * benchmark is a ~1.2 GB broadcast — executor-resident, scan-side),
+    * and corpus shingles are tested map-side BEFORE any exchange: only
+    * Bloom survivors (true hits + fpp·clean) reach the exact confirm
+    * semi-join that kills false positives. Per-doc shingle totals never
+    * join at all — they aggregate map-side partial → tiny doc_id rows.
+    * Net: the wide shingle shuffle shrinks by ~1/contamination-rate
+    * while the final relation stays bit-identical to [[decontaminate]]
+    * (same rounded-ratio threshold, same unshingleable-doc handling).
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.2,
+      textCol: String = "text",
+      w: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchSh = benchmark
+      .select(explode(graft.functions.TextHashExpressions
+        .shingle_hashes(col(textCol), w)).as("b_sh"))
+      .distinct()
+    val expected = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("b_sh", expected, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    // Scala UDF, but map-side on the scan (no exchange crossed) and O(1)
+    // per shingle; the shuffle it removes dominates at scale.
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val corpusSh = corpus.select(col("doc_id"),
+      explode(graft.functions.TextHashExpressions
+        .shingle_hashes(col(textCol), w)).as("sh"))
+    val totals = corpusSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpusSh
+      .filter(mightContain(col("sh")))
+      .join(benchSh, col("sh") === col("b_sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    val flagged = totals.join(hits, Seq("doc_id"), "left")
+      .filter(round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+        / col("n_shingles"), 6) >= threshold)
+      .select(col("doc_id"))
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   /** Characteristic character trigrams per language (high-frequency
     * trigrams of each language's function words) — the tiny profile the
     * n-gram language-ID heuristic scores against.

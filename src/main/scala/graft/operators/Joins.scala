@@ -117,6 +117,38 @@ object Joins {
         rightPayload.map(c => col("_r").getField(c).as(c)): _*)
   }
 
+  /** Blocked fuzzy self-matching (entity resolution): candidate pairs
+    * are generated ONLY within a blocking key, then scored with exact
+    * Levenshtein edit distance and kept under `maxDistance`. Classic
+    * record-linkage shape: the blocking key turns the O(n²) all-pairs
+    * comparison into Σ O(|block|²) — with B balanced blocks that is a
+    * n²/B comparison reduction, and the self-join is a hash-partitioned
+    * equi-join on the block (no cartesian, no broadcast of the full
+    * relation). `levenshtein` is a codegen'd built-in, so the score
+    * runs inside the join's whole-stage span.
+    *
+    * Emits (block, left id/name, right id/name, distance) for id₁ < id₂
+    * — each unordered pair once. Skew note: at 100 TB a hot block (the
+    * empty/default key) quadratically dominates; cap or salt blocks
+    * upstream — the per-block pair count is observable from this
+    * output's `block` column before any re-run.
+    */
+  def fuzzyBlockedPairs(
+      df: DataFrame,
+      blockCol: String,
+      idCol: String,
+      nameCol: String,
+      maxDistance: Int): DataFrame = {
+    val l = df.select(col(blockCol).as("block"),
+      col(idCol).as("left_id"), col(nameCol).as("left_name"))
+    val r = df.select(col(blockCol).as("block"),
+      col(idCol).as("right_id"), col(nameCol).as("right_name"))
+    l.join(r, Seq("block"))
+      .filter(col("left_id") < col("right_id"))
+      .withColumn("distance", levenshtein(col("left_name"), col("right_name")))
+      .filter(col("distance") <= maxDistance)
+  }
+
   /** Key-coercion helper for the reference's string/int key wrinkle
     * (SURVEY.md §2.3: events.user_id STRING vs users.id INTEGER — the
     * join works via stringified rekey). Engine convention: normalize to

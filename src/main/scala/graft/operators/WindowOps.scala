@@ -139,6 +139,34 @@ object WindowOps {
   def distinctKeys(df: DataFrame, keyCol: String): DataFrame =
     df.select(keyCol).distinct()
 
+  /** Cohort retention matrix: users grouped by first-active day
+    * (cohort), counted by days-since-cohort offset — the product
+    * analytics staple over an activity stream. Emits
+    * (cohort_day, day_offset, n_users).
+    *
+    * Scale shape: the event stream first collapses to DISTINCT
+    * (user, day) — a map-side-combinable reduction that shrinks a
+    * 100 TB clickstream to ≤ users×days rows BEFORE any windowing.
+    * The per-user first day is a window min over the user partition
+    * (one shuffle on user), and the final count-distinct groups by
+    * (cohort, offset) — at that point the data is tiny. No join, two
+    * exchanges total, both on already-reduced relations.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val byUser = Window.partitionBy(col("u"))
+    days
+      .withColumn("cohort_day", min(col("d")).over(byUser))
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
+
   /** Extension — top-k per group via ranking window (absent from the
     * reference but a staple the engine should provide; deterministic via
     * tie-break columns).

@@ -181,6 +181,20 @@ object Streaming {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming exact distinct over the event stream, projected to the
+    * key columns — the unbounded-state companion of [[dedupStream]]
+    * (which bounds state by watermark TTL). Emitting ONLY the key makes
+    * the streaming result order-insensitive and therefore equal, as a
+    * set, to batch `SELECT DISTINCT` — the shared-oracle trick the
+    * other streaming queries use. State: one entry per distinct key, so
+    * use this shape when the key domain is bounded (users × types);
+    * use [[dedupStream]] when it is not.
+    */
+  def distinctKeysStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .select("user_id", "event_type")
+      .dropDuplicates(Seq("user_id", "event_type"))
+
   /** Streaming token-budget admission: the per-source running token
     * total lives in the state store (ONE long per group), and a document
     * is admitted iff the group's cumulative total — which every doc

@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class TextOpsSpec extends SparkSpec {
@@ -153,5 +154,29 @@ class TextOpsSpec extends SparkSpec {
     val kept = TextOps.decontaminate(corpus, bench, threshold = 0.2)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L), s"kept=$kept")
+  }
+
+  test("decontaminateBloom ≡ decontaminate on the fixture corpus") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val bench = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val exact = TextOps.decontaminate(corpus, bench, threshold = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = TextOps.decontaminateBloom(corpus, bench, threshold = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+  }
+
+  test("decontaminateBloom survives a deliberately terrible fpp (confirm join kills FPs)") {
+    // fpp=0.5 floods the prefilter with false positives; the exact
+    // semi-join must still produce the bit-identical relation.
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val bench = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val exact = TextOps.decontaminate(corpus, bench, threshold = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sloppy = TextOps.decontaminateBloom(corpus, bench, threshold = 0.2, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sloppy == exact)
   }
 }

@@ -97,6 +97,31 @@ class JoinsSpec extends SparkSpec {
     assert(out(0).getAs[String]("v2") == "x10")
   }
 
+  test("fuzzyBlockedPairs: within-block pairs only, each once, exact distance") {
+    val df = Seq(
+      (1L, "A", "red widget"), (2L, "A", "red widgit"), // distance 1
+      (3L, "A", "blue bolt"),                           // far from both
+      (4L, "B", "red widget"))                          // same name, other block
+      .toDF("id", "blk", "name")
+    val out = Joins.fuzzyBlockedPairs(df, "blk", "id", "name", maxDistance = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("left_id") == 1L && r.getAs[Long]("right_id") == 2L)
+    assert(r.getAs[Int]("distance") == 1)
+  }
+
+  test("fuzzyBlockedPairs never compares across blocks (no cartesian)") {
+    val df = (1 to 60).map(i => (i.toLong, s"b${i % 6}", s"name $i"))
+      .toDF("id", "blk", "name")
+    // maxDistance large enough to keep every within-block pair:
+    // 6 blocks × C(10,2) = 270 — the all-pairs C(60,2)=1770 never forms
+    val out = Joins.fuzzyBlockedPairs(df, "blk", "id", "name", maxDistance = 100)
+    assert(out.count() == 270)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
   test("coerceKey normalizes string/int key wrinkle before join") {
     val facts = Seq(("1", 10.0), ("2", 20.0)).toDF("user_id", "v")
     val dim = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")

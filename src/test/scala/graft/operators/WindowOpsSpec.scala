@@ -70,4 +70,22 @@ class WindowOpsSpec extends SparkSpec {
     val df = Seq(1L, 1L, 2L).toDF("user_id")
     assert(WindowOps.distinctKeys(df, "user_id").count() == 2)
   }
+
+  test("retentionCohorts: cohort day, offsets, distinct-user counts") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 23:00:00"), // same day once
+      (1L, "2024-01-03 00:00:00"),                              // offset 2
+      (2L, "2024-01-01 05:00:00"),                              // same cohort
+      (3L, "2024-01-02 09:00:00"))                              // later cohort
+      .toDF("user_id", "s")
+      .withColumn("ts", to_timestamp($"s"))
+    val out = WindowOps.retentionCohorts(df)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      ("2024-01-01", 0, 2L), // users 1,2 on their cohort day
+      ("2024-01-01", 2, 1L), // user 1 back two days later
+      ("2024-01-02", 0, 1L)))
+  }
 }

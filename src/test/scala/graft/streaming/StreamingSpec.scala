@@ -356,4 +356,14 @@ class StreamingSpec extends SparkSpec {
       if (b1.nonEmpty && b2.nonEmpty) assert(b2.min > b1.max)
     }
   }
+
+  test("streaming exact distinct (stateful dedup) ≡ batch DISTINCT") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.distinctKeysStream(spark, sf0001), OutputMode.Append())
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
 }
