@@ -215,6 +215,56 @@ object SparkEntry {
     Streaming.runToMemory(s, Streaming.distinctKeysStream(s, dir),
       org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** Conversion funnel signup →(≤1d)→ purchase →(≤1d)→ error over the
+    * event stream: stacked conditional window-MINs, one exchange.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    WindowOps.funnelStages(Tables.events(s, dir),
+      Seq("signup", "purchase", "error"), maxGapSec = 86400L)
+
+  /** Hourly gap-filled resample of each user's value series. */
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    WindowOps.resampleFill(Tables.events(s, dir), stepSec = 3600L)
+
+  /** Pivot → unpivot round trip: per-user event-type counts melted back
+    * to long form (zero cells dropped, so the relation equals the plain
+    * GROUP BY — which is exactly the oracle).
+    */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(s, dir)
+      .groupBy(col("user_id")).pivot("event_type", ET).agg(count(lit(1)))
+    Relational.unpivot(wide, Seq("user_id"), ET, "event_type", "n")
+      .filter(col("n") > 0)
+  }
+
+  /** Price-tier range lookup over events.value via the bucket-equi-ized
+    * range join (hash join on bucket, no nested-loop).
+    */
+  private def qRangeLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      (0.0, 50.0, "low"), (50.0, 100.0, "mid"),
+      (100.0, 200.0, "high"), (200.0, 500.0, "peak"))
+      .toDF("lo", "hi", "tier")
+    Joins.rangeLookupJoin(
+      Tables.events(s, dir).select(col("event_id"), col("value")),
+      "value", tiers, "lo", "hi", bucketWidth = 50L)
+      .select(col("event_id"), col("value"), col("tier"))
+  }
+
+  /** CUBE over (status, priority) with ALL-coalesced subtotal rows —
+    * the grouping-sets companion of q_rollup.
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("total_price"))
+
   private def qRekey(s: SparkSession, dir: String): DataFrame =
     Relational.rekey(Tables.events(s, dir), "user_id")
 
@@ -957,6 +1007,11 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_bloom_decontaminate" -> (qBloomDecontaminate _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_funnel" -> (qFunnel _),
+    "q_resample" -> (qResample _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_range_lookup" -> (qRangeLookup _),
+    "q_cube" -> (qCube _),
     "q_full_outer" -> (qFullOuter _),
     "q_pseudonymize" -> (qPseudonymize _),
     "q_embed_centroid" -> (qEmbedCentroid _),
@@ -1064,7 +1119,7 @@ object SparkEntry {
     "q_chunk_docs", "q_pack_sequences", "q_sample_stratified",
     "q_stats_profile", "q_lm_score", "q_top_ngrams", "q_sim_pq",
     "q18_large_orders", "q_fuzzy_match", "q_retention_cohort",
-    "q_bloom_decontaminate", "q_zorder")
+    "q_bloom_decontaminate", "q_zorder", "q_funnel", "q_resample")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -1290,6 +1345,58 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q_funnel" ->
+      """WITH e1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |e2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase'
+        |      AND EPOCH_US(ts) > EPOCH_US(t1)
+        |      AND EPOCH_US(ts) - EPOCH_US(t1) <= 86400000000 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2
+        |  FROM e1),
+        |e3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'error'
+        |      AND EPOCH_US(ts) > EPOCH_US(t2)
+        |      AND EPOCH_US(ts) - EPOCH_US(t2) <= 86400000000 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3
+        |  FROM e2)
+        |SELECT user_id,
+        |  EPOCH_US(MIN(t1)) AS t1_us, EPOCH_US(MIN(t2)) AS t2_us,
+        |  EPOCH_US(MIN(t3)) AS t3_us,
+        |  CASE WHEN MIN(t3) IS NOT NULL THEN 3
+        |       WHEN MIN(t2) IS NOT NULL THEN 2
+        |       WHEN MIN(t1) IS NOT NULL THEN 1 ELSE 0 END AS stage_reached
+        |FROM e3 GROUP BY user_id""".stripMargin,
+    "q_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, (EPOCH_US(ts) // 1000000) // 3600 AS bucket,
+        |    MAX(value) AS v_obs
+        |  FROM events GROUP BY user_id, bucket),
+        |r AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+        |      FROM b GROUP BY user_id),
+        |g AS (SELECT user_id, UNNEST(RANGE(mn, mx + 1)) AS bucket FROM r)
+        |SELECT g.user_id, g.bucket,
+        |  LAST_VALUE(b.v_obs IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket""".stripMargin,
+    "q_unpivot" ->
+      "SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type",
+    "q_range_lookup" ->
+      """WITH tiers(lo, hi, tier) AS (VALUES
+        |  (0.0, 50.0, 'low'), (50.0, 100.0, 'mid'),
+        |  (100.0, 200.0, 'high'), (200.0, 500.0, 'peak'))
+        |SELECT e.event_id, e.value, t.tier
+        |FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_full_outer" ->
       """WITH e AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
         |o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)

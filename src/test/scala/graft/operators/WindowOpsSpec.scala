@@ -71,6 +71,50 @@ class WindowOpsSpec extends SparkSpec {
     assert(WindowOps.distinctKeys(df, "user_id").count() == 2)
   }
 
+  test("funnelStages: strictly-after ordering and max-gap both enforced") {
+    val df = Seq(
+      // u1 completes a->b->c in order within gaps
+      (1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-01 10:10:00", "b"),
+      (1L, "2024-01-01 10:20:00", "c"),
+      // u2: b BEFORE a → stage 2 never fires (strictly after)
+      (2L, "2024-01-01 09:00:00", "b"), (2L, "2024-01-01 10:00:00", "a"),
+      // u3: b after a but beyond the 15-minute gap → stops at 1
+      (3L, "2024-01-01 10:00:00", "a"), (3L, "2024-01-01 10:30:00", "b"),
+      // u4: no stage-1 event at all
+      (4L, "2024-01-01 10:00:00", "x"))
+      .toDF("user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp($"s"))
+    val out = WindowOps.funnelStages(df, Seq("a", "b", "c"), maxGapSec = 900)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("stage_reached"))).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
+
+  test("funnelStages: same-timestamp stage-2 event does not count (strict >)") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-01 10:00:00", "b"),
+      (1L, "2024-01-01 10:01:00", "b"))
+      .toDF("user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp($"s"))
+    val r = WindowOps.funnelStages(df, Seq("a", "b"), maxGapSec = 3600).head()
+    assert(r.getAs[Int]("stage_reached") == 2)
+    // t2 must be the 10:01 event, not the tied 10:00 one
+    assert(r.getAs[Long]("t2_us") - r.getAs[Long]("t1_us") == 60L * 1000000L)
+  }
+
+  test("resampleFill: missing buckets forward-filled, bucket max taken") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:10", 1.0), (1L, "2024-01-01 00:00:50", 5.0), // bucket max 5
+      (1L, "2024-01-01 00:03:00", 2.0)) // buckets 1,2 missing → filled with 5
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp($"s"))
+    val out = WindowOps.resampleFill(df, stepSec = 60)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val base = out.head._1
+    assert(out.map(_._1).toSeq == (base to base + 3).toSeq, "dense grid")
+    assert(out.map(_._2).toSeq == Seq(5.0, 5.0, 5.0, 2.0))
+  }
+
   test("retentionCohorts: cohort day, offsets, distinct-user counts") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 23:00:00"), // same day once
