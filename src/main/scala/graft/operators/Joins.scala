@@ -145,8 +145,16 @@ object Joins {
       col(idCol).as("right_id"), col(nameCol).as("right_name"))
     l.join(r, Seq("block"))
       .filter(col("left_id") < col("right_id"))
-      .withColumn("distance", levenshtein(col("left_name"), col("right_name")))
-      .filter(col("distance") <= maxDistance)
+      // |len(a)−len(b)| ≤ d is a necessary condition for distance ≤ d:
+      // an O(1) band filter that rejects most pairs before any DP runs
+      .filter(abs(length(col("left_name")) - length(col("right_name")))
+        <= maxDistance)
+      // bounded variant: the DP early-exits (and returns -1) once the
+      // running distance exceeds maxDistance — O(d·min(len)) per pair
+      // instead of O(len²)
+      .withColumn("distance",
+        levenshtein(col("left_name"), col("right_name"), maxDistance))
+      .filter(col("distance") >= 0 && col("distance") <= maxDistance)
   }
 
   /** Range-lookup join, equi-ized by bucketing: match each fact value to
