@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.operators.{Incremental, Joins, Relational, WindowOps}
+import graft.operators.{History, Incremental, Joins, Relational, Stats, WindowOps}
 import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.ml.{Registry, Scorer, Trainer}
 import graft.streaming.Streaming
@@ -160,6 +160,127 @@ object SparkEntry {
       .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("total_qty"))
   }
+
+  /** TPC-H Q10 shape (returned-item revenue): which customers returned
+    * the most merchandise in a quarter. lineitem('R') ⋈ orders(quarter)
+    * shuffle on the order key; customer and nation broadcast; the final
+    * top-20 is TakeOrderedAndProject (per-partition heap, driver merges
+    * 20/partition), with the customer key as deterministic tie-break.
+    */
+  private def q10ReturnedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast("timestamp") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate").cast("timestamp") < to_timestamp(lit("1996-04-01")))
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === lit("R"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** The analytic-function suite (WindowOps.sequenceStats) over each
+    * customer's order history — one Exchange + one Sort for all seven
+    * functions. percent_rank/cume_dist compared unrounded: identical
+    * integer-derived IEEE division on both engines.
+    */
+  private def qWindowSuite(s: SparkSession, dir: String): DataFrame =
+    WindowOps.sequenceStats(Tables.orders(s, dir),
+      "o_custkey", Seq("o_orderdate", "o_orderkey"), "o_totalprice")
+
+  /** GROUPING SETS ((flag), (status)) — the non-rollup grouping-set
+    * shape (disjoint single-column sets), planned as ONE scan + Expand
+    * rather than a union of two aggregations. q_rollup / q_cube cover
+    * the hierarchical and power-set cases.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val v = s"lineitem_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.lineitem(s, dir).createOrReplaceTempView(v)
+    s.sql(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+         |  COUNT(*) AS n,
+         |  ROUND(SUM(l_quantity), 2) AS sum_qty
+         |FROM $v
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  /** Semi/anti join as the EXISTS / NOT EXISTS surface: every customer
+    * flagged by whether they ever placed an urgent order. Both branches
+    * are broadcast-able key-only probes (LeftSemi / LeftAnti) — no
+    * row duplication from the many-orders side, which is the point of
+    * semi join over inner-distinct at scale.
+    */
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_urgent"))
+      .unionAll(
+        c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit(false).as("has_urgent")))
+  }
+
+  /** Per-status modal order priority (Relational.modePerGroup): two hash
+    * aggs, no window — the oracle uses the row_number formulation to
+    * prove the min_by struct-ordering tie-break is the same total order.
+    */
+  private def qModePriority(s: SparkSession, dir: String): DataFrame =
+    Relational.modePerGroup(Tables.orders(s, dir),
+      Seq("o_orderstatus"), "o_orderpriority")
+
+  /** SCD Type-2 build (History.scd2) over each user's event-type
+    * history: change-compacted validity intervals with an is_current
+    * flag — the dimension a CDC consumer materializes.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    History.scd2(Tables.events(s, dir),
+      entityCol = "user_id", attrCol = "event_type",
+      tsCol = "ts", tieCol = "event_id")
+
+  /** Last-touch attribution of purchases to the most recent preceding
+    * non-purchase event within 24 h (History.lastTouchAttribution).
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame =
+    History.lastTouchAttribution(Tables.events(s, dir),
+      conversionType = "purchase", maxGapSec = 86400L)
+
+  /** 20-bin equi-width histogram of order totals
+    * (Stats.histogramEquiWidth): min/max pass + one bucket agg.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Stats.histogramEquiWidth(Tables.orders(s, dir), "o_totalprice", bins = 20)
+
+  /** C4-style segment filter: drop sub-3-word segments (split on the
+    * ' merge ' token — the fixture corpus has no newlines), rejoin in
+    * order. Pure projection, no shuffle.
+    */
+  private def qSegmentFilter(s: SparkSession, dir: String): DataFrame =
+    TextOps.segmentFilter(Tables.documents(s, dir), " merge ", minWords = 3)
+
+  /** Boilerplate-segment removal: segments occurring in ≥ 2 distinct
+    * docs stripped from every doc, order preserved. The Spark plan is
+    * the exploded anti-join scale path; the oracle proves it equals the
+    * per-doc list_filter semantics.
+    */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextOps.removeBoilerplate(Tables.documents(s, dir), " merge ", minDocs = 2)
+
+  /** SemDeDup over the embedding corpus (Dedup.semanticDedup):
+    * cluster-confined cosine dedup, nlist=64 cells, maxCell salt guard.
+    */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(s, dir),
+      nlist = 64, threshold = 0.99, maxCell = 2048)
 
   /** Blocked fuzzy entity matching on part names within a brand block
     * (Joins.fuzzyBlockedPairs): O(n²) → Σ|block|² via the blocking key.
@@ -1001,6 +1122,17 @@ object SparkEntry {
     "q3_segment_revenue" -> (q3SegmentRevenue _),
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q10_returned_customers" -> (q10ReturnedCustomers _),
+    "q_window_suite" -> (qWindowSuite _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_mode_priority" -> (qModePriority _),
+    "q_scd2" -> (qScd2 _),
+    "q_attribution" -> (qAttribution _),
+    "q_histogram" -> (qHistogram _),
+    "q_segment_filter" -> (qSegmentFilter _),
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1314,6 +1446,122 @@ object SparkEntry {
         |FROM orders o
         |JOIN big b ON o.o_orderkey = b.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q10_returned_customers" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS seq_no,
+        |  lag(o_totalprice, 1) OVER w AS prev_value,
+        |  lead(o_totalprice, 1) OVER w AS next_value,
+        |  o_totalprice - lag(o_totalprice, 1) OVER w AS delta,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey,
+        |  EXISTS(SELECT 1 FROM orders
+        |         WHERE o_custkey = c_custkey
+        |           AND o_orderpriority = '1-URGENT') AS has_urgent
+        |FROM customer""".stripMargin,
+    "q_mode_priority" ->
+      """WITH cnt AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM cnt)
+        |SELECT o_orderstatus, o_orderpriority AS mode_value,
+        |       CAST(n AS BIGINT) AS mode_count
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q_scd2" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_type, ts, event_id FROM chg
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current,
+        |  CAST(row_number() OVER w AS INT) AS version
+        |FROM f
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+        |      OVER w AS touch_ts,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts AS conversion_ts,
+        |  CASE WHEN touch_ts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(touch_ts) <= 86400000000
+        |       THEN touch_type END AS attributed_type,
+        |  CASE WHEN touch_ts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(touch_ts) <= 86400000000
+        |       THEN touch_ts END AS attributed_ts
+        |FROM t WHERE event_type = 'purchase'""".stripMargin,
+    "q_histogram" ->
+      """WITH ext AS (
+        |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+        |b AS (
+        |  SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)) AS INT), 19) AS bucket,
+        |    o_totalprice, mn, mx
+        |  FROM orders, ext)
+        |SELECT bucket, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS bucket_min, MAX(o_totalprice) AS bucket_max,
+        |  MIN(mn + bucket * ((mx - mn) / 20.0)) AS edge_lo,
+        |  MIN(mn + (bucket + 1) * ((mx - mn) / 20.0)) AS edge_hi
+        |FROM b GROUP BY bucket""".stripMargin,
+    "q_segment_filter" ->
+      """SELECT doc_id,
+        |  COALESCE(array_to_string(list_filter(string_split(text, ' merge '),
+        |    x -> len(string_split(x, ' ')) >= 3), ' merge '), '') AS clean_text,
+        |  CAST(len(list_filter(string_split(text, ' merge '),
+        |    x -> len(string_split(x, ' ')) >= 3)) AS INT) AS n_kept,
+        |  CAST(len(string_split(text, ' merge ')) AS INT) AS n_total
+        |FROM documents""".stripMargin,
+    "q_boilerplate" ->
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(string_split(text, ' merge ')) AS seg FROM documents),
+        |boiler AS (
+        |  SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
+        |bl AS (SELECT list(seg) AS l FROM boiler)
+        |SELECT d.doc_id,
+        |  COALESCE(array_to_string(list_filter(string_split(d.text, ' merge '),
+        |    x -> NOT list_contains(bl.l, x)), ' merge '), '') AS clean_text,
+        |  CAST(len(list_filter(string_split(d.text, ' merge '),
+        |    x -> NOT list_contains(bl.l, x))) AS BIGINT) AS n_kept
+        |FROM documents d, bl""".stripMargin,
     "q_fuzzy_match" ->
       """SELECT a.p_brand AS block,
         |  a.p_partkey AS left_id, a.p_name AS left_name,

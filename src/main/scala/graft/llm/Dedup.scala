@@ -569,4 +569,56 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over an embedding column. K-means clusters the
+    * corpus; *within each cluster only*, a row is a duplicate if some
+    * lower-id row in the same cluster has cosine similarity above
+    * `threshold`. Returns the kept rows `(id, cell)` — deterministic
+    * because the keep/drop rule orders on the id, and the quantizer is
+    * seeded.
+    *
+    * Scale: this is the published algorithm's exact shape — the
+    * quadratic pairing is confined to single clusters, so cost is
+    * Σ|cell|², controlled by `nlist` (the paper runs ~100 k clusters at
+    * LAION scale; cells stay ~constant-sized as nlist grows with n).
+    * `maxCell` is the skew backstop: cells above it are salted into
+    * sub-cells by id hash before pairing, trading a bounded recall loss
+    * (only same-sub-cell pairs are compared) for a hard cap on any
+    * single pair-join bucket — same pigeonhole defense as the banded
+    * SimHash cap.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      nlist: Int = 16,
+      threshold: Double = 0.99,
+      maxCell: Int = Int.MaxValue,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val (assigned0, _) =
+      Similarity.fitQuantizer(corpus, nlist, seed, vecCol, idCol)
+    // sub-split oversized cells: sub = hash(id) % ceil(|cell| / maxCell)
+    val sizes = assigned0.groupBy(col("cell")).agg(count(lit(1)).as("_sz"))
+    val assigned = assigned0.join(broadcast(sizes), "cell")
+      .withColumn("sub",
+        pmod(xxhash64(col("neighbor_id")),
+          ceil(col("_sz").cast("double") / lit(maxCell)).cast("long")))
+      .select(col("neighbor_id").as("id"), col("cv"), col("cn"),
+        col("cell"), col("sub"))
+      .persist()
+    val a = assigned.select(col("id").as("keep_id"), col("cv").as("av"),
+      col("cn").as("an"), col("cell"), col("sub"))
+    val b = assigned.select(col("id").as("dup_id"), col("cv").as("bv"),
+      col("cn").as("bn"), col("cell"), col("sub"))
+    val dups = a.join(b, Seq("cell", "sub"))
+      .filter(col("keep_id") < col("dup_id"))
+      .filter(
+        aggregate(zip_with(col("av"), col("bv"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("an") * col("bn"))
+          >= threshold)
+      .select(col("dup_id")).distinct()
+    assigned.join(dups, assigned("id") === dups("dup_id"), "left_anti")
+      .select(col("id"), col("cell"))
+  }
 }

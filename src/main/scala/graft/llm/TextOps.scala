@@ -423,6 +423,73 @@ object TextOps {
         .as("lang_pred")
     )
   }
+  /** C4-style segment-level cleaning: split each document on a literal
+    * delimiter, drop segments with fewer than `minWords` words, rejoin
+    * the survivors in order. (C4 does this per *line* with "ends in
+    * terminal punctuation / ≥ 3 words" rules; the fixture corpus has no
+    * newlines, so the delimiter is a parameter and the word-count rule
+    * carries the semantics.)
+    *
+    * Pure projection — `split` / `filter(λ)` / `array_join` evaluate
+    * per-row with no shuffle and no explode, so the op is map-side-only
+    * at any scale, and the lambda filter preserves segment order for
+    * free.
+    */
+  def segmentFilter(
+      docs: DataFrame,
+      delim: String,
+      minWords: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val segs = split(col(textCol), java.util.regex.Pattern.quote(delim))
+    val kept = filter(segs, s => size(split(s, " ")) >= minWords)
+    docs.select(
+      col("doc_id"),
+      array_join(kept, delim).as("clean_text"),
+      size(kept).as("n_kept"),
+      size(segs).as("n_total"))
+  }
+
+  /** Boilerplate-segment removal: segments (split on `delim`) that occur
+    * in at least `minDocs` *distinct* documents are boilerplate (nav
+    * bars, cookie banners, license headers); strip every occurrence from
+    * every document, preserving segment order.
+    *
+    * Plan shape (the 100 TB path): posexplode → per-segment distinct doc
+    * counts → the boilerplate set — then a marker LEFT JOIN of the
+    * exploded segments against it and an order-restoring re-assembly
+    * (`array_sort` by position inside a NULL-skipping `collect_list`).
+    * The join shuffles on the segment hash, never materializing a
+    * per-document boilerplate list — unlike the collect-to-one-list
+    * formulation the DuckDB oracle uses, which is only viable because
+    * the fixture's boilerplate set is tiny. A marker join (not LEFT
+    * ANTI) so a document whose every segment is boilerplate survives
+    * with empty clean text instead of vanishing from the relation.
+    */
+  def removeBoilerplate(
+      docs: DataFrame,
+      delim: String,
+      minDocs: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val segs = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("pos", "seg")))
+    val boiler = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"), lit(1).as("_boiler"))
+    segs.join(boiler, Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            // collect_list skips NULLs, so boilerplate rows drop out
+            // while still counting toward the group's existence
+            array_sort(collect_list(
+              when(col("_boiler").isNull, struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")),
+          delim).as("clean_text"),
+        sum(when(col("_boiler").isNull, 1).otherwise(0)).as("n_kept"))
+  }
 }
 
 /** Function-word lists for the langId heuristic (public-knowledge stopword

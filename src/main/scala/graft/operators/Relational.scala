@@ -153,4 +153,28 @@ object Relational {
 
   def jsonGet(jsonCol: Column, path: String): Column =
     get_json_object(jsonCol, path)
+
+  /** Statistical mode per group with a deterministic tie-break (highest
+    * count wins; equal counts go to the smallest value) — a `min_by`
+    * over the ordering key `(−count, value)`, whose struct comparison
+    * encodes exactly that total order.
+    *
+    * Scale: two hash aggregations — (key, value) counts, then one row
+    * per key — both partial-aggregated map-side. No window, no sort:
+    * per-key state is a single (key, count, value) struct, so this holds
+    * at any cardinality where the distinct (key, value) pairs fit a
+    * shuffle — unlike the row_number-over-window formulation the DuckDB
+    * oracle uses, which is only viable because the counted relation is
+    * already small.
+    */
+  def modePerGroup(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame = {
+    val ks = keyCols.map(col)
+    df.groupBy((ks :+ col(valCol)): _*)
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(ks: _*)
+      .agg(
+        min_by(col(valCol), struct((col("_cnt") * -1).as("nc"), col(valCol)))
+          .as("mode_value"),
+        max(col("_cnt")).as("mode_count"))
+  }
 }

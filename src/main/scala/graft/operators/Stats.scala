@@ -130,6 +130,42 @@ object Stats {
       .drop("_lo", "_hi")
   }
 
+  /** Equi-width histogram of a numeric column: `bins` buckets spanning
+    * the observed [min, max], each row reporting its bucket edges, row
+    * count, and observed value extent. The standard first-look profiling
+    * relation (and the input a visual layer bins from).
+    *
+    * Bucket assignment is the explicit `floor((v − min) / width)`
+    * clamped to `bins − 1` (so v = max lands in the last bucket) — the
+    * same IEEE-double expression the DuckDB oracle evaluates, keeping
+    * boundary rows engine-identical without rounding tricks.
+    *
+    * Scale: pass 0 is a single min/max agg (partial-aggregated, two
+    * doubles of state); pass 1 broadcasts that one-row extent and
+    * hash-aggregates on the bucket id — ≤ `bins` rows of state total.
+    * Empty buckets are absent (sparse output), which is what you want at
+    * 100 TB: the relation is bounded by `bins`, never by the data.
+    */
+  def histogramEquiWidth(
+      df: DataFrame,
+      valueCol: String,
+      bins: Int = 20): DataFrame = {
+    require(bins > 0, s"histogramEquiWidth: bins must be > 0, got $bins")
+    val v = col(valueCol).cast("double")
+    val ext = df.agg(min(v).as("_mn"), max(v).as("_mx"))
+    val width = (col("_mx") - col("_mn")) / lit(bins.toDouble)
+    df.crossJoin(broadcast(ext))
+      .withColumn("bucket",
+        least(floor((v - col("_mn")) / width).cast("int"), lit(bins - 1)))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(v).as("bucket_min"),
+        max(v).as("bucket_max"),
+        min(col("_mn") + col("bucket") * width).as("edge_lo"),
+        min(col("_mn") + (col("bucket") + 1) * width).as("edge_hi"))
+  }
+
   /** The exact (value, absolute in-group rank) relation feeding percentile
     * selection. Package-private so the spec can assert the exact pass's
     * window partitions stay bounded on adversarial (all-mass-one-bucket)

@@ -262,4 +262,34 @@ object WindowOps {
     df.withColumn("rank_in_group", row_number().over(w))
       .filter(col("rank_in_group") <= k)
   }
+
+  /** The analytic-function suite over a per-key ordered sequence:
+    * row_number / lag / lead / ntile / percent_rank / cume_dist plus the
+    * step delta — the standard "order history" projection every
+    * warehouse derives.
+    *
+    * All seven functions share one `(partition, order)` spec, so Spark
+    * plans a single Exchange + single Sort and evaluates the whole suite
+    * in one Window operator — scaling with the per-key sequence length,
+    * never the table. percent_rank/cume_dist stay unrounded: both
+    * engines compute the identical integer-derived IEEE division, so the
+    * bits match without rounding.
+    */
+  def sequenceStats(
+      df: DataFrame,
+      partitionCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      tiles: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol)).orderBy(orderCols.map(col): _*)
+    df.select(
+      col(partitionCol), orderCols.map(col).last, col(valueCol),
+      row_number().over(w).as("seq_no"),
+      lag(col(valueCol), 1).over(w).as("prev_value"),
+      lead(col(valueCol), 1).over(w).as("next_value"),
+      (col(valueCol) - lag(col(valueCol), 1).over(w)).as("delta"),
+      ntile(tiles).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
 }

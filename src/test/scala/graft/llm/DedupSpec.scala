@@ -381,4 +381,35 @@ class DedupSpec extends SparkSpec {
     val h2 = Dedup.simhashes(docs.repartition(7)).orderBy("doc_id").collect().toSeq
     assert(h1 == h2)
   }
+  test("semanticDedup: planted near-dups dropped, min id kept, distinct kept") {
+    import spark.implicits._
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    def jitter(v: Array[Float], d: Int): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => if (i == d) x + 0.01f else x }
+    val rows = Seq(
+      (1L, base(0)), (2L, jitter(base(0), 1)), // dup pair -> keep 1
+      (3L, base(1)), (4L, jitter(base(1), 2)), // dup pair -> keep 3
+      (5L, base(2))) // singleton
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(rows, nlist = 3, threshold = 0.99, seed = 7L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("semanticDedup maxCell salting: never false-drops, stays deterministic") {
+    import spark.implicits._
+    val rows = (1L to 12L).map { i =>
+      val v = Array.fill(12)(0f); v(i.toInt - 1) = 1f; (i, v)
+    }.toDF("vec_id", "embedding")
+    // 12 distinct axis vectors: every cross cosine is 0, so nothing is a
+    // dup; with maxCell=1 every cell salts into sub-cells
+    val kept = Dedup.semanticDedup(rows, nlist = 2, threshold = 0.99,
+      maxCell = 1, seed = 7L).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 12L).toSet, "salting must only ever reduce the dropped set")
+    val again = Dedup.semanticDedup(rows, nlist = 2, threshold = 0.99,
+      maxCell = 1, seed = 7L).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
 }

@@ -179,4 +179,27 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sloppy == exact)
   }
+  test("segmentFilter drops short segments and preserves order") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma SEP x y SEP one two three four"))
+      .toDF("doc_id", "text")
+    val out = TextOps.segmentFilter(df, " SEP ", minWords = 3).head()
+    assert(out.getString(1) == "alpha beta gamma SEP one two three four")
+    assert(out.getInt(2) == 2 && out.getInt(3) == 3)
+  }
+
+  test("removeBoilerplate strips repeated segments; all-boilerplate doc survives empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique one two SEP common footer"),
+      (2L, "common footer SEP other text here"),
+      (3L, "common footer")).toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplate(df, " SEP ", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3, "the all-boilerplate doc must not vanish")
+    assert(out(0).getString(1) == "unique one two" && out(0).getLong(2) == 1L)
+    assert(out(1).getString(1) == "other text here")
+    assert(out(2).getString(1) == "" && out(2).getLong(2) == 0L)
+  }
+
 }

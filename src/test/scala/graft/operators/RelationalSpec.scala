@@ -87,4 +87,15 @@ class RelationalSpec extends SparkSpec {
     // pivot→unpivot round trip drops nothing: 2 rows × 2 cols = 4
     assert(long.count() == 4)
   }
+  test("modePerGroup: highest count wins, ties go to the smallest value") {
+    import spark.implicits._
+    val df = Seq(("g1", "b"), ("g1", "b"), ("g1", "a"),
+      ("g2", "z"), ("g2", "y"), ("g2", "y"), ("g2", "z"))
+      .toDF("k", "v")
+    val out = Relational.modePerGroup(df, Seq("k"), "v").orderBy("k").collect()
+    assert(out(0).getString(1) == "b" && out(0).getLong(2) == 2L)
+    // g2 ties y/z at 2 — the smaller value wins deterministically
+    assert(out(1).getString(1) == "y" && out(1).getLong(2) == 2L)
+  }
+
 }

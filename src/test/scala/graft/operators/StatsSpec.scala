@@ -118,4 +118,18 @@ class StatsSpec extends SparkSpec {
           assert(x == y, s"buckets=$b group $g: $x != $y") } }
     }
   }
+  test("histogramEquiWidth: counts total, buckets bounded, edges contain extents") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Stats.histogramEquiWidth(df, "v", bins = 10).orderBy("bucket").collect()
+    assert(out.map(_.getLong(1)).sum == 100L)
+    assert(out.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 10))
+    // the max value clamps into the last bucket instead of spilling to bin 10
+    assert(out.last.getInt(0) == 9 && out.last.getDouble(3) == 100.0)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(4) - 1e-9, "bucket_min below edge_lo")
+      assert(r.getDouble(3) <= r.getDouble(5) + 1e-9, "bucket_max above edge_hi")
+    }
+  }
+
 }

@@ -132,4 +132,20 @@ class WindowOpsSpec extends SparkSpec {
       ("2024-01-01", 2, 1L), // user 1 back two days later
       ("2024-01-02", 0, 1L)))
   }
+  test("sequenceStats: single exchange, suite values correct on a tiny series") {
+    import spark.implicits._
+    val df = Seq((1L, 1, 10.0), (1L, 2, 30.0), (1L, 3, 20.0), (2L, 1, 5.0))
+      .toDF("k", "o", "v")
+    val out = WindowOps.sequenceStats(df, "k", Seq("o"), "v")
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"all seven functions must share one exchange:\n$plan")
+    val rows = out.orderBy("k", "o").collect()
+    assert(rows.map(_.getInt(3)).toSeq == Seq(1, 2, 3, 1)) // seq_no
+    assert(rows(1).getDouble(6) == 20.0) // delta = 30 - 10
+    assert(rows(0).isNullAt(4) && rows(2).isNullAt(5)) // lag/lead edges
+    assert(rows(3).getDouble(8) == 0.0) // percent_rank of a 1-row partition
+    assert(rows(3).getDouble(9) == 1.0) // cume_dist of a 1-row partition
+  }
+
 }
