@@ -282,6 +282,64 @@ object SparkEntry {
     Dedup.semanticDedup(Tables.embeddings(s, dir),
       nlist = 64, threshold = 0.99, maxCell = 2048)
 
+  /** TPC-H Q7 shape (volume shipping between a nation pair, by year):
+    * the two-big-facts join (lineitem ⋈ orders) shuffles once; the
+    * supplier/customer/nation dims broadcast; the nation-pair predicate
+    * prunes before the fact join via the broadcast sides.
+    */
+  private def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").cast("timestamp") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate").cast("timestamp") < to_timestamp(lit("1998-01-01")))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate").cast("timestamp")).as("l_year"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0)
+        .as("revenue"))
+  }
+
+  /** Intra-document segment dedup (TextOps.dedupSegments): first
+    * occurrence of each segment survives; pure projection.
+    */
+  private def qDedupSegments(s: SparkSession, dir: String): DataFrame =
+    TextOps.dedupSegments(Tables.documents(s, dir), " merge ")
+
+  /** Vocabulary coverage: top-500 token vocab, per-doc OOV rate
+    * (TextOps.oovRate).
+    */
+  private def qOovRate(s: SparkSession, dir: String): DataFrame =
+    TextOps.oovRate(Tables.documents(s, dir), vocabSize = 500)
+
+  /** Exact per-group median absolute deviation (Stats.madByGroup) over
+    * lineitem quantities — robust spread, oracled against nested
+    * quantile_cont.
+    */
+  private def qMad(s: SparkSession, dir: String): DataFrame =
+    Stats.madByGroup(Tables.lineitem(s, dir), "l_returnflag", "l_quantity")
+
+  /** Stream-stream LEFT OUTER interval join run incrementally; the
+    * oracle reproduces the watermark-eviction cutoff with a scalar
+    * subquery (see Streaming.intervalJoinOuterStream).
+    */
+  private def qStreamOuterJoin(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s, Streaming.intervalJoinOuterStream(s, dir),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
   /** Blocked fuzzy entity matching on part names within a brand block
     * (Joins.fuzzyBlockedPairs): O(n²) → Σ|block|² via the blocking key.
     */
@@ -1133,6 +1191,11 @@ object SparkEntry {
     "q_segment_filter" -> (qSegmentFilter _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_semantic_dedup" -> (qSemanticDedup _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q_dedup_segments" -> (qDedupSegments _),
+    "q_oov_rate" -> (qOovRate _),
+    "q_mad" -> (qMad _),
+    "q_stream_outer_join" -> (qStreamOuterJoin _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1446,6 +1509,68 @@ object SparkEntry {
         |FROM orders o
         |JOIN big b ON o.o_orderkey = b.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+        |  SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_dedup_segments" ->
+      """SELECT doc_id,
+        |  COALESCE(array_to_string(list_filter(string_split(text, ' merge '),
+        |    (x, i) -> list_position(string_split(text, ' merge '), x) = i), ' merge '), '') AS dedup_text,
+        |  CAST(len(list_filter(string_split(text, ' merge '),
+        |    (x, i) -> list_position(string_split(text, ' merge '), x) = i)) AS INT) AS n_kept,
+        |  CAST(len(string_split(text, ' merge ')) AS INT) AS n_total
+        |FROM documents""".stripMargin,
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |v AS (SELECT t FROM tok GROUP BY t ORDER BY COUNT(*) DESC, t LIMIT 500)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  ROUND(CAST(SUM(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS oov_ratio
+        |FROM tok GROUP BY doc_id""".stripMargin,
+    "q_stream_outer_join" ->
+      """WITH wm AS (
+        |  SELECT LEAST(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 600 SECOND AS w),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS cu, ts AS cts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.purchase_id, c.click_id
+        |FROM p JOIN c ON p.user_id = c.cu
+        |  AND c.cts >= p.ts - INTERVAL 600 SECOND AND c.cts <= p.ts
+        |UNION ALL
+        |SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id
+        |FROM p, wm
+        |WHERE p.ts < wm.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.cu = p.user_id
+        |      AND c.cts >= p.ts - INTERVAL 600 SECOND AND c.cts <= p.ts)""".stripMargin,
+    "q_mad" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS g, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT m.g, m.med, ABS(l.l_quantity - m.med) AS dev
+        |  FROM lineitem l JOIN m ON l.l_returnflag = m.g)
+        |SELECT g AS l_returnflag, ROUND(MIN(med), 6) AS median,
+        |  ROUND(quantile_cont(dev, 0.5), 6) AS mad
+        |FROM d GROUP BY g""".stripMargin,
     "q10_returned_customers" ->
       """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
         |  SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue

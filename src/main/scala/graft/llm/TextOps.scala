@@ -490,6 +490,64 @@ object TextOps {
           delim).as("clean_text"),
         sum(when(col("_boiler").isNull, 1).otherwise(0)).as("n_kept"))
   }
+
+  /** Intra-document segment dedup: keep only the FIRST occurrence of
+    * each segment within a document (self-repetition trim — the
+    * document-local cousin of corpus-level dedup; repeated templates,
+    * duplicated paragraphs, copy-paste artifacts).
+    *
+    * Pure projection: the first-occurrence predicate is
+    * `array_position(segs, x) == index` evaluated inside a lambda
+    * `filter` — no explode, no shuffle, no window; runs at scan speed
+    * and preserves order by construction. (array_position is O(n) per
+    * element giving O(n²) per doc over SEGMENTS — tens per doc — which
+    * beats an explode+window+reassemble shuffle by orders of magnitude
+    * at corpus scale.)
+    */
+  def dedupSegments(
+      docs: DataFrame,
+      delim: String,
+      textCol: String = "text"): DataFrame = {
+    val segs = split(col(textCol), java.util.regex.Pattern.quote(delim))
+    // Spark's lambda index is 0-based, array_position 1-based
+    val kept = filter(segs, (x, i) => array_position(segs, x) === (i + 1))
+    docs.select(
+      col("doc_id"),
+      array_join(kept, delim).as("dedup_text"),
+      size(kept).as("n_kept"),
+      size(segs).as("n_total"))
+  }
+
+  /** Vocabulary coverage / OOV rate: build the top-`vocabSize` token
+    * vocabulary by corpus frequency (ties to the lexically smaller
+    * token, so the vocab SET is deterministic), then score every
+    * document's out-of-vocabulary token count and ratio — the tokenizer
+    * -prep health metric (how much of the corpus a fixed vocab covers).
+    *
+    * Scale: the vocab is a TakeOrdered over partial-aggregated token
+    * counts (per-partition heap, driver merges k/partition) and ships
+    * back BROADCAST; the per-doc score is then one explode + broadcast
+    * probe + per-doc re-agg — the corpus shuffles once on doc_id-sized
+    * partial aggs, never on tokens.
+    */
+  def oovRate(
+      docs: DataFrame,
+      vocabSize: Int = 500,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t"))
+      .limit(vocabSize)
+      .select(col("t"), lit(1).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }
 
 /** Function-word lists for the langId heuristic (public-knowledge stopword

@@ -166,6 +166,36 @@ object Stats {
         min(col("_mn") + (col("bucket") + 1) * width).as("edge_hi"))
   }
 
+  /** Median absolute deviation per group — the robust spread measure
+    * (outlier detection that, unlike stddev, is not itself dragged by
+    * the outliers): MAD = median(|x − median(x)|), both medians EXACT
+    * via the bucket-localized percentile machinery.
+    *
+    * Two [[percentilesByGroup]] passes (median, then median of absolute
+    * deviations against the broadcast per-group medians) — each is the
+    * bounded-state localization pipeline, so per-group state never
+    * exceeds one row and the value column shuffles zero times (the
+    * deviation relation re-reads the source through the same scan).
+    * Rounded to 6 decimals on both engines: DuckDB's `quantile_cont`
+    * interpolates lo + f·(hi − lo), which can differ from the weighted
+    * form in the last ulp.
+    */
+  def madByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val med = percentilesByGroup(df, groupCol, valueCol,
+      Seq("_med" -> 0.5), buckets)
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("_dev", abs(col(valueCol) - col("_med")))
+    percentilesByGroup(dev, groupCol, "_dev", Seq("_mad" -> 0.5), buckets)
+      .join(broadcast(med), groupCol)
+      .select(col(groupCol),
+        round(col("_med"), 6).as("median"),
+        round(col("_mad"), 6).as("mad"))
+  }
+
   /** The exact (value, absolute in-group rank) relation feeding percentile
     * selection. Package-private so the spec can assert the exact pass's
     * window partitions stay bounded on adversarial (all-mass-one-bucket)

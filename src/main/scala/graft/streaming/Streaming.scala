@@ -350,6 +350,41 @@ object Streaming {
       .select(col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase, with its
+    * attributing clicks when any exist inside the 600 s window, or a
+    * NULL click when the watermark has proven none can arrive. The
+    * state-cleanup semantics ST6 actually tests: an unmatched left row
+    * is held in the state store until the watermark passes its join
+    * window's upper bound, THEN emitted with nulls and evicted —
+    * bounded state, late-proof nulls.
+    *
+    * Determinism note (why this can share a batch oracle): with
+    * AvailableNow over a finite fixture the final watermark is
+    * max(ts) − delay, so exactly the unmatched purchases with
+    * p_ts < final watermark get their null row. The oracle reproduces
+    * that cutoff with a scalar subquery; StreamingSpec asserts the same
+    * relation against the batch left join directly.
+    */
+  def intervalJoinOuterStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val p = withLateness(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts")),
+      "10 minutes").withColumnRenamed("ts", "p_ts")
+    val c = withLateness(
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts")),
+      "10 minutes").withColumnRenamed("ts", "c_ts")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 600 SECONDS") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming read of the orders fixture (schema lifted from the batch
     * read's footer — one metadata-only pass).
     */

@@ -234,6 +234,39 @@ class StreamingSpec extends SparkSpec {
     assert(s == b, s"streamed ${s.size} vs batch ${b.size}")
   }
 
+  test("stream-stream LEFT OUTER interval join: matches plus watermark-proven nulls") {
+    val streamed = Streaming.runToMemory(
+      spark, Streaming.intervalJoinOuterStream(spark, sf0001),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+
+    // batch reference: inner matches always; nulls exactly for unmatched
+    // purchases older than the final watermark min(branch maxes) - delay
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val cond = col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 600 SECONDS") &&
+      col("c_ts") <= col("p_ts")
+    val wm = math.min(
+      p.agg(max(unix_micros(col("p_ts").cast("timestamp")))).head().getLong(0),
+      c.agg(max(unix_micros(col("c_ts").cast("timestamp")))).head().getLong(0)) -
+      600L * 1000000L
+    val joined = p.join(c, cond, "left_outer")
+    val matches = joined.filter(col("click_id").isNotNull)
+      .select(col("purchase_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val nulls = joined.filter(col("click_id").isNull)
+      .filter(unix_micros(col("p_ts").cast("timestamp")) < wm)
+      .select(col("purchase_id"))
+      .collect().map(r => (r.getLong(0), None: Option[Any])).toSet
+    assert(matches.nonEmpty && nulls.nonEmpty)
+    assert(streamed == (matches ++ nulls),
+      s"streamed ${streamed.size} vs expected ${(matches ++ nulls).size}")
+  }
+
   test("continuous Trigger.ProcessingTime delivery updates results across batches (push query)") {
     // the reference's EMIT CHANGES push query over chunked HTTP: a
     // LONG-RUNNING trigger (not AvailableNow) whose result table keeps
