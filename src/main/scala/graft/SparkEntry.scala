@@ -340,6 +340,60 @@ object SparkEntry {
     Streaming.runToMemory(s, Streaming.intervalJoinOuterStream(s, dir),
       org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** One-pass numeric data-quality profile of the orders table
+    * (Relational.profileNumeric).
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    Relational.profileNumeric(Tables.orders(s, dir),
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+
+  /** Referential-integrity sweep over the star schema's four FK edges
+    * (Relational.riCheck): orphan counts via broadcast anti joins.
+    */
+  private def qRiCheck(s: SparkSession, dir: String): DataFrame =
+    Relational.riCheck(Seq(
+      ("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      ("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      ("lineitem_supplier", Tables.lineitem(s, dir), "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      ("orders_customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey")))
+
+  /** Share-of-total (ratio-to-report): each nation's fraction of global
+    * order revenue. The whole-relation window runs over the ALREADY
+    * AGGREGATED 25-row relation (never the fact table), and the total is
+    * summed in integer cents so the share is an exact-integer ratio on
+    * both engines — no FP-summation-order divergence.
+    */
+  private def qRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("_c"))
+    rev.select(
+      col("n_name"),
+      (col("_c") / 100.0).as("revenue"),
+      round(col("_c").cast("double") /
+        sum(col("_c")).over(Window.partitionBy()).cast("double"), 6)
+        .as("share"))
+  }
+
+  /** Trailing 1 h / 24 h / 7 d per-user activity counts in ONE window
+    * pass (WindowOps.multiTrailingCounts) — single exchange + sort for
+    * all three horizons.
+    */
+  private def qMultiWindow(s: SparkSession, dir: String): DataFrame =
+    WindowOps.multiTrailingCounts(Tables.events(s, dir),
+      "user_id", "ts", Seq(3600L, 86400L, 604800L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("n_last_3600s"), col("n_last_86400s"), col("n_last_604800s"))
+
   /** Blocked fuzzy entity matching on part names within a brand block
     * (Joins.fuzzyBlockedPairs): O(n²) → Σ|block|² via the blocking key.
     */
@@ -1196,6 +1250,10 @@ object SparkEntry {
     "q_oov_rate" -> (qOovRate _),
     "q_mad" -> (qMad _),
     "q_stream_outer_join" -> (qStreamOuterJoin _),
+    "q_profile" -> (qProfile _),
+    "q_ri_check" -> (qRiCheck _),
+    "q_revenue_share" -> (qRevenueShare _),
+    "q_multi_window" -> (qMultiWindow _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1314,7 +1372,9 @@ object SparkEntry {
     "q_chunk_docs", "q_pack_sequences", "q_sample_stratified",
     "q_stats_profile", "q_lm_score", "q_top_ngrams", "q_sim_pq",
     "q18_large_orders", "q_fuzzy_match", "q_retention_cohort",
-    "q_bloom_decontaminate", "q_zorder", "q_funnel", "q_resample")
+    "q_bloom_decontaminate", "q_zorder", "q_funnel", "q_resample",
+    "q10_returned_customers", "q7_volume_shipping", "q_window_suite",
+    "q_boilerplate", "q_oov_rate", "q_semantic_dedup", "q_mad", "q_scd2")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -1541,6 +1601,61 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS DOUBLE)
         |        / COUNT(*), 6) AS oov_ratio
         |FROM tok GROUP BY doc_id""".stripMargin,
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  MIN(CAST(o_orderkey AS DOUBLE)) AS min_val,
+        |  MAX(CAST(o_orderkey AS DOUBLE)) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |  MIN(CAST(o_custkey AS DOUBLE)), MAX(CAST(o_custkey AS DOUBLE))
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        |  MIN(CAST(o_totalprice AS DOUBLE)), MAX(CAST(o_totalprice AS DOUBLE))
+        |FROM orders""".stripMargin,
+    "q_ri_check" ->
+      """SELECT 'lineitem_orders' AS constraint_name,
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem_part',
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem_supplier',
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders_customer',
+        |  CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)""".stripMargin,
+    "q_revenue_share" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, c / 100.0 AS revenue,
+        |  ROUND(CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE), 6) AS share
+        |FROM rev""".stripMargin,
+    "q_multi_window" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_3600s,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_86400s,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_604800s
+        |FROM events""".stripMargin,
     "q_stream_outer_join" ->
       """WITH wm AS (
         |  SELECT LEAST(

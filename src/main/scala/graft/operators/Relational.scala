@@ -154,6 +154,53 @@ object Relational {
   def jsonGet(jsonCol: Column, path: String): Column =
     get_json_object(jsonCol, path)
 
+  /** One-pass numeric column profile — the dbt/Deequ-style data-quality
+    * summary: row count, null count, exact distinct count, min and max
+    * per column, emitted long-form (one row per column).
+    *
+    * Single aggregation over one scan; the multi-column exact distinct
+    * makes Catalyst plan an Expand (one duplicate of the input per
+    * distinct aggregate), which is the standard exact shape — swap
+    * `countDistinct` for `approx_count_distinct` when profiling at
+    * 100 TB and the Expand collapses back to one pass. min/max surface
+    * as doubles so both engines compare binary-identical values (string
+    * rendering of doubles is engine-specific).
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c).cast("double")).as(s"${c}__min"),
+        max(col(c).cast("double")).as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.map { c =>
+      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.length}, $pairs) AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"))
+  }
+
+  /** Referential-integrity check: for each (fact, key) → (dim, key)
+    * constraint, the count of orphaned foreign keys. LEFT ANTI against
+    * the (broadcastable) key-only dim projection — the fact table is
+    * scanned once per constraint and never shuffled when the dim side
+    * broadcasts.
+    */
+  def riCheck(
+      constraints: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    constraints.map { case (name, fact, fk, dim, pk) =>
+      // alias both sides: fk and pk legitimately share a name when the
+      // constraint is self-referential or conventions match key names
+      fact.select(col(fk).as("_fk"))
+        .join(broadcast(dim.select(col(pk).as("_pk"))),
+          col("_fk") === col("_pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("constraint_name"), col("n_orphans"))
+    }.reduce(_ unionAll _)
+
   /** Statistical mode per group with a deterministic tie-break (highest
     * count wins; equal counts go to the smallest value) — a `min_by`
     * over the ordering key `(−count, value)`, whose struct comparison

@@ -263,6 +263,27 @@ object WindowOps {
       .filter(col("rank_in_group") <= k)
   }
 
+  /** Trailing activity counts over SEVERAL horizons in one pass — the
+    * feature-engineering staple (events in the last 1 h / 24 h / 7 d per
+    * user, per event). All frames share one `(partition, order)` spec:
+    * Spark plans a single Exchange + single Sort and evaluates every
+    * horizon in the same Window operator, so adding a horizon costs one
+    * running accumulator, not another shuffle.
+    */
+  def multiTrailingCounts(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      horizonsSec: Seq[Long]): DataFrame = {
+    val epoch = unix_micros(col(tsCol).cast("timestamp"))
+    val base = df.withColumn("_ep", epoch)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_ep"))
+    horizonsSec.foldLeft(base) { (acc, h) =>
+      acc.withColumn(s"n_last_${h}s",
+        count(lit(1)).over(w.rangeBetween(-h * 1000000L, 0)))
+    }.drop("_ep")
+  }
+
   /** The analytic-function suite over a per-key ordered sequence:
     * row_number / lag / lead / ntile / percent_rank / cume_dist plus the
     * step delta — the standard "order history" projection every

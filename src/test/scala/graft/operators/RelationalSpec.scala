@@ -98,4 +98,27 @@ class RelationalSpec extends SparkSpec {
     assert(out(1).getString(1) == "y" && out(1).getLong(2) == 2L)
   }
 
+  test("profileNumeric counts nulls and exact distincts per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some(1.0)), (Some(1), None), (Some(2), Some(3.5)), (None, Some(3.5)))
+      .toDF("a", "b")
+    val out = Relational.profileNumeric(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.get(4), r.get(5))).toMap
+    assert(out("a") == ((4L, 1L, 2L, 1.0, 2.0)))
+    assert(out("b") == ((4L, 1L, 2L, 1.0, 3.5)))
+  }
+
+  test("riCheck counts planted orphans, zero on intact edges") {
+    import spark.implicits._
+    val fact = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk")
+    val dim = Seq((10L, "x"), (11L, "y")).toDF("pk", "v")
+    val out = Relational.riCheck(Seq(
+      ("fact_dim", fact, "fk", dim, "pk"),
+      ("dim_dim", dim, "pk", dim, "pk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("fact_dim" -> 1L, "dim_dim" -> 0L))
+  }
+
 }

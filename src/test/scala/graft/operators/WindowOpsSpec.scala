@@ -148,4 +148,25 @@ class WindowOpsSpec extends SparkSpec {
     assert(rows(3).getDouble(9) == 1.0) // cume_dist of a 1-row partition
   }
 
+  test("multiTrailingCounts: one exchange for all horizons, counts match brute force") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, 1L, 0L), (2L, 1L, 1800L), (3L, 1L, 3600L), (4L, 1L, 90000L),
+      (5L, 2L, 50L))
+    val df = data.toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val out = WindowOps.multiTrailingCounts(df, "user_id", "ts", Seq(3600L, 86400L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"horizons must share one exchange:\n$plan")
+    val got = out.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_last_3600s"), r.getAs[Long]("n_last_86400s"))).toMap
+    for ((id, u, t) <- data) {
+      val h = (hz: Long) => data.count { case (_, u2, t2) =>
+        u2 == u && t2 >= t - hz && t2 <= t }.toLong
+      assert(got(id) == ((h(3600L), h(86400L))), s"event $id")
+    }
+  }
+
 }
