@@ -394,6 +394,29 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("ts"),
         col("n_last_3600s"), col("n_last_86400s"), col("n_last_604800s"))
 
+  /** PageRank over the customer↔supplier trade graph (who trades with
+    * whom via lineitem ⋈ orders; bipartite, symmetrized). Source-
+    * authority weighting, rows-only (float iteration) with a
+    * tolerance-checked spec (GraphSpec).
+    */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val trade = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val sym = trade.unionAll(trade.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pageRank(sym, iterations = 10)
+      .select(col("node"), round(col("rank") * 1e6, 3).as("rank_ppm"))
+  }
+
+  /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
+    * 8-token span that re-occurs in the corpus survives only at its
+    * globally-first occurrence.
+    */
+  private def qSpanTrim(s: SparkSession, dir: String): DataFrame =
+    Dedup.trimRepeatedSpans(Tables.documents(s, dir), spanTokens = 8)
+
   /** Blocked fuzzy entity matching on part names within a brand block
     * (Joins.fuzzyBlockedPairs): O(n²) → Σ|block|² via the blocking key.
     */
@@ -1254,6 +1277,8 @@ object SparkEntry {
     "q_ri_check" -> (qRiCheck _),
     "q_revenue_share" -> (qRevenueShare _),
     "q_multi_window" -> (qMultiWindow _),
+    "q_span_trim" -> (qSpanTrim _),
+    "q_pagerank" -> (qPagerank _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1601,6 +1626,32 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS DOUBLE)
         |        / COUNT(*), 6) AS oov_ratio
         |FROM tok GROUP BY doc_id""".stripMargin,
+    "q_span_trim" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |occ AS (
+        |  SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS p
+        |  FROM tok WHERE len(l) >= 8),
+        |g AS (
+        |  SELECT doc_id, p,
+        |    array_to_string(list_slice(l, p, p + 7), ' ') AS gram
+        |  FROM occ),
+        |r AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+        |  FROM g),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS dp
+        |  FROM r WHERE rn > 1),
+        |d AS (
+        |  SELECT doc_id, COUNT(*) AS nd, list(dp ORDER BY dp) AS ds
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(array_to_string(list_filter(t.l,
+        |    (x, i) -> NOT list_contains(COALESCE(d.ds, CAST([] AS BIGINT[])), i)),
+        |    ' '), '') AS trimmed_text,
+        |  CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dropped
+        |FROM tok t LEFT JOIN d ON t.doc_id = d.doc_id""".stripMargin,
     "q_profile" ->
       """SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

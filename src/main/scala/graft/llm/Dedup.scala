@@ -570,6 +570,60 @@ object Dedup {
       .select(col("a"), col("b"), col("est_jaccard"))
   }
 
+  /** Exact repeated-span trimming (the substring-level dedup of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — there via suffix arrays): every token
+    * span of `spanTokens` words that re-occurs ANYWHERE in the corpus
+    * keeps only its globally-first occurrence (min (doc_id, position));
+    * all other occurrences are blanked out of their documents,
+    * preserving the order of surviving tokens. Catches the
+    * boilerplate/citation/template duplication that document-level
+    * dedup can't see.
+    *
+    * Shape: token-level L-gram explode → one hash agg for the global
+    * first occurrence per gram → span explode of the non-first
+    * occurrences → per-doc dropped-position set → lambda-filter
+    * reassembly. Everything shuffles on (gram) or (doc_id); the text
+    * column itself never shuffles (grams are L-token strings, and at
+    * 100 TB you'd set `hashGrams = true` to shuffle 8-byte xxhash64
+    * keys instead — DedupSpec asserts hashed ≡ string on the fixture;
+    * the registered query keeps strings for DuckDB-oracle parity).
+    */
+  def trimRepeatedSpans(
+      docs: DataFrame,
+      spanTokens: Int = 8,
+      hashGrams: Boolean = false,
+      textCol: String = "text"): DataFrame = {
+    val L = spanTokens
+    require(L >= 2, s"spanTokens must be >= 2, got $L")
+    val base = docs.select(col("doc_id"),
+      split(col(textCol), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val gramStr = expr(
+      s"transform(sequence(0, n - $L), i -> array_join(slice(toks, i + 1, $L), ' '))")
+    val occ = base.filter(col("n") >= L)
+      .select(col("doc_id"), posexplode(gramStr).as(Seq("p", "gram")))
+      .withColumn("gram",
+        if (hashGrams) xxhash64(col("gram")) else col("gram"))
+    val keeper = occ.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("k"))
+    val dropped = occ.join(keeper, "gram")
+      .filter(!(col("doc_id") === col("k.doc_id") && col("p") === col("k.p")))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + L - 1)).as("dp"))
+      .distinct()
+    val drops = dropped.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("dp"))).as("ds"))
+    base.join(drops, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        array_join(
+          filter(col("toks"),
+            (x, i) => col("ds").isNull || !array_contains(col("ds"), i)),
+          " ").as("trimmed_text"),
+        coalesce(size(col("ds")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication over an embedding column. K-means clusters the
     * corpus; *within each cluster only*, a row is a duplicate if some

@@ -412,4 +412,34 @@ class DedupSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("trimRepeatedSpans: later occurrences trimmed, first kept, short docs untouched") {
+    import spark.implicits._
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"intro words here $span tail one"),     // first occurrence -> kept
+      (2L, s"other leading text $span closing bit"), // later -> trimmed
+      (3L, "a tiny doc"))                            // < 8 tokens -> untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.trimRepeatedSpans(docs, spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (s"intro words here $span tail one", 0L))
+    assert(out(2L) == ("other leading text closing bit", 8L))
+    assert(out(3L) == ("a tiny doc", 0L))
+  }
+
+  test("trimRepeatedSpans: overlapping repeats union their positions; hashed ≡ string grams") {
+    import spark.implicits._
+    // doc 2 repeats a 9-token window of doc 1 -> two overlapping 8-grams,
+    // 9 distinct covered positions
+    val nine = "a b c d e f g h i"
+    val docs = Seq((1L, s"$nine unique tail"), (2L, s"prefix $nine suffix"))
+      .toDF("doc_id", "text")
+    val out = Dedup.trimRepeatedSpans(docs, spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(2L) == ("prefix suffix", 9L))
+    val hashed = Dedup.trimRepeatedSpans(docs, spanTokens = 8, hashGrams = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(hashed == out, "8-byte gram keys must not change the relation")
+  }
+
 }
