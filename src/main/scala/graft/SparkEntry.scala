@@ -410,6 +410,27 @@ object SparkEntry {
       .select(col("node"), round(col("rank") * 1e6, 3).as("rank_ppm"))
   }
 
+  /** Leakage-safe splits: whole dedup clusters (exact n-gram Jaccard
+    * pairs → connected components) hash to one split, so near-dups can
+    * never straddle train/test (Sampling.leakageSafeSplit).
+    */
+  private def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Sampling.leakageSafeSplit(docs,
+      Dedup.resolveClusters(Dedup.ngramJaccardPairsExact(docs, threshold = 0.1)),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split_key"), col("split"))
+  }
+
+  /** Exact-proportion stratified split by lang
+    * (Sampling.exactSplitAssign): floor(cum·n) rows per boundary,
+    * exactly.
+    */
+  private def qSplitExact(s: SparkSession, dir: String): DataFrame =
+    Sampling.exactSplitAssign(Tables.documents(s, dir), col("doc_id"),
+      "lang", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("lang"), col("split"))
+
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
     * globally-first occurrence.
@@ -1279,6 +1300,8 @@ object SparkEntry {
     "q_multi_window" -> (qMultiWindow _),
     "q_span_trim" -> (qSpanTrim _),
     "q_pagerank" -> (qPagerank _),
+    "q_split_leakage" -> (qSplitLeakage _),
+    "q_split_exact" -> (qSplitExact _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1626,6 +1649,27 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS DOUBLE)
         |        / COUNT(*), 6) AS oov_ratio
         |FROM tok GROUP BY doc_id""".stripMargin,
+    "q_split_leakage" -> (ngramExactCte +
+      """
+        |SELECT d.doc_id, COALESCE(s.survivor, d.doc_id) AS split_key,
+        |  CASE WHEN SUBSTR(MD5(CAST(COALESCE(s.survivor, d.doc_id) AS VARCHAR)), 1, 8)
+        |            < 'cccccccc' THEN 'train'
+        |       WHEN SUBSTR(MD5(CAST(COALESCE(s.survivor, d.doc_id) AS VARCHAR)), 1, 8)
+        |            < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id""".stripMargin),
+    "q_split_exact" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rn <= FLOOR(0.8 * n) THEN 'train'
+        |       WHEN rn <= FLOOR((0.8 + 0.1) * n) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
     "q_span_trim" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -249,4 +249,60 @@ object Sampling {
         (col("n_tokens") > 0 && binOf(start) =!= binOf(col("cum_tokens") - 1))
           .as("crosses_boundary"))
   }
+  /** Leakage-safe train/val/test assignment: duplicates (or near-
+    * duplicates) of the same document must never straddle a split — the
+    * classic train/test-contamination bug in LLM data prep. Every doc is
+    * keyed by its dedup-cluster representative (survivor) and the WHOLE
+    * cluster hashes to one split; docs outside any cluster key on
+    * themselves.
+    *
+    * Scale: one left join of the corpus against the (small) cluster
+    * relation, then the same pure-filter hash assignment as
+    * [[splitAssign]] — no shuffle beyond the join.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val keyed = docs.join(
+      clusters.select(col("doc_id"), col("survivor")), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("survivor"), col("doc_id")))
+      .drop("survivor")
+    splitAssign(keyed, col("split_key"), splits)
+  }
+
+  /** Exact-proportion stratified split: within every stratum, EXACTLY
+    * floor(cum_fraction · n) rows fall below each boundary (the hash
+    * threshold of [[splitAssign]] only hits proportions in expectation).
+    * Rows are ranked by their sampling hash (then key, so the order is
+    * total) and cut at the exact boundaries — deterministic,
+    * engine-portable, and still unbiased w.r.t. content.
+    *
+    * Scale: one window (rank + count) per stratum — a single exchange on
+    * the stratum key; the heavy text column can be projected away before
+    * the window and joined back if width matters.
+    */
+  def exactSplitAssign(
+      df: DataFrame,
+      key: Column,
+      strataCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least 2 splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(samplingKey(key), key)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val base = df
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(strataCol))))
+    val assigned = splits.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), c)) =>
+        val cond = col("_rn") <= floor(lit(c) * col("_n"))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+      }.get.otherwise(lit(splits.last._1))
+    base.withColumn("split", assigned).drop("_rn", "_n")
+  }
+
 }

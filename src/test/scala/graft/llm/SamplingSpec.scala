@@ -249,4 +249,36 @@ class SamplingSpec extends SparkSpec {
     assert((grown -- before).subsetOf(Set(1000L, 1001L)),
       "growth must not resurrect previously-rejected docs")
   }
+  test("leakageSafeSplit: every cluster member lands in the same split") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1..10} -> survivor 1, {50,51} -> survivor 50
+    val clusters = ((1L to 10L).map(i => (i, 1L, i == 1L)) ++
+      Seq((50L, 50L, true), (51L, 50L, false)))
+      .toDF("doc_id", "survivor", "keep")
+    val out = Sampling.leakageSafeSplit(docs, clusters,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 10L).map(out).toSet.size == 1, "cluster 1 must not straddle splits")
+    assert(out(50L) == out(51L))
+    assert(out.values.toSet.subsetOf(Set("train", "val", "test")))
+    // unclustered docs still hash on themselves: all three splits occur
+    assert(out.values.toSet.size == 3)
+  }
+
+  test("exactSplitAssign hits floor(cum·n) exactly per stratum") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, if (i <= 37) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.exactSplitAssign(docs, col("doc_id"), "lang",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a: 37 rows -> 29 / 4 / 4 (floor(0.8·37)=29, floor(0.9·37)=33)
+    assert(out(("a", "train")) == 29L && out(("a", "val")) == 4L && out(("a", "test")) == 4L)
+    // b: 63 rows -> 50 / 6 / 7
+    assert(out(("b", "train")) == 50L && out(("b", "val")) == 6L && out(("b", "test")) == 7L)
+  }
+
 }
