@@ -305,8 +305,8 @@ object SparkEntry {
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .filter(
-        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        (col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_13"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate").cast("timestamp")).as("l_year"))
       .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 100.0)
@@ -430,6 +430,33 @@ object SparkEntry {
     Sampling.exactSplitAssign(Tables.documents(s, dir), col("doc_id"),
       "lang", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select(col("doc_id"), col("lang"), col("split"))
+
+  /** Trailing distinct event types per user over 1 h — COUNT(DISTINCT)
+    * OVER RANGE, which Spark lacks natively, composed as
+    * size(collect_set) over the identical frame
+    * (WindowOps.trailingDistinct); the DuckDB oracle uses the native
+    * windowed distinct.
+    */
+  private def qTrailingDistinct(s: SparkSession, dir: String): DataFrame =
+    WindowOps.trailingDistinct(Tables.events(s, dir),
+      "user_id", "ts", "event_type", horizonSec = 3600L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("n_distinct_3600s"))
+
+  /** CCNet/Gopher-style perplexity-band quality filter: score every doc
+    * under the corpus's own unigram LM (LangModel.crossEntropy), keep
+    * docs inside their language's exact [p05, p95] cross-entropy band
+    * (Stats.outlierFilter) — the "drop the weird tails" filtering step,
+    * as one composed relation.
+    */
+  private def qPplFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = graft.llm.LangModel.crossEntropy(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    graft.operators.Stats.outlierFilter(scored, "lang", "xent",
+      loP = 0.05, hiP = 0.95)
+      .select(col("doc_id"), col("lang"), col("xent"))
+  }
 
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
@@ -1302,6 +1329,8 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_split_exact" -> (qSplitExact _),
+    "q_trailing_distinct" -> (qTrailingDistinct _),
+    "q_ppl_filter" -> (qPplFilter _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1629,8 +1658,8 @@ object SparkEntry {
         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
         |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
         |GROUP BY 1, 2, 3""".stripMargin,
     "q_dedup_segments" ->
       """SELECT doc_id,
@@ -1670,6 +1699,33 @@ object SparkEntry {
         |       WHEN rn <= FLOOR((0.8 + 0.1) * n) THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin,
+    "q_trailing_distinct" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_distinct_3600s
+        |FROM events""".stripMargin,
+    "q_ppl_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        |t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+        |             CAST(COUNT(*) AS DOUBLE) AS vocab FROM c),
+        |p AS (SELECT token, (cnt + 0.5) / (total + 0.5 * vocab) AS p FROM c, t),
+        |lm AS (
+        |  SELECT tok.doc_id AS doc_id, ROUND(AVG(-LOG2(p.p)), 6) AS xent
+        |  FROM tok JOIN p USING (token) GROUP BY tok.doc_id),
+        |s AS (
+        |  SELECT lm.doc_id, d.lang, lm.xent
+        |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id),
+        |b AS (
+        |  SELECT lang, ROUND(quantile_cont(xent, 0.05), 6) AS lo,
+        |         ROUND(quantile_cont(xent, 0.95), 6) AS hi
+        |  FROM s GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.xent
+        |FROM s JOIN b USING (lang)
+        |WHERE s.xent >= b.lo AND s.xent <= b.hi""".stripMargin,
     "q_span_trim" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -284,6 +284,32 @@ object WindowOps {
     }.drop("_ep")
   }
 
+  /** Trailing DISTINCT count — `COUNT(DISTINCT x) OVER (RANGE ...)`,
+    * which Spark's window operator does not accept directly: composed as
+    * `size(collect_set(x))` over the same frame, which IS the distinct
+    * count with identical frame semantics.
+    *
+    * Scale note: per-row state is the set of distinct values inside the
+    * trailing horizon (bounded by the horizon's content, not the
+    * partition) — the exact-answer shape. For very-high-cardinality
+    * values inside one horizon, swap the set for an HLL sketch partial
+    * ([[graft.operators.Sketches]]) and accept the approximation.
+    */
+  def trailingDistinct(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      horizonSec: Long): DataFrame = {
+    val base = df.withColumn("_ep", unix_micros(col(tsCol).cast("timestamp")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_ep"))
+      .rangeBetween(-horizonSec * 1000000L, 0)
+    base
+      .withColumn(s"n_distinct_${horizonSec}s",
+        size(collect_set(col(valCol)).over(w)).cast("long"))
+      .drop("_ep")
+  }
+
   /** The analytic-function suite over a per-key ordered sequence:
     * row_number / lag / lead / ntile / percent_rank / cume_dist plus the
     * step delta — the standard "order history" projection every

@@ -169,4 +169,21 @@ class WindowOpsSpec extends SparkSpec {
     }
   }
 
+  test("trailingDistinct equals brute-force windowed COUNT(DISTINCT)") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 100L, "b"), (3L, 1L, 3700L, "a"),
+      (4L, 1L, 3800L, "a"), (5L, 2L, 0L, "x"))
+    val df = data.toDF("event_id", "user_id", "sec", "v")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = WindowOps.trailingDistinct(df, "user_id", "ts", "v", 3600L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("n_distinct_3600s")).toMap
+    for ((id, u, t, _) <- data) {
+      val expect = data.filter { case (_, u2, t2, _) =>
+        u2 == u && t2 >= t - 3600 && t2 <= t }.map(_._4).distinct.size.toLong
+      assert(got(id) == expect, s"event $id")
+    }
+  }
+
 }
