@@ -458,6 +458,29 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("xent"))
   }
 
+  /** Point-in-time (temporal) join: enrich every purchase with the
+    * SCD2 state (the user's last non-purchase event-type version) valid
+    * AT the purchase's event time — the feature-store / dimension-
+    * versioning lookup, composed from History.scd2 + the merge-join
+    * shaped Joins.asOfJoin (one shuffle, zero join blowup). The oracle
+    * proves it equals the interval BETWEEN join against the validity
+    * ranges.
+    */
+  private def qTemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = History.scd2(ev.filter(col("event_type") =!= "purchase"),
+      "user_id", "event_type", "ts", "event_id")
+      .withColumn("_ep", unix_micros(col("valid_from").cast("timestamp")))
+      .withColumnRenamed("event_type", "state_type")
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("_ep", unix_micros(col("ts").cast("timestamp")))
+    Joins.asOfJoin(facts, dim, "user_id", "user_id", "_ep", "_ep",
+      rightPayload = Seq("state_type", "version"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("state_type"), col("version"))
+  }
+
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
     * globally-first occurrence.
@@ -1331,6 +1354,7 @@ object SparkEntry {
     "q_split_exact" -> (qSplitExact _),
     "q_trailing_distinct" -> (qTrailingDistinct _),
     "q_ppl_filter" -> (qPplFilter _),
+    "q_temporal_join" -> (qTemporalJoin _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1726,6 +1750,26 @@ object SparkEntry {
         |SELECT s.doc_id, s.lang, s.xent
         |FROM s JOIN b USING (lang)
         |WHERE s.xent >= b.lo AND s.xent <= b.hi""".stripMargin,
+    "q_temporal_join" ->
+      """WITH np AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM np),
+        |f AS (
+        |  SELECT user_id, event_type, ts, event_id FROM chg
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (
+        |  SELECT user_id, event_type AS state_type, ts AS valid_from,
+        |    lead(ts) OVER w AS valid_to,
+        |    CAST(row_number() OVER w AS INT) AS version
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p.event_id, p.user_id, p.ts, d.state_type, d.version
+        |FROM events p LEFT JOIN dim d
+        |  ON p.user_id = d.user_id AND d.valid_from <= p.ts
+        |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |WHERE p.event_type = 'purchase'""".stripMargin,
     "q_span_trim" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
