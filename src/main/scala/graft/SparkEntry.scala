@@ -481,6 +481,13 @@ object SparkEntry {
         col("state_type"), col("version"))
   }
 
+  /** PCA reduction of the embedding corpus to 8 dims
+    * (EmbeddingOps.pcaProject) — rows-only; invariants in EmbeddingSpec.
+    */
+  private def qEmbedPca(s: SparkSession, dir: String): DataFrame =
+    graft.llm.EmbeddingOps.pcaProject(Tables.embeddings(s, dir), k = 8)
+      .select(col("vec_id"), to_json(col("pca")).as("pca_json"))
+
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
     * globally-first occurrence.
@@ -1355,6 +1362,7 @@ object SparkEntry {
     "q_trailing_distinct" -> (qTrailingDistinct _),
     "q_ppl_filter" -> (qPplFilter _),
     "q_temporal_join" -> (qTemporalJoin _),
+    "q_embed_pca" -> (qEmbedPca _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),

@@ -105,4 +105,34 @@ object EmbeddingOps {
         round(stddev_samp(col("v")), 4).as("std"),
         round(min(col("v")), 4).as("min_v"),
         round(max(col("v")), 4).as("max_v"))
+  /** PCA projection of the embedding corpus to `k` dimensions — the
+    * standard pre-ANN dimensionality reduction (cheaper distance math,
+    * denser codebooks; OPQ-style pipelines run PQ on a rotated/reduced
+    * basis). Fits the covariance eigenbasis once (MLlib PCA — a
+    * distributed Gramian + local eigendecomposition on the driver's
+    * dim×dim matrix, the correct split at any corpus size: only d² state
+    * leaves the cluster) and projects in-plan.
+    *
+    * Rows-only (eigenvectors are sign-indeterminate across BLAS builds);
+    * EmbeddingSpec pins the invariants that matter: exact dimension,
+    * deterministic output across runs, and captured variance dominating
+    * the trailing components on an anisotropic corpus.
+    */
+  def pcaProject(
+      emb: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val withVec = emb.select(col(idCol),
+      array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new PCA().setK(k)
+      .setInputCol("features").setOutputCol("pca")
+      .fit(withVec)
+    model.transform(withVec)
+      .select(col(idCol), vector_to_array(col("pca")).as("pca"))
+  }
+
 }

@@ -261,4 +261,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out(16L) < 0.5, s"outlier must score low: ${out(16L)}")
     assert(out(16L) < (0 until 8).map(i => out(i.toLong)).min)
   }
+  test("pcaProject: right dimension, deterministic, captures anisotropic variance") {
+    import spark.implicits._
+    // anisotropic corpus: variance lives in dims 0 and 1, noise elsewhere
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat * 0.01f)
+      v(0) = (i % 17).toFloat; v(1) = (i % 5).toFloat
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = EmbeddingOps.pcaProject(df, k = 2)
+    val got = out.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.size == 200 && got.values.forall(_.length == 2))
+    // deterministic across runs on the same input
+    val again = EmbeddingOps.pcaProject(df, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == got)
+    // the 2-dim projection must carry (almost) all the variance: distances
+    // between projected points track the dominant original coordinates
+    val v0 = rows.map(_._2(0).toDouble)
+    val varOrig = v0.map(x => math.pow(x - v0.sum / v0.size, 2)).sum
+    val p0 = got.values.map(_.head).toSeq
+    val varProj = p0.map(x => math.pow(x - p0.sum / p0.size, 2)).sum +
+      got.values.map(_(1)).toSeq.map { x =>
+        val s = got.values.map(_(1)).toSeq; math.pow(x - s.sum / s.size, 2) }.sum
+    assert(varProj > varOrig * 0.9,
+      s"top-2 PCA variance $varProj should dominate dim-0 variance $varOrig")
+  }
+
 }

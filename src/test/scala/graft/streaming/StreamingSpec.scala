@@ -267,6 +267,30 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} vs expected ${(matches ++ nulls).size}")
   }
 
+  test("multi-batch replay (maxFilesPerTrigger=1) still equals the batch answer") {
+    // split the fixture into 4 files so AvailableNow runs 4 REAL
+    // micro-batches — window state must merge partial aggregates across
+    // batches, not just compute one batch that happens to see everything
+    val dir = java.nio.file.Files.createTempDirectory("multibatch").toString
+    val ev = Tables.events(spark, sf0001)
+    ev.repartition(4) // round-robin: four non-empty files
+      .write.mode("overwrite").parquet(dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 4, s"need several files for several batches, got $nFiles")
+
+    val streamed = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*.parquet")
+    val out = Streaming.runToMemory(spark,
+      WindowOps.hoppingPivot(streamed, eventTypes = Tables.EventTypes))
+      .collect().toSet
+    val batch = WindowOps.hoppingPivot(ev, eventTypes = Tables.EventTypes)
+      .collect().toSet
+    assert(out == batch && batch.nonEmpty)
+  }
+
   test("continuous Trigger.ProcessingTime delivery updates results across batches (push query)") {
     // the reference's EMIT CHANGES push query over chunked HTTP: a
     // LONG-RUNNING trigger (not AvailableNow) whose result table keeps
