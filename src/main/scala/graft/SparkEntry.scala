@@ -199,7 +199,9 @@ object SparkEntry {
     * the hierarchical and power-set cases.
     */
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
-    val v = s"lineitem_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // fixed name + createOrReplaceTempView: a per-call unique name
+    // would leak one catalog entry per invocation in a bench loop
+    val v = "lineitem_gs"
     Tables.lineitem(s, dir).createOrReplaceTempView(v)
     s.sql(
       s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
@@ -470,6 +472,11 @@ object SparkEntry {
     val ev = Tables.events(s, dir)
     val dim = History.scd2(ev.filter(col("event_type") =!= "purchase"),
       "user_id", "event_type", "ts", "event_id")
+      // zero-length intervals (two changes at the same instant) can
+      // never be "valid at" any time — dropping them also restores
+      // asOfJoin's one-row-per-(key, ts) determinism precondition,
+      // matching the oracle's valid_from <= ts < valid_to predicate
+      .filter(col("valid_to").isNull || col("valid_to") =!= col("valid_from"))
       .withColumn("_ep", unix_micros(col("valid_from").cast("timestamp")))
       .withColumnRenamed("event_type", "state_type")
     val facts = ev.filter(col("event_type") === "purchase")
@@ -487,6 +494,16 @@ object SparkEntry {
   private def qEmbedPca(s: SparkSession, dir: String): DataFrame =
     graft.llm.EmbeddingOps.pcaProject(Tables.embeddings(s, dir), k = 8)
       .select(col("vec_id"), to_json(col("pca")).as("pca_json"))
+
+  /** Rolling exact median of each user's last 10 event values
+    * (WindowOps.rollingQuantile) — order-statistic windows stay
+    * engine-portable where windowed avg/stddev would not.
+    */
+  private def qRollingMedian(s: SparkSession, dir: String): DataFrame =
+    WindowOps.rollingQuantile(Tables.events(s, dir),
+      "user_id", Seq("ts", "event_id"), "value", p = 0.5, nRows = 10,
+      outCol = "med10")
+      .select(col("event_id"), col("user_id"), col("ts"), col("med10"))
 
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
@@ -1363,6 +1380,7 @@ object SparkEntry {
     "q_ppl_filter" -> (qPplFilter _),
     "q_temporal_join" -> (qTemporalJoin _),
     "q_embed_pca" -> (qEmbedPca _),
+    "q_rolling_median" -> (qRollingMedian _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1778,6 +1796,12 @@ object SparkEntry {
         |  ON p.user_id = d.user_id AND d.valid_from <= p.ts
         |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
         |WHERE p.event_type = 'purchase'""".stripMargin,
+    "q_rolling_median" ->
+      """SELECT event_id, user_id, ts,
+        |  ROUND(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
+        |FROM events""".stripMargin,
     "q_span_trim" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -1998,7 +2022,7 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split(text, ' merge ')) AS seg FROM documents),
         |boiler AS (
         |  SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
-        |bl AS (SELECT list(seg) AS l FROM boiler)
+        |bl AS (SELECT COALESCE(list(seg), CAST([] AS VARCHAR[])) AS l FROM boiler)
         |SELECT d.doc_id,
         |  COALESCE(array_to_string(list_filter(string_split(d.text, ' merge '),
         |    x -> NOT list_contains(bl.l, x)), ' merge '), '') AS clean_text,

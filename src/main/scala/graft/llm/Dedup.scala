@@ -660,7 +660,10 @@ object Dedup {
           ceil(col("_sz").cast("double") / lit(maxCell)).cast("long")))
       .select(col("neighbor_id").as("id"), col("cv"), col("cn"),
         col("cell"), col("sub"))
-      .persist()
+      // localCheckpoint, not persist: a method-local persist() handle
+      // leaks a cache entry per invocation (see the note at the top of
+      // this file) — checkpointed blocks are released by ContextCleaner
+      .localCheckpoint()
     val a = assigned.select(col("id").as("keep_id"), col("cv").as("av"),
       col("cn").as("an"), col("cell"), col("sub"))
     val b = assigned.select(col("id").as("dup_id"), col("cv").as("bv"),

@@ -42,12 +42,14 @@ object Graph {
       .unionAll(e.select(col("dst").as("node")))
       .distinct().persist()
     val n = nodes.count()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     // the static side is hash-partitioned on the join key BEFORE the
     // persist: every iteration's contribution join then shuffles only
     // the node-sized rank relation, never the edge-sized adjacency
     val adj = e.join(outDeg, "src").repartition(col("src")).persist()
-    adj.count() // materialize the static side once
+    adj.count(); outDeg.count() // materialize BOTH static sides once —
+    // the dangling subquery re-joins outDeg every iteration and an
+    // unpersisted outDeg would re-run the edge scan + groupBy each time
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     for (_ <- 1 to iterations) {

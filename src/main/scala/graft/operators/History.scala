@@ -42,9 +42,13 @@ object History {
     val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
     val changed = df
       .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
-      // first observation (lag NULL) and genuine changes survive
-      .filter(col("prev_attr").isNull || col("prev_attr") =!= col(attrCol))
-      .drop("prev_attr")
+      .withColumn("_rn", row_number().over(w))
+      // first observation and genuine changes survive; the comparison is
+      // NULL-SAFE so a NULL attribute is a value, not a wildcard — with
+      // plain =!= a transition to NULL is dropped and a NULL-preceded
+      // repeat is kept, breaking the maximal-interval invariant
+      .filter(col("_rn") === 1 || !(col("prev_attr") <=> col(attrCol)))
+      .drop("prev_attr", "_rn")
     changed
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))

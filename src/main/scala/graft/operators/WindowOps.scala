@@ -310,6 +310,49 @@ object WindowOps {
       .drop("_ep")
   }
 
+  /** Rolling EXACT quantile over a trailing row frame (rolling median /
+    * p95 latency — the SRE/feature-engineering staple). Spark has no
+    * `quantile_cont(...) OVER`, so the frame's values are collected and
+    * sorted per row and the interpolated order statistic computed
+    * explicitly — the same lo + frac·(hi − lo) formula DuckDB's windowed
+    * `quantile_cont` evaluates, and being an ORDER statistic (selection,
+    * not summation) it is immune to the float-add-order divergence that
+    * makes windowed stddev/avg non-portable.
+    *
+    * Scale: per-row state is the frame's contents (nRows values) — the
+    * exact-answer bound; the partition sort is the usual single
+    * exchange. Use a KLL sketch column instead when frames are huge.
+    */
+  def rollingQuantile(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valCol: String,
+      p: Double,
+      nRows: Int,
+      outCol: String = "rolling_q"): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"p must be in [0,1], got $p")
+    require(nRows >= 1, s"nRows must be >= 1, got $nRows")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(nRows - 1), 0)
+    val arr = sort_array(collect_list(col(valCol).cast("double")).over(w))
+    val n = size(arr)
+    val h = (n - 1).cast("double") * lit(p)
+    val lo = floor(h).cast("int")
+    val exact = element_at(arr, lo + 1)
+    val interp = exact + (h - lo.cast("double")) *
+      (element_at(arr, lo + 2) - exact)
+    // integral h: the upper neighbor may not exist (end of frame) and
+    // 0 · NULL is NULL, not 0 — select the exact element directly.
+    // collect_list drops NULLs, so an all-NULL frame is EMPTY: n = 0
+    // would index element_at(arr, 0) (a runtime error) — emit NULL,
+    // which is also what quantile_cont returns for an empty frame
+    df.withColumn(outCol,
+      when(n === 0, lit(null).cast("double"))
+        .otherwise(round(
+          when(lo.cast("double") === h, exact).otherwise(interp), 6)))
+  }
+
   /** The analytic-function suite over a per-key ordered sequence:
     * row_number / lag / lead / ntile / percent_rank / cume_dist plus the
     * step delta — the standard "order history" projection every

@@ -328,7 +328,15 @@ object Streaming {
     * ⇒ matches emit as they arrive (Append), so the finite-fixture
     * replay produces exactly the batch join (spec + shared oracle).
     */
-  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame =
+    purchaseClickIntervalJoin(spark, dir, "inner")
+
+  /** Shared purchase⋈click interval-join construction — the inner and
+    * LEFT OUTER variants differ only in the join type, so the watermark
+    * delay and the 600 s band live in exactly one place.
+    */
+  private def purchaseClickIntervalJoin(
+      spark: SparkSession, dir: String, joinType: String): DataFrame = {
     val ev = eventsStream(spark, dir)
     // watermark while the event-time column is still named ts; the rename
     // afterwards preserves the watermark metadata
@@ -346,9 +354,10 @@ object Streaming {
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 600 SECONDS") &&
         col("c_ts") <= col("p_ts"),
-      "inner")
+      joinType)
       .select(col("purchase_id"), col("click_id"))
   }
+
 
   /** Stream-stream LEFT OUTER interval join: every purchase, with its
     * attributing clicks when any exist inside the 600 s window, or a
@@ -365,25 +374,9 @@ object Streaming {
     * that cutoff with a scalar subquery; StreamingSpec asserts the same
     * relation against the batch left join directly.
     */
-  def intervalJoinOuterStream(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsStream(spark, dir)
-    val p = withLateness(
-      ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"),
-          col("user_id").as("p_user"), col("ts")),
-      "10 minutes").withColumnRenamed("ts", "p_ts")
-    val c = withLateness(
-      ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"),
-          col("user_id").as("c_user"), col("ts")),
-      "10 minutes").withColumnRenamed("ts", "c_ts")
-    p.join(c,
-      col("p_user") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 600 SECONDS") &&
-        col("c_ts") <= col("p_ts"),
-      "left_outer")
-      .select(col("purchase_id"), col("click_id"))
-  }
+  def intervalJoinOuterStream(spark: SparkSession, dir: String): DataFrame =
+    purchaseClickIntervalJoin(spark, dir, "left_outer")
+
 
   /** Streaming read of the orders fixture (schema lifted from the batch
     * read's footer — one metadata-only pass).

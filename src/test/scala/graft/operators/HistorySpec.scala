@@ -77,4 +77,22 @@ class HistorySpec extends SparkSpec {
     val out = History.lastTouchAttribution(clickstream, "purchase", 86400L)
     assert(out.count() == n)
   }
+  test("scd2 treats NULL attributes as values: [A, NULL, A] yields three versions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, "2024-01-01 00:00:00", Some("A")),
+      (1L, 1L, "2024-01-01 01:00:00", None),
+      (1L, 2L, "2024-01-01 02:00:00", Some("A")),
+      (1L, 3L, "2024-01-01 03:00:00", Some("A"))) // repeat compacts
+      .toDF("user_id", "event_id", "t", "event_type")
+      .withColumn("ts", to_timestamp($"t")).drop("t")
+    val out = History.scd2(df, "user_id", "event_type", "ts", "event_id")
+      .orderBy("version").collect()
+    assert(out.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("A"), None, Some("A")),
+      "NULL must be a tracked value, not a wildcard")
+    assert(out.map(_.getInt(5)).toSeq == Seq(1, 2, 3))
+  }
+
 }

@@ -132,4 +132,13 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("histogramEquiWidth: constant column lands in bucket 0; NULLs are excluded") {
+    import spark.implicits._
+    val df = Seq(Some(7.0), Some(7.0), Some(7.0), None).toDF("v")
+    val out = Stats.histogramEquiWidth(df, "v", bins = 5).collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(0) == 0 && out.head.getLong(1) == 3L,
+      "three non-null constant rows in bucket 0, the NULL excluded")
+  }
+
 }

@@ -186,4 +186,36 @@ class WindowOpsSpec extends SparkSpec {
     }
   }
 
+  test("rollingQuantile equals brute-force interpolated order statistic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 1, 5.0), (2L, 1L, 2, 1.0), (3L, 1L, 3, 9.0), (4L, 1L, 4, 3.0),
+      (5L, 2L, 1, 7.0))
+      .toDF("event_id", "user_id", "o", "v")
+    val got = WindowOps.rollingQuantile(df, "user_id", Seq("o"), "v", 0.5, 3)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("rolling_q")).toMap
+    def brute(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted; val h = (s.length - 1) * p
+      val lo = h.toInt
+      if (lo == h) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val series = Seq(5.0, 1.0, 9.0, 3.0)
+    for (i <- series.indices) {
+      val frame = series.slice(math.max(0, i - 2), i + 1)
+      assert(math.abs(got(i + 1L) - brute(frame, 0.5)) < 1e-9, s"row ${i + 1}")
+    }
+    assert(got(5L) == 7.0) // single-row frame
+  }
+
+
+  test("rollingQuantile: all-NULL frame yields NULL, not a runtime error") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1, None: Option[Double]), (2L, 1L, 2, Some(4.0)))
+      .toDF("event_id", "user_id", "o", "v")
+    val got = WindowOps.rollingQuantile(df, "user_id", Seq("o"), "v", 0.5, 3)
+      .orderBy("o").collect()
+    assert(got(0).isNullAt(got(0).fieldIndex("rolling_q")))
+    assert(got(1).getDouble(got(1).fieldIndex("rolling_q")) == 4.0)
+  }
+
 }
