@@ -505,6 +505,27 @@ object SparkEntry {
       outCol = "med10")
       .select(col("event_id"), col("user_id"), col("ts"), col("med10"))
 
+  /** The corpus-prep pipeline END TO END as one relation — quality
+    * filter → exact dedup → benchmark decontamination → deterministic
+    * split — every stage an already-oracled operator, composed exactly
+    * the way a user would chain them; the stitched oracle replays the
+    * whole chain in ANSI SQL. The capstone composability check.
+    */
+  private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val quality = TextOps.qualityFilter(corpus)
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = corpus.join(quality, "doc_id")
+    val survivors = Dedup.exact(kept).select(col("doc_id"))
+    val deduped = kept.join(survivors, "doc_id")
+    val clean = TextOps.decontaminate(deduped, bench, threshold = 0.2)
+    Sampling.splitAssign(clean, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("lang"), col("split"))
+  }
+
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
     * globally-first occurrence.
@@ -1381,6 +1402,7 @@ object SparkEntry {
     "q_temporal_join" -> (qTemporalJoin _),
     "q_embed_pca" -> (qEmbedPca _),
     "q_rolling_median" -> (qRollingMedian _),
+    "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1802,6 +1824,47 @@ object SparkEntry {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
         |FROM events""".stripMargin,
+    "q_corpus_pipeline" ->
+      ("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      ROUND(
+        |        LEAST(LEN(STRING_SPLIT(text, ' ')) / 50.0, 1.0) * 0.5 +
+        |        CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN """ +
+        graft.llm.Stopwords.EnSql + """)) * 1.0 / LEN(STRING_SPLIT(text, ' '))
+        |               BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END +
+        |        CASE WHEN LENGTH(text) BETWEEN 100 AND 5000 THEN 0.2 ELSE 0.0 END,
+        |      4) AS qs
+        |    FROM corpus) WHERE qs >= 0.5),
+        |kept AS (SELECT c.* FROM corpus c JOIN q USING (doc_id)),
+        |surv AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM kept
+        |  GROUP BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')))),
+        |dd AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+        |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM dd),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(tk) - 2),
+        |    i -> ARRAY_TO_STRING(tk[i+1:i+3], ' ')))) AS s
+        |  FROM toks WHERE LEN(tk) >= 3),
+        |btoks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |bench AS (
+        |  SELECT DISTINCT UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(tk) - 2),
+        |    i -> ARRAY_TO_STRING(tk[i+1:i+3], ' ')))) AS s
+        |  FROM btoks WHERE LEN(tk) >= 3),
+        |r AS (
+        |  SELECT sh.doc_id, ROUND(COUNT(b.s) * 1.0 / COUNT(*), 6) AS ratio
+        |  FROM sh LEFT JOIN bench b ON sh.s = b.s GROUP BY sh.doc_id),
+        |clean AS (
+        |  SELECT dd.* FROM dd
+        |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM r WHERE ratio >= 0.2))
+        |SELECT doc_id, lang,
+        |  CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM clean""").stripMargin,
     "q_span_trim" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
