@@ -1523,7 +1523,10 @@ object SparkEntry {
     "q18_large_orders", "q_fuzzy_match", "q_retention_cohort",
     "q_bloom_decontaminate", "q_zorder", "q_funnel", "q_resample",
     "q10_returned_customers", "q7_volume_shipping", "q_window_suite",
-    "q_boilerplate", "q_oov_rate", "q_semantic_dedup", "q_mad", "q_scd2")
+    "q_boilerplate", "q_oov_rate", "q_semantic_dedup", "q_mad", "q_scd2",
+    "q_span_trim", "q_corpus_pipeline", "q_trailing_distinct",
+    "q_multi_window", "q_rolling_median", "q_ppl_filter",
+    "q_temporal_join")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
