@@ -453,8 +453,12 @@ object SparkEntry {
     */
   private def qPplFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // localCheckpoint: outlierFilter's percentile localization re-scans
+    // its input per stage, and each re-scan would otherwise re-run the
+    // whole LM train+score chain (the q_mad lesson)
     val scored = graft.llm.LangModel.crossEntropy(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .localCheckpoint()
     graft.operators.Stats.outlierFilter(scored, "lang", "xent",
       loP = 0.05, hiP = 0.95)
       .select(col("doc_id"), col("lang"), col("xent"))
@@ -525,6 +529,12 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select(col("doc_id"), col("lang"), col("split"))
   }
+
+  /** Bigram-LM cross-entropy per doc (LangModel.crossEntropyBigram) —
+    * the word-order-sensitive refinement of q_lm_score.
+    */
+  private def qLmBigram(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LangModel.crossEntropyBigram(Tables.documents(s, dir))
 
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
@@ -1403,6 +1413,7 @@ object SparkEntry {
     "q_embed_pca" -> (qEmbedPca _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
+    "q_lm_bigram" -> (qLmBigram _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1868,6 +1879,26 @@ object SparkEntry {
         |       WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM clean""").stripMargin,
+    "q_lm_bigram" ->
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(LEN(tk) - 1),
+        |    i -> tk[i+1] || ' ' || tk[i+2])) AS g
+        |  FROM tok WHERE LEN(tk) >= 2),
+        |c AS (SELECT g, COUNT(*) AS cnt FROM bg GROUP BY g),
+        |ctx AS (
+        |  SELECT STRING_SPLIT(g, ' ')[1] AS w1, SUM(cnt) AS ctx
+        |  FROM c GROUP BY 1),
+        |v AS (
+        |  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vocab
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)),
+        |p AS (
+        |  SELECT c.g,
+        |    (c.cnt + 0.5) / (CAST(ctx.ctx AS DOUBLE) + 0.5 * v.vocab) AS p
+        |  FROM c JOIN ctx ON STRING_SPLIT(c.g, ' ')[1] = ctx.w1, v)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(-LOG2(p.p)), 6) AS xent2
+        |FROM bg JOIN p USING (g) GROUP BY bg.doc_id""".stripMargin,
     "q_span_trim" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -54,4 +54,51 @@ object LangModel {
         count(lit(1)).as("n_tokens"),
         round(avg(-log2(col("p"))), 6).as("xent"))
   }
+
+  /** Per-document cross-entropy under the add-k BIGRAM LM — the
+    * next-order refinement of [[crossEntropy]] (word order now matters:
+    * shuffled boilerplate that fools a unigram filter scores high here):
+    * p(w₂|w₁) = (c(w₁w₂) + k) / (c_ctx(w₁) + k·|vocab|) with
+    * c_ctx(w₁) = Σ_w c(w₁w) (contexts, so probabilities per context sum
+    * to 1 under the smoothing). Documents with < 2 tokens have no
+    * bigrams and are absent from the output.
+    *
+    * Same scale shape as the unigram scorer: the model is a relation
+    * (bigram counts + context counts), never a driver object; scoring is
+    * an equi-join on the bigram string. The token array is projected
+    * once per row before the transform lambda (an inline `split` inside
+    * the lambda would re-tokenize per element — O(n²) per doc).
+    */
+  def crossEntropyBigram(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0.0, s"addK must be positive for unseen mass, got $addK")
+    val tkd = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    def bigrams = tkd.select(col(idCol),
+      explode(transform(sequence(lit(0), size(col("tk")) - 2),
+        i => concat_ws(" ",
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+        .as("g"))
+    val c = bigrams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val ctx = c
+      .groupBy(split(col("g"), " ").getItem(0).as("w1"))
+      .agg(sum(col("cnt")).as("ctx"))
+    val vocab = unigramCounts(docs, textCol)
+      .agg(count(lit(1)).cast("double").as("vocab"))
+    val probs = c.withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("g"),
+        ((col("cnt") + lit(addK)) / (col("ctx") + lit(addK) * col("vocab")))
+          .as("p"))
+    bigrams.join(probs, "g")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log2(col("p"))), 6).as("xent2"))
+  }
 }

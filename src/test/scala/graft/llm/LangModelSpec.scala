@@ -49,4 +49,25 @@ class LangModelSpec extends SparkSpec {
     val scored = LangModel.crossEntropy(docs)
     assert(scored.agg(sum("n_tokens")).as[Long].head() == direct)
   }
+  test("bigram cross-entropy matches hand-computed smoothed probabilities") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a b" -> bigrams: (a b)x3, (b a)x1
+    // contexts: a->3, b->1; vocab = {a, b, solo} -> V=3, k=0.5
+    // ("solo" forms no bigram but IS a unigram vocab entry)
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = LangModel.crossEntropyBigram(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pAB = (3 + 0.5) / (3 + 0.5 * 3) // p(b|a)
+    val pBA = (1 + 0.5) / (1 + 0.5 * 3) // p(a|b)
+    def l2(x: Double) = math.log(x) / math.log(2)
+    val x1 = BigDecimal((-l2(pAB) - l2(pBA) - l2(pAB)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val x2 = BigDecimal(-l2(pAB))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - x1) < 1e-6)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - x2) < 1e-6)
+    assert(!out.contains(3L), "single-token docs have no bigrams")
+  }
+
 }
