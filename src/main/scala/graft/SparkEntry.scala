@@ -536,6 +536,19 @@ object SparkEntry {
   private def qLmBigram(s: SparkSession, dir: String): DataFrame =
     graft.llm.LangModel.crossEntropyBigram(Tables.documents(s, dir))
 
+  /** Empirical Markov transition matrix of the event stream — the
+    * inverse of the reference's Markov event generator (SURVEY S11).
+    */
+  private def qMarkovTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Affinity.transitionMatrix(Tables.events(s, dir))
+
+  /** Event-type co-occurrence per user with support ≥ 50
+    * (market-basket affinity over the enum-like type domain).
+    */
+  private def qCoOccurrence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Affinity.coOccurrence(Tables.events(s, dir),
+      "user_id", "event_type", minSupport = 50L)
+
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
     * globally-first occurrence.
@@ -1414,6 +1427,8 @@ object SparkEntry {
     "q_rolling_median" -> (qRollingMedian _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_lm_bigram" -> (qLmBigram _),
+    "q_markov_transitions" -> (qMarkovTransitions _),
+    "q_co_occurrence" -> (qCoOccurrence _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1899,6 +1914,24 @@ object SparkEntry {
         |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(AVG(-LOG2(p.p)), 6) AS xent2
         |FROM bg JOIN p USING (g) GROUP BY bg.doc_id""".stripMargin,
+    "q_markov_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        |  ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+    "q_co_occurrence" ->
+      """WITH d AS (SELECT DISTINCT user_id AS k, event_type AS v FROM events)
+        |SELECT a.v AS item_a, b.v AS item_b, COUNT(*) AS support
+        |FROM d a JOIN d b ON a.k = b.k AND a.v < b.v
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 50""".stripMargin,
     "q_span_trim" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
