@@ -542,12 +542,13 @@ object SparkEntry {
   private def qMarkovTransitions(s: SparkSession, dir: String): DataFrame =
     graft.operators.Affinity.transitionMatrix(Tables.events(s, dir))
 
-  /** Event-type co-occurrence per user with support ≥ 50
-    * (market-basket affinity over the enum-like type domain).
+  /** Event-type co-occurrence per user with support ≥ 10
+    * (market-basket affinity over the enum-like type domain; the
+    * threshold holds rows at every fixture SF — sf0.001 supports are 15).
     */
   private def qCoOccurrence(s: SparkSession, dir: String): DataFrame =
     graft.operators.Affinity.coOccurrence(Tables.events(s, dir),
-      "user_id", "event_type", minSupport = 50L)
+      "user_id", "event_type", minSupport = 10L)
 
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
@@ -1931,7 +1932,7 @@ object SparkEntry {
       """WITH d AS (SELECT DISTINCT user_id AS k, event_type AS v FROM events)
         |SELECT a.v AS item_a, b.v AS item_b, COUNT(*) AS support
         |FROM d a JOIN d b ON a.k = b.k AND a.v < b.v
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 50""".stripMargin,
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
     "q_span_trim" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
