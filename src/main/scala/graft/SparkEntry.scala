@@ -550,6 +550,14 @@ object SparkEntry {
     graft.operators.Affinity.coOccurrence(Tables.events(s, dir),
       "user_id", "event_type", minSupport = 10L)
 
+  /** Row-level sessionization: per-user session ordinals with a 30 min
+    * inactivity gap (WindowOps.sessionize) — the session-id primitive
+    * session_window aggregates away.
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    WindowOps.sessionize(Tables.events(s, dir))
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_no"))
+
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
     * globally-first occurrence.
@@ -1430,6 +1438,7 @@ object SparkEntry {
     "q_lm_bigram" -> (qLmBigram _),
     "q_markov_transitions" -> (qMarkovTransitions _),
     "q_co_occurrence" -> (qCoOccurrence _),
+    "q_sessionize" -> (qSessionize _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1933,6 +1942,20 @@ object SparkEntry {
         |SELECT a.v AS item_a, b.v AS item_b, COUNT(*) AS support
         |FROM d a JOIN d b ON a.k = b.k AND a.v < b.v
         |GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts,
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |    AS session_no
+        |FROM g""".stripMargin,
     "q_span_trim" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),

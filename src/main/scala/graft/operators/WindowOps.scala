@@ -353,6 +353,34 @@ object WindowOps {
           when(lo.cast("double") === h, exact).otherwise(interp), 6)))
   }
 
+  /** Row-level sessionization: assign each event its per-user session
+    * ordinal (1-based), where a new session starts after an inactivity
+    * gap ≥ `gapSec`. The primitive `session_window` aggregates away —
+    * here every ROW keeps its session id, so downstream ops can group,
+    * join, or sequence WITHIN sessions (funnels per session, session
+    * paths, first/last touch per session).
+    *
+    * One lag + one running sum over the same (user, ts) window — single
+    * exchange, single sort. Gap arithmetic in integer micros.
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val ep = unix_micros(col(tsCol).cast("timestamp"))
+    df
+      .withColumn("_new_session",
+        when(ep - lag(ep, 1).over(w) >= gapSec * 1000000L || // NULL lag =
+          lag(ep, 1).over(w).isNull, 1).otherwise(0))        // first row
+      .withColumn("session_no",
+        sum(col("_new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .drop("_new_session")
+  }
+
   /** The analytic-function suite over a per-key ordered sequence:
     * row_number / lag / lead / ntile / percent_rank / cume_dist plus the
     * step delta — the standard "order history" projection every

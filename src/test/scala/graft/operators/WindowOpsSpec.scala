@@ -218,4 +218,28 @@ class WindowOpsSpec extends SparkSpec {
     assert(got(1).getDouble(got(1).fieldIndex("rolling_q")) == 4.0)
   }
 
+  test("sessionize: gap boundary starts a new session; agrees with session_window") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 0L), (2L, 1L, 100L), (3L, 1L, 1700L),  // session 1 (gaps < 1800)
+      (4L, 1L, 3500L),                                  // 1800 after #3 -> session 2
+      (5L, 1L, 9999L),                                  // session 3
+      (6L, 2L, 0L))                                     // other user: session 1
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = WindowOps.sessionize(df, gapSec = 1800L)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("session_no")).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 1))
+    // session COUNT per user agrees with the session_window aggregate on
+    // the fixture (same gap; session_window merges while gap < g, and
+    // sessionize splits at >= g — boundary-equal for these data)
+    val ev = graft.model.Tables.events(spark, sf0001)
+    val nSessionized = WindowOps.sessionize(ev, gapSec = 1800L)
+      .groupBy("user_id").agg(max("session_no").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val nWindowed = WindowOps.sessionAgg(ev, gap = "30 minutes").count()
+    assert(nSessionized == nWindowed,
+      s"row-level sessions $nSessionized != session_window count $nWindowed")
+  }
+
 }
