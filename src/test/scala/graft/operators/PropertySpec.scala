@@ -164,10 +164,56 @@ class PropertySpec extends SparkSpec {
           assert(a == b, s"group $g: $a != $b for rows=$rows") } }
     }
   }
+  test("property: rollingQuantile equals brute-force on random series") {
+    val seriesGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(1, 3), Gen.choose(0.0, 100.0)))
+    def brute(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted; val h = (s.length - 1) * p
+      val lo = h.toInt
+      val raw = if (lo == h) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((rows, p) <- samples(Gen.zip(seriesGen, Gen.oneOf(0.0, 0.25, 0.5, 0.9, 1.0)), 6)
+         if rows.nonEmpty) {
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k.toLong, i, v) }
+        .toDF("event_id", "k", "o", "v")
+      val got = WindowOps.rollingQuantile(df, "k", Seq("o"), "v", p, 5)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("rolling_q"))
+        .toMap
+      val byKey = rows.zipWithIndex.groupBy(_._1._1)
+      for ((_, group) <- byKey; (idx, j) <- group.map(_._2).sorted.zipWithIndex) {
+        val frame = group.map(_._2).sorted.slice(math.max(0, j - 4), j + 1)
+          .map(i => rows(i)._2)
+        assert(math.abs(got(idx.toLong) - brute(frame, p)) < 1e-9,
+          s"row $idx p=$p")
+      }
+    }
+  }
+
+  test("property: sessionize ordinals are contiguous from 1 and split exactly at the gap") {
+    val gapGen = Gen.listOfN(25, Gen.choose(1L, 4000L)) // inter-arrival secs
+    for (gaps <- samples(gapGen, 6) if gaps.nonEmpty) {
+      val ts = gaps.scanLeft(0L)(_ + _)
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, 1L, t) }
+        .toDF("event_id", "user_id", "sec")
+        .withColumn("ts", timestamp_seconds($"sec"))
+      val got = WindowOps.sessionize(df, gapSec = 1800L)
+        .orderBy("sec").collect().map(_.getAs[Int]("session_no")).toSeq
+      // expected: running count of inter-arrival gaps >= 1800
+      var s = 1; val exp = ts.indices.map { i =>
+        if (i > 0 && ts(i) - ts(i - 1) >= 1800L) s += 1
+        s
+      }
+      assert(got == exp, s"gaps=$gaps")
+      assert(got.head == 1 && got.max == got.distinct.size)
+    }
+  }
 }
 
 /** Plain-Scala shingle reference used by the property tests. */
 object Dedup2 {
   def shingleSet(text: String, w: Int = 3): Set[String] =
     text.split(' ').sliding(w).filter(_.length == w).map(_.mkString(" ")).toSet
+
 }
