@@ -566,11 +566,16 @@ object SparkEntry {
     Dedup.trimRepeatedSpans(Tables.documents(s, dir), spanTokens = 8)
 
   /** Blocked fuzzy entity matching on part names within a brand block
-    * (Joins.fuzzyBlockedPairs): O(n²) → Σ|block|² via the blocking key.
+    * (Joins.fuzzyBlockedPairs). The brand key is fixed-cardinality (25
+    * values forever), so blocking alone goes quadratic at scale — the
+    * operator folds the length band into the join key (candidates prune
+    * BEFORE the pair explosion) and the registered cap bounds any hot
+    * (brand × length-bucket) cell; at fixture SFs no cell nears the cap,
+    * so the result set is bit-identical to the uncapped oracle.
     */
   private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame =
     Joins.fuzzyBlockedPairs(Tables.part(s, dir),
-      "p_brand", "p_partkey", "p_name", maxDistance = 2)
+      "p_brand", "p_partkey", "p_name", maxDistance = 2, maxBlock = 10000)
 
   /** Cohort retention matrix over the event stream. */
   private def qRetentionCohort(s: SparkSession, dir: String): DataFrame =
@@ -1845,7 +1850,7 @@ object SparkEntry {
         |  FROM np),
         |f AS (
         |  SELECT user_id, event_type, ts, event_id FROM chg
-        |  WHERE prev IS NULL OR prev <> event_type),
+        |  WHERE prev IS DISTINCT FROM event_type),
         |dim AS (
         |  SELECT user_id, event_type AS state_type, ts AS valid_from,
         |    lead(ts) OVER w AS valid_to,
@@ -2125,7 +2130,7 @@ object SparkEntry {
         |  FROM events),
         |f AS (
         |  SELECT user_id, event_type, ts, event_id FROM chg
-        |  WHERE prev IS NULL OR prev <> event_type)
+        |  WHERE prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type,
         |  ts AS valid_from,
         |  lead(ts) OVER w AS valid_to,
@@ -2153,11 +2158,14 @@ object SparkEntry {
         |FROM t WHERE event_type = 'purchase'""".stripMargin,
     "q_histogram" ->
       """WITH ext AS (
-        |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+        |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
         |b AS (
-        |  SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)) AS INT), 19) AS bucket,
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)) AS INT), 19)
+        |    END AS bucket,
         |    o_totalprice, mn, mx
-        |  FROM orders, ext)
+        |  FROM orders, ext WHERE o_totalprice IS NOT NULL)
         |SELECT bucket, COUNT(*) AS n,
         |  MIN(o_totalprice) AS bucket_min, MAX(o_totalprice) AS bucket_max,
         |  MIN(mn + bucket * ((mx - mn) / 20.0)) AS edge_lo,

@@ -53,6 +53,11 @@ object Affinity {
     * domain|, never raw events. Pair explosion per entity is
     * |values|², fine for enum-like domains; block or cap upstream for
     * high-cardinality values (same discipline as the dedup band joins).
+    *
+    * NULL values are excluded explicitly: a NULL can't participate in
+    * an ordered pair anyway (`a < b` is NULL-out), so the filter makes
+    * that semantic intentional rather than a comparison side effect —
+    * and prunes the NULL rows before the distinct+join instead of after.
     */
   def coOccurrence(
       df: DataFrame,
@@ -60,6 +65,7 @@ object Affinity {
       valCol: String,
       minSupport: Long = 1L): DataFrame = {
     val distinctVals = df.select(col(keyCol).as("k"), col(valCol).as("v"))
+      .filter(col("v").isNotNull)
       .distinct()
     val a = distinctVals.select(col("k"), col("v").as("item_a"))
     val b = distinctVals.select(col("k"), col("v").as("item_b"))

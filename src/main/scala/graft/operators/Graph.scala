@@ -71,6 +71,12 @@ object Graph {
             .as("rank"))
         .localCheckpoint() // truncate the iteration lineage
     }
+    // release the method-local cache entries: ranks is already
+    // checkpointed (its lineage no longer references the static sides),
+    // so an eager unpersist here leaks nothing and keeps the
+    // CacheManager from accumulating one nodes/outDeg/adj triple per
+    // pageRank invocation
+    nodes.unpersist(); outDeg.unpersist(); adj.unpersist()
     ranks
   }
 }

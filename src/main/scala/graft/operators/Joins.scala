@@ -118,35 +118,65 @@ object Joins {
   }
 
   /** Blocked fuzzy self-matching (entity resolution): candidate pairs
-    * are generated ONLY within a blocking key, then scored with exact
-    * Levenshtein edit distance and kept under `maxDistance`. Classic
-    * record-linkage shape: the blocking key turns the O(n²) all-pairs
-    * comparison into Σ O(|block|²) — with B balanced blocks that is a
-    * n²/B comparison reduction, and the self-join is a hash-partitioned
-    * equi-join on the block (no cartesian, no broadcast of the full
-    * relation). `levenshtein` is a codegen'd built-in, so the score
+    * are generated ONLY within (blocking key × length bucket), then
+    * scored with exact Levenshtein edit distance and kept under
+    * `maxDistance`. `levenshtein` is a codegen'd built-in, so the score
     * runs inside the join's whole-stage span.
     *
+    * Scale design — the length band is folded INTO the join key, not
+    * applied after the pair explosion: `|len(a)−len(b)| ≤ d` is a
+    * necessary condition for `distance ≤ d`, and with buckets of width
+    * `d` it implies the two rows sit in the same or adjacent buckets.
+    * The left side probes its own bucket ±1 (a 3-row explode — each
+    * unordered pair still joins exactly once, at the right row's single
+    * bucket), so candidates shrink from Σ|block|² to Σ|cell|·|3 cells|
+    * BEFORE any pair materializes. Without this, a fixed-cardinality
+    * block key (e.g. 25 brands forever) makes block size linear in data
+    * and the self-join quadratic. The exact band + bounded-DP filters
+    * remain as residuals, so the result set is unchanged.
+    *
+    * `maxBlock` caps (block × bucket) cell membership like
+    * [[graft.llm.Dedup.simhashNearDups]]'s `maxBucket`: rows in cells
+    * hotter than the cap are excluded from candidate generation
+    * entirely (the observable-spill contract — the dropped cells are
+    * countable from the same groupBy before any re-run), so one
+    * degenerate name shape can never go quadratic at 100× data.
+    *
     * Emits (block, left id/name, right id/name, distance) for id₁ < id₂
-    * — each unordered pair once. Skew note: at 100 TB a hot block (the
-    * empty/default key) quadratically dominates; cap or salt blocks
-    * upstream — the per-block pair count is observable from this
-    * output's `block` column before any re-run.
+    * — each unordered pair once.
     */
   def fuzzyBlockedPairs(
       df: DataFrame,
       blockCol: String,
       idCol: String,
       nameCol: String,
-      maxDistance: Int): DataFrame = {
-    val l = df.select(col(blockCol).as("block"),
-      col(idCol).as("left_id"), col(nameCol).as("left_name"))
-    val r = df.select(col(blockCol).as("block"),
-      col(idCol).as("right_id"), col(nameCol).as("right_name"))
-    l.join(r, Seq("block"))
+      maxDistance: Int,
+      maxBlock: Int = Int.MaxValue): DataFrame = {
+    require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
+    val keyed = df.select(col(blockCol).as("block"),
+      col(idCol).as("_id"), col(nameCol).as("_name"),
+      floor(length(col(nameCol)) / maxDistance).cast("long").as("_lb"))
+    val capped =
+      if (maxBlock == Int.MaxValue) keyed
+      else {
+        val ok = keyed.groupBy(col("block"), col("_lb"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBlock)
+          .select(col("block"), col("_lb"))
+        keyed.join(ok, Seq("block", "_lb"))
+      }
+    val l = capped
+      .withColumn("_probe",
+        explode(array(col("_lb") - 1, col("_lb"), col("_lb") + 1)))
+      .select(col("block"), col("_probe"),
+        col("_id").as("left_id"), col("_name").as("left_name"))
+    val r = capped.select(col("block"), col("_lb").as("_probe"),
+      col("_id").as("right_id"), col("_name").as("right_name"))
+    l.join(r, Seq("block", "_probe"))
       .filter(col("left_id") < col("right_id"))
-      // |len(a)−len(b)| ≤ d is a necessary condition for distance ≤ d:
-      // an O(1) band filter that rejects most pairs before any DP runs
+      // exact band as residual (bucket adjacency is necessary, not
+      // sufficient): O(1) reject before any DP runs
       .filter(abs(length(col("left_name")) - length(col("right_name")))
         <= maxDistance)
       // bounded variant: the DP early-exits (and returns -1) once the
@@ -155,6 +185,7 @@ object Joins {
       .withColumn("distance",
         levenshtein(col("left_name"), col("right_name"), maxDistance))
       .filter(col("distance") >= 0 && col("distance") <= maxDistance)
+      .drop("_probe")
   }
 
   /** Range-lookup join, equi-ized by bucketing: match each fact value to

@@ -122,6 +122,53 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan)
   }
 
+  test("fuzzyBlockedPairs: bucketed band equals brute-force within-block pairs") {
+    // names straddle length-bucket boundaries (d=2 → buckets of width 2)
+    // so the ±1 neighbor probe is load-bearing, not just the same-bucket
+    // path: e.g. len 9 (bucket 4) vs len 10 (bucket 5)
+    val df = (1 to 40).map { i =>
+      (i.toLong, s"b${i % 3}", "x" * (5 + i % 7) + (i % 5).toString)
+    }.toDF("id", "blk", "name")
+    val got = Joins.fuzzyBlockedPairs(df, "blk", "id", "name", maxDistance = 2)
+      .select("left_id", "right_id", "distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: all within-block pairs scored directly
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val l = df.select(col("blk"), col("id").as("a"), col("name").as("na"))
+    val r = df.select(col("blk"), col("id").as("b"), col("name").as("nb"))
+    val want = l.join(r, Seq("blk")).filter(col("a") < col("b"))
+      .withColumn("d", levenshtein(col("na"), col("nb")))
+      .filter(col("d") <= 2)
+      .select("a", "b", "d").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(got == want, s"bucketed ${got.size} vs brute ${want.size}")
+    assert(got.nonEmpty, "fixture must produce pairs for the test to bite")
+  }
+
+  test("fuzzyBlockedPairs: maxBlock caps a hot cell without touching cold ones") {
+    // hot cell: one block, 50 identical-length near-identical names —
+    // the fixed-cardinality-block quadratic blowup in miniature.
+    // Cold cell: a pair in another block that must survive the cap.
+    val hot = (1 to 50).map(i => (i.toLong, "HOT", f"widget$i%02d"))
+    val cold = Seq((100L, "COLD", "red bolt"), (101L, "COLD", "red bolz"))
+    val df = (hot ++ cold).toDF("id", "blk", "name")
+    val uncapped = Joins.fuzzyBlockedPairs(df, "blk", "id", "name", 2)
+    assert(uncapped.filter($"block" === "HOT").count() > 100,
+      "hot cell must be quadratic-many uncapped for the test to bite")
+    val capped = Joins.fuzzyBlockedPairs(df, "blk", "id", "name", 2, maxBlock = 10)
+    assert(capped.filter($"block" === "HOT").count() == 0,
+      "rows in a hot (block x length-bucket) cell are excluded")
+    val coldPairs = capped.filter($"block" === "COLD").collect()
+    assert(coldPairs.length == 1 &&
+      coldPairs.head.getAs[Long]("left_id") == 100L)
+    // and a cap above every cell's membership changes nothing
+    val loose = Joins.fuzzyBlockedPairs(df, "blk", "id", "name", 2, maxBlock = 10000)
+      .select("left_id", "right_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = uncapped
+      .select("left_id", "right_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == all)
+  }
+
   test("rangeLookupJoin: values land in the covering interval, hash join not nested-loop") {
     val facts = Seq((1L, 5.0), (2L, 49.9), (3L, 50.0), (4L, 175.0)).toDF("id", "v")
     val dim = Seq((0.0, 50.0, "low"), (50.0, 200.0, "high")).toDF("lo", "hi", "tier")
