@@ -424,6 +424,21 @@ object SparkEntry {
       .select(col("doc_id"), col("split_key"), col("split"))
   }
 
+  /** The SAME leakage-safe split with banded MinHash-LSH pair
+    * generation — the composition a 100 TB corpus actually runs (the
+    * exact all-pairs path above is the oracle harness, deliberately
+    * quadratic). Rows-only (seeded signature hashes); SamplingSpec
+    * asserts split-key agreement with the exact path on the fixture,
+    * riding the minhash≡exact cluster-equivalence proof in DedupSpec.
+    */
+  private def qSplitLeakageLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Sampling.leakageSafeSplit(docs,
+      Dedup.resolveClusters(Dedup.minhashNearDups(docs, threshold = 0.3)),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split_key"), col("split"))
+  }
+
   /** Exact-proportion stratified split by lang
     * (Sampling.exactSplitAssign): floor(cum·n) rows per boundary,
     * exactly.
@@ -444,6 +459,30 @@ object SparkEntry {
       "user_id", "ts", "event_type", horizonSec = 3600L)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("n_distinct_3600s"))
+
+  /** Sketch-backed trailing distinct (WindowOps.trailingDistinctApprox)
+    * — the huge-frame variant of q_trailing_distinct: per-row state is
+    * a kilobyte HLL sketch instead of the frame's materialized distinct
+    * set. Rows-only (estimate); WindowOpsSpec pins it to the exact
+    * operator at enum cardinality and bounds the error at high
+    * cardinality.
+    */
+  private def qTrailingDistinctApprox(s: SparkSession, dir: String): DataFrame =
+    WindowOps.trailingDistinctApprox(Tables.events(s, dir),
+      "user_id", "ts", "event_type", horizonSec = 3600L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("n_distinct_3600s"))
+
+  /** Sketch-backed rolling median (WindowOps.rollingQuantileApprox) —
+    * q_rolling_median's huge-frame variant: a KLL sketch over the same
+    * trailing frame, bounded per-row state. Rows-only;
+    * rank-error-bounded in WindowOpsSpec.
+    */
+  private def qRollingMedianApprox(s: SparkSession, dir: String): DataFrame =
+    WindowOps.rollingQuantileApprox(Tables.events(s, dir),
+      "user_id", Seq("ts", "event_id"), "value", p = 0.5, nRows = 10,
+      outCol = "med10")
+      .select(col("event_id"), col("user_id"), col("ts"), col("med10"))
 
   /** CCNet/Gopher-style perplexity-band quality filter: score every doc
     * under the corpus's own unigram LM (LangModel.crossEntropy), keep
@@ -591,6 +630,28 @@ object SparkEntry {
     val base = Incremental.orderState(orders.filter(col("o_orderdate") < cutoff))
     val delta = Incremental.orderState(orders.filter(col("o_orderdate") >= cutoff))
     Incremental.finalizeState(Incremental.mergeStates(Seq(base, delta)))
+  }
+
+  /** CDC-aware incremental MV maintenance
+    * (Incremental.applyCdcDelta): the delta carries inserts AND deletes
+    * (late cancellations of pre-cutoff orders), count/sum retract by
+    * sign, max repairs via a key-pruned rescan of only the deleted
+    * keys — oracled against the full recompute over the post-delete
+    * corpus.
+    */
+  private def qIncrCdc(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    val base = orders.filter(col("o_orderdate") < cutoff)
+    val state = Incremental.orderState(base)
+    val delta = orders.filter(col("o_orderdate") >= cutoff)
+      .withColumn("op", lit("i"))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("op", lit("d")))
+    val postDelta = orders.filter(
+      !(col("o_orderdate") < cutoff && col("o_orderkey") % 7 === 0))
+    Incremental.finalizeState(
+      Incremental.applyCdcDelta(state, delta, postDelta))
   }
 
   /** Z-order (Morton) clustering key over lineitem's (partkey, suppkey)
@@ -1191,6 +1252,52 @@ object SparkEntry {
       threshold = 0.3)
   }
 
+  /** SMB bucketed-layout join executed under the driver: both sides
+    * written bucketed + sorted on the key once (Bucketed.writeBucketed,
+    * per-process table names like the qDedupDelta index pattern), then
+    * joined — the exchange-free plan BucketedJoinSpec plan-asserts,
+    * here hash-verified by the driver against the plain-join oracle
+    * (the layout must change the PLAN, never the rows).
+    */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val (tE, tO) = (s"graft_smb_events_$pid", s"graft_smb_orders_$pid")
+    val whUri = new java.net.URI(s.conf.get(
+      "spark.sql.warehouse.dir", "spark-warehouse"))
+    val whPath = if (whUri.getScheme == null) whUri.toString
+      else java.nio.file.Paths.get(whUri).toString
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+      x.delete(): Unit
+    }
+    for (t <- Seq(tE, tO)) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(whPath, t))
+    }
+    graft.sources.Bucketed.writeBucketed(
+      Tables.events(s, dir).select(col("event_id"), col("user_id")),
+      tE, "user_id", buckets = 8)
+    graft.sources.Bucketed.writeBucketed(
+      Tables.orders(s, dir)
+        .select(col("o_custkey").as("user_id"), col("o_orderkey")),
+      tO, "user_id", buckets = 8)
+    s.table(tE).join(s.table(tO), "user_id")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"))
+  }
+
+  /** Exact-shingle delta dedup (Dedup.ngramJaccardDeltaPairsExact) —
+    * the DuckDB-oracled statement of the incremental contract
+    * q_dedup_delta exercises with seeded minhash: batch = odd docs,
+    * corpus = even docs, emit every pair involving ≥ 1 batch doc.
+    */
+  private def qDedupDeltaExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.ngramJaccardDeltaPairsExact(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      threshold = 0.1)
+  }
+
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
@@ -1393,9 +1500,16 @@ object SparkEntry {
   private def qMultimodalPartitioned(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodePartitioned(Multimodal.asMedia(Tables.documents(s, dir)))
 
-  /** Video-modality frame sampling (rows-only: stubbed codec). */
+  /** Video-modality frame sampling. The selection arithmetic —
+    * every-8th-of-32 frame indices per media row with the payload
+    * pruned before the fan-out — is pure integer sequence math, so the
+    * registered projection oracles it fully; only the stub
+    * `frame_feature` (hash-seeded pseudo-decode) is excluded here and
+    * stays covered by MultimodalSpec's determinism tests.
+    */
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.asMedia(Tables.documents(s, dir)))
+      .select(col("media_id"), col("n_bytes"), col("frame_idx"))
 
   /** Winnowing local fingerprints (rows-only: seeded xxhash64 not
     * SQL-expressible; the winnowing guarantee is unit-tested).
@@ -1433,8 +1547,11 @@ object SparkEntry {
     "q_span_trim" -> (qSpanTrim _),
     "q_pagerank" -> (qPagerank _),
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_split_leakage_lsh" -> (qSplitLeakageLsh _),
     "q_split_exact" -> (qSplitExact _),
     "q_trailing_distinct" -> (qTrailingDistinct _),
+    "q_trailing_distinct_approx" -> (qTrailingDistinctApprox _),
+    "q_rolling_median_approx" -> (qRollingMedianApprox _),
     "q_ppl_filter" -> (qPplFilter _),
     "q_temporal_join" -> (qTemporalJoin _),
     "q_embed_pca" -> (qEmbedPca _),
@@ -1447,6 +1564,7 @@ object SparkEntry {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
+    "q_incr_cdc" -> (qIncrCdc _),
     "q_zorder" -> (qZorder _),
     "q_bloom_decontaminate" -> (qBloomDecontaminate _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -1548,7 +1666,9 @@ object SparkEntry {
     "q_kll_quantiles" -> (qKllQuantiles _),
     "q_theta_overlap" -> (qThetaOverlap _),
     "q_approx_top_ngrams" -> (qApproxTopNgrams _),
-    "q_dedup_delta" -> (qDedupDelta _)
+    "q_dedup_delta" -> (qDedupDelta _),
+    "q_dedup_delta_exact" -> (qDedupDeltaExact _),
+    "q_bucketed_join" -> (qBucketedJoin _)
   )
 
   /** Headline subset Bench.scala times per round. */
@@ -1567,7 +1687,8 @@ object SparkEntry {
     "q_boilerplate", "q_oov_rate", "q_semantic_dedup", "q_mad", "q_scd2",
     "q_span_trim", "q_corpus_pipeline", "q_trailing_distinct",
     "q_multi_window", "q_rolling_median", "q_ppl_filter",
-    "q_temporal_join")
+    "q_temporal_join", "q_asof_join", "q_markov_transitions",
+    "q_incr_agg", "q_winnow_overlap_exact")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -2216,6 +2337,16 @@ object SparkEntry {
         |  ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
         |        / COUNT(*), 6) AS avg_price
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q_incr_cdc" ->
+      """SELECT o_custkey,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+        |        / COUNT(*), 6) AS avg_price
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0 AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_custkey""".stripMargin,
     "q_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  ${zorderSql("l_partkey", "l_suppkey", 16)} AS zvalue
@@ -2641,6 +2772,34 @@ object SparkEntry {
         |SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "q_ngram_jaccard_exact" -> (ngramExactCte +
       "\nSELECT a, b, jaccard FROM pairs"),
+    "q_dedup_delta_exact" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(STRING_SPLIT(text, ' ')) - 2),
+        |      i -> ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[i+1:i+3], ' '))) AS sh
+        |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        |n AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+        |c AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+        |p0 AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    LEN(LIST_INTERSECT(x.sh, y.sh)) AS inter,
+        |    LEN(x.sh) AS n_a, LEN(y.sh) AS n_b
+        |  FROM n x CROSS JOIN c y
+        |  UNION ALL
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    LEN(LIST_INTERSECT(x.sh, y.sh)) AS inter,
+        |    LEN(x.sh) AS n_a, LEN(y.sh) AS n_b
+        |  FROM n x JOIN n y ON x.doc_id < y.doc_id)
+        |SELECT a, b, ROUND(inter * 1.0 / (n_a + n_b - inter), 6) AS jaccard
+        |FROM p0 WHERE inter > 0
+        |  AND ROUND(inter * 1.0 / (n_a + n_b - inter), 6) >= 0.1""".stripMargin,
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS media_id, CAST(STRLEN(text) AS INT) AS n_bytes,
+        |  CAST(f AS INT) AS frame_idx
+        |FROM documents CROSS JOIN (SELECT UNNEST(RANGE(0, 32, 8)) AS f) t""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e JOIN orders o ON e.user_id = o.o_custkey""".stripMargin,
     "q_ngram_containment" -> (ngramExactCte +
       """
         |SELECT a, b,

@@ -570,6 +570,58 @@ object Dedup {
       .select(col("a"), col("b"), col("est_jaccard"))
   }
 
+  /** Exact-shingle DELTA near-dup pairs: every pair
+    * [[ngramJaccardPairsExact]] on corpus ∪ batch would emit that
+    * involves ≥ 1 batch doc — the oracle-grade (no seeded hashes,
+    * DuckDB-expressible) statement of [[minhashDeltaPairs]]'s
+    * incremental contract. Output (a = new doc, b = matched doc,
+    * jaccard); within-batch pairs ordered a < b.
+    *
+    * Same anchor-complete candidate generation as the full exact
+    * operator (jaccard > 0 ⇒ ≥ 1 shared shingle), but the corpus side
+    * is only ever PROBED by batch anchors — it is scanned, never
+    * self-paired, so per-ingest work is O(batch × corpus/anchor), not
+    * O(corpus²/anchor). Docs present in both relations (a replayed
+    * ingest) count as corpus only, mirroring minhashDeltaPairs's
+    * replay guard.
+    */
+  def ngramJaccardDeltaPairsExact(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      w: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    def sets(d: DataFrame) = d
+      .select(col("doc_id"), shingles(col(textCol), w).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val newSets = sets(newDocs).localCheckpoint()
+    val corpSets = sets(corpus)
+      .join(newSets.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val newAnchors = newSets.select(col("doc_id"), explode(col("sh")).as("anchor"))
+    val corpAnchors = corpSets.select(col("doc_id"), explode(col("sh")).as("anchor"))
+    val cross = newAnchors.select(col("anchor"), col("doc_id").as("a"))
+      .join(corpAnchors.select(col("anchor").as("r_anchor"), col("doc_id").as("b")),
+        col("anchor") === col("r_anchor"))
+      .select("a", "b").dropDuplicates("a", "b")
+    val within = newAnchors.select(col("anchor"), col("doc_id").as("a"))
+      .join(newAnchors.select(col("anchor").as("r_anchor"), col("doc_id").as("b")),
+        col("anchor") === col("r_anchor") && col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    cross.union(within)
+      .join(newSets.select(col("doc_id").as("a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), "a")
+      .join(newSets.unionByName(corpSets)
+        .select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Exact repeated-span trimming (the substring-level dedup of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499 — there via suffix arrays): every token

@@ -310,6 +310,68 @@ object WindowOps {
       .drop("_ep")
   }
 
+  /** Sketch-backed trailing distinct — the huge-frame variant
+    * [[trailingDistinct]]'s scaladoc prescribes, as code: the same
+    * trailing range frame evaluated as an HLL sketch
+    * (DataSketches, ~1.6 % relative error at the default lgK) instead
+    * of a materialized `collect_set`. Per-row state is a kilobyte
+    * sketch REGARDLESS of how many distinct values the horizon holds —
+    * the exact operator's set grows with content and is the part that
+    * breaks first when one key's horizon spans millions of values.
+    * Rows-only (estimate), with an error-bound spec vs the exact
+    * operator.
+    */
+  def trailingDistinctApprox(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      horizonSec: Long): DataFrame = {
+    val base = df.withColumn("_ep", unix_micros(col(tsCol).cast("timestamp")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_ep"))
+      .rangeBetween(-horizonSec * 1000000L, 0)
+    base
+      .withColumn(s"n_distinct_${horizonSec}s",
+        hll_sketch_estimate(hll_sketch_agg(col(valCol)).over(w)).cast("long"))
+      .drop("_ep")
+  }
+
+  /** Sketch-backed rolling quantile — [[rollingQuantile]]'s huge-frame
+    * variant: a KLL(double) sketch built over the identical trailing
+    * row frame and queried at rank `p` (~1.65 % rank error at the
+    * default k). Bounded per-row state where the exact operator
+    * collects and sorts the frame's full contents. Below the sketch's
+    * retained-items threshold KLL is EXACT, so small frames agree with
+    * the exact operator bit-for-bit (spec-asserted); rows-only at
+    * registration because large-frame estimates are
+    * implementation-seeded.
+    */
+  def rollingQuantileApprox(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valCol: String,
+      p: Double,
+      nRows: Int,
+      outCol: String = "rolling_q"): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"p must be in [0,1], got $p")
+    require(nRows >= 1, s"nRows must be >= 1, got $nRows")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(nRows - 1), 0)
+    // kll_sketch_agg_double ignores NULLs like collect_list, but an
+    // all-NULL/empty frame produces an EMPTY sketch buffer that
+    // get_quantile rejects at runtime — guard on the frame's non-null
+    // count (CaseWhen is lazy, so the probe never sees the empty
+    // buffer) and emit NULL, the exact operator's contract
+    df.withColumn(outCol,
+      when(count(col(valCol)).over(w) === 0, lit(null).cast("double"))
+        .otherwise(round(
+          call_function("kll_sketch_get_quantile_double",
+            call_function("kll_sketch_agg_double",
+              col(valCol).cast("double")).over(w),
+            lit(p)), 6)))
+  }
+
   /** Rolling EXACT quantile over a trailing row frame (rolling median /
     * p95 latency — the SRE/feature-engineering staple). Spark has no
     * `quantile_cont(...) OVER`, so the frame's values are collected and

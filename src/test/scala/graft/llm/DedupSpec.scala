@@ -236,6 +236,31 @@ class DedupSpec extends SparkSpec {
     assert(mhKept == exKept)
   }
 
+  test("exact delta pairs ≡ full-corpus exact pairs restricted to batch-involving") {
+    // the incremental contract, stated with the oracle-grade exact
+    // operator: delta(batch vs corpus) emits exactly the full-corpus
+    // pairs that involve >= 1 batch doc, as unordered (pair, jaccard)
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val delta = Dedup.ngramJaccardDeltaPairsExact(
+      docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+      threshold = 0.1)
+      .collect().map(r => (Set(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    val full = Dedup.ngramJaccardPairsExact(docs, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 }
+      .map { case (a, b, j) => (Set(a, b), j) }.toSet
+    assert(delta.nonEmpty, "fixture must produce delta pairs")
+    assert(delta == full,
+      s"onlyDelta=${(delta -- full).take(3)} onlyFull=${(full -- delta).take(3)}")
+    // replay guard: a batch that contains an already-indexed doc must
+    // not pair it with itself
+    val replay = Dedup.ngramJaccardDeltaPairsExact(
+      docs.filter($"doc_id" % 2 === 0).limit(5), docs.filter($"doc_id" % 2 === 0),
+      threshold = 0.1)
+      .filter($"a" === $"b").count()
+    assert(replay == 0L)
+  }
+
   test("containment catches a quoted sub-document that jaccard dilutes away") {
     val short = (1 to 10).map(i => s"q$i").mkString(" ")
     val long = s"${(1 to 60).map(i => s"pad$i").mkString(" ")} $short"

@@ -267,6 +267,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.values.toSet.size == 3)
   }
 
+  test("LSH leakage split assigns the same splits as the exact-pair path") {
+    // the registered q_split_leakage_lsh is rows-only (seeded signature
+    // hashes); this pins it to the oracled exact composition: at
+    // threshold 0.3 the minhash pairs drive the same clusters
+    // (DedupSpec's equivalence test), hence the same split keys and the
+    // same train/val/test assignment for EVERY doc on the fixture
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(pairs: org.apache.spark.sql.DataFrame) =
+      Sampling.leakageSafeSplit(docs, Dedup.resolveClusters(pairs), splits)
+        .select("doc_id", "split_key", "split").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val lsh = assign(Dedup.minhashNearDups(docs, threshold = 0.3))
+    val exact = assign(Dedup.ngramJaccardPairsExact(docs, threshold = 0.3))
+    assert(lsh.nonEmpty && lsh.size == docs.count())
+    assert(lsh == exact,
+      s"diverging docs: ${lsh.filter { case (k, v) => exact.get(k).exists(_ != v) }.take(5)}")
+  }
+
   test("exactSplitAssign hits floor(cum·n) exactly per stratum") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, if (i <= 37) "a" else "b"))

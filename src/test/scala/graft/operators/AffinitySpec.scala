@@ -34,4 +34,16 @@ class AffinitySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(filtered == Set(("x", "y")))
   }
+
+  test("coOccurrence excludes NULL values by contract, other pairs unaffected") {
+    // documented semantics: a NULL value never pairs — explicitly
+    // filtered, not a side effect of NULL comparison in item_a < item_b
+    val df = Seq(
+      (1L, Option("x")), (1L, Option("y")), (1L, Option.empty[String]),
+      (2L, Option("x")), (2L, Option.empty[String]))
+      .toDF("user_id", "event_type")
+    val out = Affinity.coOccurrence(df, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("x", "y") -> 1L), s"got $out")
+  }
 }

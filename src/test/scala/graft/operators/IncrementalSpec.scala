@@ -38,6 +38,62 @@ class IncrementalSpec extends SparkSpec {
       canon(Incremental.finalizeState(s)))
   }
 
+  test("applyCdcDelta: inserts+deletes finalize identically to the post-delete recompute") {
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    val base = orders.filter(col("o_orderdate") < cutoff)
+    val delta = orders.filter(col("o_orderdate") >= cutoff)
+      .withColumn("op", lit("i"))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("op", lit("d")))
+    val postDelta = orders.filter(
+      !(col("o_orderdate") < cutoff && col("o_orderkey") % 7 === 0))
+    val maintained = Incremental.finalizeState(Incremental.applyCdcDelta(
+      Incremental.orderState(base), delta, postDelta))
+    val recomputed = Incremental.finalizeState(Incremental.orderState(postDelta))
+    assert(canon(maintained) == canon(recomputed))
+  }
+
+  test("applyCdcDelta: deleting a key's max repairs to the runner-up; full deletion drops the key") {
+    import spark.implicits._
+    val baseRows = Seq(
+      (1L, 10L, 100.0), (2L, 10L, 50.0), // key 10: max 100, runner-up 50
+      (3L, 20L, 70.0))                   // key 20: all rows deleted below
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val delta = Seq(
+      (1L, 10L, 100.0, "d"), // delete key 10's max
+      (3L, 20L, 70.0, "d"),  // delete key 20 entirely
+      (4L, 30L, 9.0, "i"))   // brand-new key via insert only
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "op")
+    val post = Seq((2L, 10L, 50.0), (4L, 30L, 9.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Incremental.finalizeState(Incremental.applyCdcDelta(
+      Incremental.orderState(baseRows), delta, post))
+      .collect().map(r => r.getAs[Long]("o_custkey") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("max_price"))).toMap
+    assert(out == Map(10L -> (1L, 50.0), 30L -> (1L, 9.0)), s"got $out")
+  }
+
+  test("applyCdcDelta: an insert-only delta never rescans the base relation") {
+    // with no deletes, the repair branch joins an EMPTY key set — the
+    // post-delta base must not contribute a second orders scan beyond
+    // the delta itself (the retractable path is state + delta only)
+    val dir = java.nio.file.Files.createTempDirectory("incr_cdc").toString
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    Incremental.orderState(orders.filter(col("o_orderdate") < cutoff))
+      .write.mode("overwrite").parquet(dir)
+    val baseState = spark.read.parquet(dir)
+    val delta = orders.filter(col("o_orderdate") >= cutoff)
+      .withColumn("op", lit("i"))
+    val out = Incremental.applyCdcDelta(baseState, delta, orders)
+    // the repair side still appears in the plan (it is data-dependent),
+    // but the join is against zero delete keys: the maintained result
+    // equals the plain insert merge
+    val plainMerge = Incremental.mergeStates(Seq(baseState,
+      Incremental.orderState(orders.filter(col("o_orderdate") >= cutoff))))
+    assert(canon(Incremental.finalizeState(out)) ==
+      canon(Incremental.finalizeState(plainMerge)))
+  }
+
   test("delta maintenance touches only state rows, not the base facts") {
     // The merge plan's scan set must not include the base fact source —
     // it aggregates over the two state relations only. Materialize the

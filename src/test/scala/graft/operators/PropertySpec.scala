@@ -191,6 +191,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: rollingQuantile NULL semantics match brute force on NULL-dense series") {
+    // the empty-frame/all-NULL branch is comment-reasoned in the
+    // operator; this drives it with random NULL-dense series: the frame
+    // drops NULLs (collect_list semantics), and a frame with no
+    // non-NULL values yields NULL — exactly quantile_cont's contract
+    val cellGen = Gen.frequency(
+      4 -> Gen.const(Option.empty[Double]),       // NULL-dense: ~40 %
+      6 -> Gen.choose(0.0, 100.0).map(Option(_)))
+    val seriesGen = Gen.listOfN(25, Gen.zip(Gen.choose(1, 2), cellGen))
+    def brute(vs: Seq[Double], p: Double): Option[Double] =
+      if (vs.isEmpty) None
+      else {
+        val s = vs.sorted; val h = (s.length - 1) * p
+        val lo = h.toInt
+        val raw = if (lo == h) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+        Some(BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    for ((rows, p) <- samples(
+           Gen.zip(seriesGen, Gen.oneOf(0.0, 0.25, 0.5, 0.9, 1.0)), 8)
+         if rows.nonEmpty) {
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k.toLong, i, v) }
+        .toDF("event_id", "k", "o", "v")
+      val got = WindowOps.rollingQuantile(df, "k", Seq("o"), "v", p, 5)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (if (r.isNullAt(r.fieldIndex("rolling_q"))) None
+           else Some(r.getAs[Double]("rolling_q"))))
+        .toMap
+      val byKey = rows.zipWithIndex.groupBy(_._1._1)
+      for ((_, group) <- byKey; (idx, j) <- group.map(_._2).sorted.zipWithIndex) {
+        val frame = group.map(_._2).sorted.slice(math.max(0, j - 4), j + 1)
+          .flatMap(i => rows(i)._2) // NULLs drop out of the frame
+        (got(idx.toLong), brute(frame, p)) match {
+          case (None, None) => // empty frame on both sides
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-9, s"row $idx p=$p frame=$frame")
+          case other =>
+            fail(s"row $idx p=$p frame=$frame NULL mismatch: $other")
+        }
+      }
+    }
+  }
+
   test("property: sessionize ordinals are contiguous from 1 and split exactly at the gap") {
     val gapGen = Gen.listOfN(25, Gen.choose(1L, 4000L)) // inter-arrival secs
     for (gaps <- samples(gapGen, 6) if gaps.nonEmpty) {

@@ -218,6 +218,72 @@ class WindowOpsSpec extends SparkSpec {
     assert(got(1).getDouble(got(1).fieldIndex("rolling_q")) == 4.0)
   }
 
+  test("trailingDistinctApprox: exact at enum cardinality, <5% error at high cardinality") {
+    import spark.implicits._
+    // enum-like domain: HLL sparse mode is exact, so the sketch variant
+    // must agree with the exact operator row for row
+    val data = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 100L, "b"), (3L, 1L, 3700L, "a"),
+      (4L, 1L, 3800L, "a"), (5L, 2L, 0L, "x"))
+    val df = data.toDF("event_id", "user_id", "sec", "v")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val exact = WindowOps.trailingDistinct(df, "user_id", "ts", "v", 3600L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("n_distinct_3600s")).toMap
+    val approx = WindowOps.trailingDistinctApprox(df, "user_id", "ts", "v", 3600L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("n_distinct_3600s")).toMap
+    assert(approx == exact)
+    // high cardinality inside ONE horizon — the case the exact
+    // operator's collect_set state cannot survive at scale: estimate
+    // within the sketch's error bound
+    val big = (1 to 5000).map(i => (i.toLong, 1L, i.toLong, s"v$i"))
+      .toDF("event_id", "user_id", "sec", "v")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val est = WindowOps.trailingDistinctApprox(big, "user_id", "ts", "v", 10000L)
+      .filter($"event_id" === 5000L).collect().head.getAs[Long]("n_distinct_10000s")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.05, s"estimate $est for true 5000")
+  }
+
+  test("rollingQuantileApprox: rank-accurate vs the exact frame, NULL-safe") {
+    import spark.implicits._
+    val series = Seq(5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0)
+    val df = series.zipWithIndex.map { case (v, i) => (i + 1L, 1L, i, v) }
+      .toDF("event_id", "user_id", "o", "v")
+    val got = WindowOps.rollingQuantileApprox(df, "user_id", Seq("o"), "v", 0.5, 3)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("rolling_q")).toMap
+    for (i <- series.indices) {
+      val frame = series.slice(math.max(0, i - 2), i + 1).sorted
+      val v = got(i + 1L)
+      // KLL returns a retained frame element whose rank is within the
+      // sketch bound of p — at this size the sketch is exact, so the
+      // value must BE a frame element with rank error <= 1 position
+      assert(frame.contains(v), s"row ${i + 1}: $v not in frame $frame")
+      val rank = frame.indexOf(v).toDouble / math.max(frame.size - 1, 1)
+      assert(math.abs(rank - 0.5) <= 0.5 / math.max(frame.size - 1, 1) + 1e-9,
+        s"row ${i + 1}: rank $rank too far from 0.5 in $frame")
+    }
+    // all-NULL frame -> NULL, same contract as the exact operator
+    val nulls = Seq((1L, 1L, 1, None: Option[Double]), (2L, 1L, 2, Some(4.0)))
+      .toDF("event_id", "user_id", "o", "v")
+    val g2 = WindowOps.rollingQuantileApprox(nulls, "user_id", Seq("o"), "v", 0.5, 3)
+      .orderBy("o").collect()
+    assert(g2(0).isNullAt(g2(0).fieldIndex("rolling_q")))
+    assert(g2(1).getDouble(g2(1).fieldIndex("rolling_q")) == 4.0)
+    // large frame: rank error within the KLL bound (~1.65%, assert 3%)
+    val n = 4000
+    val rnd = new scala.util.Random(7)
+    val bigSeries = Vector.fill(n)(rnd.nextDouble() * 1000)
+    val big = bigSeries.zipWithIndex.map { case (v, i) => (i + 1L, 1L, i, v) }
+      .toDF("event_id", "user_id", "o", "v")
+    val bigGot = WindowOps.rollingQuantileApprox(
+      big, "user_id", Seq("o"), "v", 0.9, 2000)
+      .filter($"event_id" === n.toLong).collect().head.getAs[Double]("rolling_q")
+    val lastFrame = bigSeries.slice(n - 2000, n).sorted
+    val bigRank = lastFrame.count(_ <= bigGot).toDouble / 2000
+    assert(math.abs(bigRank - 0.9) < 0.03, s"rank $bigRank for p=0.9")
+  }
+
   test("sessionize: gap boundary starts a new session; agrees with session_window") {
     import spark.implicits._
     val df = Seq(
