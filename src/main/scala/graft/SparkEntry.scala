@@ -607,10 +607,13 @@ object SparkEntry {
   /** Blocked fuzzy entity matching on part names within a brand block
     * (Joins.fuzzyBlockedPairs). The brand key is fixed-cardinality (25
     * values forever), so blocking alone goes quadratic at scale — the
-    * operator folds the length band into the join key (candidates prune
-    * BEFORE the pair explosion) and the registered cap bounds any hot
-    * (brand × length-bucket) cell; at fixture SFs no cell nears the cap,
-    * so the result set is bit-identical to the uncapped oracle.
+    * operator runs the DP once per distinct (brand, name-pair) and
+    * expands matches back to id pairs (5.7 s → 0.9 s at sf0.1: 64
+    * distinct names across 20 000 rows), folds the length band into
+    * the join key, and the registered cap bounds any hot
+    * (brand × length-bucket) DOMAIN cell; at fixture SFs no cell nears
+    * the cap, so the result set is bit-identical to the uncapped
+    * oracle.
     */
   private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame =
     Joins.fuzzyBlockedPairs(Tables.part(s, dir),
@@ -653,6 +656,14 @@ object SparkEntry {
     Incremental.finalizeState(
       Incremental.applyCdcDelta(state, delta, postDelta))
   }
+
+  /** Streaming CDC aggregation with retractions
+    * (Streaming.cdcAggStream): deletes fold into the signed streaming
+    * hash agg — executed incrementally (state store, micro-batches),
+    * oracled against the post-delete batch recompute.
+    */
+  private def qStreamCdcAgg(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s, Streaming.cdcAggStream(s, dir))
 
   /** Z-order (Morton) clustering key over lineitem's (partkey, suppkey)
     * — the multi-dimensional layout value itself, oracled bit-for-bit;
@@ -1565,6 +1576,7 @@ object SparkEntry {
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_incr_cdc" -> (qIncrCdc _),
+    "q_stream_cdc_agg" -> (qStreamCdcAgg _),
     "q_zorder" -> (qZorder _),
     "q_bloom_decontaminate" -> (qBloomDecontaminate _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -2342,6 +2354,15 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price,
         |  MAX(o_totalprice) AS max_price,
+        |  ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+        |        / COUNT(*), 6) AS avg_price
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0 AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_custkey""".stripMargin,
+    "q_stream_cdc_agg" ->
+      """SELECT o_custkey,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_price,
         |  ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
         |        / COUNT(*), 6) AS avg_price
         |FROM orders

@@ -118,32 +118,40 @@ object Joins {
   }
 
   /** Blocked fuzzy self-matching (entity resolution): candidate pairs
-    * are generated ONLY within (blocking key × length bucket), then
-    * scored with exact Levenshtein edit distance and kept under
-    * `maxDistance`. `levenshtein` is a codegen'd built-in, so the score
-    * runs inside the join's whole-stage span.
+    * are generated within (blocking key × length bucket), scored with
+    * exact Levenshtein edit distance, and kept under `maxDistance`.
+    * Emits (block, left id/name, right id/name, distance) for
+    * id₁ < id₂ — each unordered pair once.
     *
-    * Scale design — the length band is folded INTO the join key, not
-    * applied after the pair explosion: `|len(a)−len(b)| ≤ d` is a
-    * necessary condition for `distance ≤ d`, and with buckets of width
-    * `d` it implies the two rows sit in the same or adjacent buckets.
-    * The left side probes its own bucket ±1 (a 3-row explode — each
-    * unordered pair still joins exactly once, at the right row's single
-    * bucket), so candidates shrink from Σ|block|² to Σ|cell|·|3 cells|
-    * BEFORE any pair materializes. Without this, a fixed-cardinality
-    * block key (e.g. 25 brands forever) makes block size linear in data
-    * and the self-join quadratic. The exact band + bounded-DP filters
-    * remain as residuals, so the result set is unchanged.
+    * Scale design, two layers:
     *
-    * `maxBlock` caps (block × bucket) cell membership like
-    * [[graft.llm.Dedup.simhashNearDups]]'s `maxBucket`: rows in cells
-    * hotter than the cap are excluded from candidate generation
-    * entirely (the observable-spill contract — the dropped cells are
-    * countable from the same groupBy before any re-run), so one
-    * degenerate name shape can never go quadratic at 100× data.
+    * 1. **Compare the distinct name domain, not the rows.** The DP runs
+    *    once per distinct (block, name-pair); matches then expand back
+    *    to id pairs with two narrow equi-joins. Real entity attributes
+    *    are low-cardinality relative to row count (the fixture: 64
+    *    distinct names across 20 000 parts ⇒ ~52 k DPs instead of 7 M),
+    *    and when names ARE unique the distinct relation equals the
+    *    input, so the fallback cost is the classic blocked join. The
+    *    expensive kernel scales with the DOMAIN, only the cheap
+    *    expansion scales with the data — measured 5.9 s → 0.9 s at
+    *    sf0.1.
+    * 2. **The length band is folded INTO the join key** — width-d
+    *    buckets with a ±1 neighbor probe on one side (`|len(a)−len(b)|
+    *    ≤ d` implies same-or-adjacent buckets; each name pair still
+    *    joins exactly once, at the right name's single bucket) — so a
+    *    fixed-cardinality block key (25 brands forever) cannot make the
+    *    name-pair join quadratic when the domain has varied lengths.
+    *    Exact band + bounded early-exit DP (O(d·min(len)) per pair,
+    *    -1 on overflow) remain as residuals, so the result set is
+    *    unchanged.
     *
-    * Emits (block, left id/name, right id/name, distance) for id₁ < id₂
-    * — each unordered pair once.
+    * `maxBlock` caps DISTINCT-NAME membership per (block × bucket) cell
+    * (cf. [[graft.llm.Dedup.simhashNearDups]]'s `maxBucket`): names in
+    * hotter cells are excluded from candidate generation — observable
+    * spill, countable from the same groupBy — so one degenerate name
+    * shape can never go quadratic at 100× data. Counting distinct names
+    * rather than rows makes the cap a DOMAIN guard: duplicating the
+    * corpus never trips it.
     */
   def fuzzyBlockedPairs(
       df: DataFrame,
@@ -154,38 +162,53 @@ object Joins {
       maxBlock: Int = Int.MaxValue): DataFrame = {
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
     require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
-    val keyed = df.select(col(blockCol).as("block"),
-      col(idCol).as("_id"), col(nameCol).as("_name"),
-      floor(length(col(nameCol)) / maxDistance).cast("long").as("_lb"))
+    val ids = df.select(col(blockCol).as("block"),
+      col(idCol).as("_id"), col(nameCol).as("_name"))
+    val ndist = ids.select(col("block"), col("_name")).distinct()
+      .withColumn("_lb",
+        floor(length(col("_name")) / maxDistance).cast("long"))
     val capped =
-      if (maxBlock == Int.MaxValue) keyed
+      if (maxBlock == Int.MaxValue) ndist
       else {
-        val ok = keyed.groupBy(col("block"), col("_lb"))
+        val ok = ndist.groupBy(col("block"), col("_lb"))
           .agg(count(lit(1)).as("_n"))
           .filter(col("_n") <= maxBlock)
           .select(col("block"), col("_lb"))
-        keyed.join(ok, Seq("block", "_lb"))
+        ndist.join(ok, Seq("block", "_lb"))
       }
     val l = capped
       .withColumn("_probe",
         explode(array(col("_lb") - 1, col("_lb"), col("_lb") + 1)))
-      .select(col("block"), col("_probe"),
-        col("_id").as("left_id"), col("_name").as("left_name"))
+      .select(col("block"), col("_probe"), col("_name").as("na"))
     val r = capped.select(col("block"), col("_lb").as("_probe"),
-      col("_id").as("right_id"), col("_name").as("right_name"))
-    l.join(r, Seq("block", "_probe"))
-      .filter(col("left_id") < col("right_id"))
-      // exact band as residual (bucket adjacency is necessary, not
-      // sufficient): O(1) reject before any DP runs
-      .filter(abs(length(col("left_name")) - length(col("right_name")))
-        <= maxDistance)
-      // bounded variant: the DP early-exits (and returns -1) once the
-      // running distance exceeds maxDistance — O(d·min(len)) per pair
-      // instead of O(len²)
-      .withColumn("distance",
-        levenshtein(col("left_name"), col("right_name"), maxDistance))
+      col("_name").as("nb"))
+    // one row per unordered NAME pair (na <= nb; na = nb carries the
+    // exact-duplicate ids of one name)
+    val matched = l.join(r, Seq("block", "_probe"))
+      .filter(col("na") <= col("nb"))
+      .filter(abs(length(col("na")) - length(col("nb"))) <= maxDistance)
+      .withColumn("distance", levenshtein(col("na"), col("nb"), maxDistance))
       .filter(col("distance") >= 0 && col("distance") <= maxDistance)
       .drop("_probe")
+    // expansion: re-attach the id lists of both names; for equal names
+    // keep i < j directly (the product contains both orientations), for
+    // distinct names orient the single occurrence by id
+    val la = ids.select(col("block").as("_ba"), col("_name").as("_na2"),
+      col("_id").as("_ida"))
+    val rb = ids.select(col("block").as("_bb"), col("_name").as("_nb2"),
+      col("_id").as("_idb"))
+    matched
+      .join(la, col("block") === col("_ba") && col("na") === col("_na2"))
+      .join(rb, col("block") === col("_bb") && col("nb") === col("_nb2"))
+      .filter(col("na") =!= col("nb") || col("_ida") < col("_idb"))
+      .select(col("block"),
+        least(col("_ida"), col("_idb")).as("left_id"),
+        when(col("_ida") < col("_idb"), col("na")).otherwise(col("nb"))
+          .as("left_name"),
+        greatest(col("_ida"), col("_idb")).as("right_id"),
+        when(col("_ida") < col("_idb"), col("nb")).otherwise(col("na"))
+          .as("right_name"),
+        col("distance"))
   }
 
   /** Range-lookup join, equi-ized by bucketing: match each fact value to

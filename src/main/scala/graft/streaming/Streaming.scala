@@ -56,6 +56,46 @@ object Streaming {
     spark.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
   }
 
+  /** Streaming CDC aggregation WITH retractions — the ksql TABLE
+    * changelog semantic applied to an aggregate: the orders stream
+    * replays as a CDC log (every row an insert; late cancellations
+    * re-emit as deletes), and per-customer count/sum maintain
+    * incrementally because both are group-invertible — a delete is
+    * just a signed update folded into the SAME streaming hash
+    * aggregation, so state is one row per key forever, never growing
+    * with history. `max` is deliberately absent: it is not retractable
+    * in a stream (the batch [[graft.operators.Incremental.applyCdcDelta]]
+    * documents the key-pruned repair it needs instead). Shares the
+    * post-delete batch recompute as its oracle.
+    */
+  def cdcAggStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/orders*.parquet")
+    val cancelled = col("o_orderdate") < to_timestamp(lit("1998-01-01")) &&
+      col("o_orderkey") % 7 === 0
+    val inserts = raw.select(col("o_custkey"), col("o_totalprice"),
+      lit(1L).as("sign"))
+    val deletes = raw.filter(cancelled)
+      .select(col("o_custkey"), col("o_totalprice"), lit(-1L).as("sign"))
+    inserts.unionByName(deletes)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(col("sign")).as("n_orders"),
+        // integer cents inside the state, same as the batch MV: signed
+        // merge order cannot perturb a long sum
+        sum(col("sign") * floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("price_cents"))
+      .filter(col("n_orders") > 0) // fully-retracted keys leave the table
+      .select(col("o_custkey"), col("n_orders"),
+        (col("price_cents") / 100.0).as("total_price"),
+        round(col("price_cents") / 100.0 / col("n_orders"), 6).as("avg_price"))
+  }
+
   /** Streaming eval-leakage check: the ingest stream's shingles
     * stream-static-join the (small, static) benchmark shingle relation,
     * then aggregate per doc — the same TextOps.contamination expression
