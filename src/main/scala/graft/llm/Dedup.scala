@@ -400,6 +400,17 @@ object Dedup {
     * not a uniform one). The hashed variant remains the scale path:
     * this one shuffles k-gram strings and skips hot-bucket hygiene,
     * exactly like [[ngramJaccardPairsExact]].
+    *
+    * Measured plan notes (sf0.1, don't "fix" these): both join sides
+    * read the SAME distinct-fps subtree, and Spark's ReuseExchange
+    * serves the second side from the first side's shuffle — inserting a
+    * localCheckpoint to "materialize once" breaks that reuse and
+    * measured 8× SLOWER (17.9 s → 141 s); likewise singleton-fp
+    * pruning adds a shuffle the reused exchange makes redundant. The
+    * wall time is OUTPUT-bound: 12.49 M pairs at sf0.1 (exactly 100×
+    * the 124 706 at sf0.01 — boilerplate-shared fingerprints grow the
+    * pair set quadratically in corpus size), which is why the capped
+    * hashed variant, not this oracle harness, is the 100 TB path.
     */
   def winnowOverlapPairsExact(
       docs: DataFrame,
