@@ -262,6 +262,13 @@ object SparkEntry {
   private def qHistogram(s: SparkSession, dir: String): DataFrame =
     Stats.histogramEquiWidth(Tables.orders(s, dir), "o_totalprice", bins = 20)
 
+  /** 20-bin equi-DEPTH histogram (Stats.histogramEquiDepth): exact
+    * percentile boundaries via the bounded-state localization, then one
+    * broadcast array probe — never a global NTILE sort.
+    */
+  private def qHistogramEquidepth(s: SparkSession, dir: String): DataFrame =
+    Stats.histogramEquiDepth(Tables.orders(s, dir), "o_totalprice", bins = 20)
+
   /** C4-style segment filter: drop sub-3-word segments (split on the
     * ' merge ' token — the fixture corpus has no newlines), rejoin in
     * order. Pure projection, no shuffle.
@@ -438,6 +445,25 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select(col("doc_id"), col("split_key"), col("split"))
   }
+
+  /** Quality-weighted deterministic sampling
+    * (Sampling.weightedSample): keep probability = the doc's
+    * length-derived quality weight, decided by the corpus-stable md5
+    * key — the importance-sampling step of quality-weighted curation.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(Tables.documents(s, dir), col("doc_id"),
+      least(col("n_chars") / lit(3000.0), lit(1.0)))
+      .select(col("doc_id"), col("n_chars"))
+
+  /** Embargoed temporal split (Sampling.temporalSplit): time-ordered
+    * train/test with a 1-day purge gap against trailing-window feature
+    * leakage.
+    */
+  private def qTemporalSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.temporalSplit(Tables.events(s, dir), "ts",
+      "2024-01-25 00:00:00", embargoSec = 86400L)
+      .select(col("event_id"), col("ts"), col("split"))
 
   /** Exact-proportion stratified split by lang
     * (Sampling.exactSplitAssign): floor(cum·n) rows per boundary,
@@ -1543,6 +1569,7 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_attribution" -> (qAttribution _),
     "q_histogram" -> (qHistogram _),
+    "q_histogram_equidepth" -> (qHistogramEquidepth _),
     "q_segment_filter" -> (qSegmentFilter _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_semantic_dedup" -> (qSemanticDedup _),
@@ -1559,6 +1586,8 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_split_leakage_lsh" -> (qSplitLeakageLsh _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_temporal_split" -> (qTemporalSplit _),
     "q_split_exact" -> (qSplitExact _),
     "q_trailing_distinct" -> (qTrailingDistinct _),
     "q_trailing_distinct_approx" -> (qTrailingDistinctApprox _),
@@ -1936,6 +1965,19 @@ object SparkEntry {
         |            < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id""".stripMargin),
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE LEAST(n_chars / 3000.0, 1.0) >= 1.0
+        |   OR SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      LPAD(LOWER(HEX(CAST(FLOOR(
+        |        LEAST(GREATEST(n_chars / 3000.0, 0.0), 1.0) * 4294967296)
+        |        AS BIGINT))), 8, '0')""".stripMargin,
+    "q_temporal_split" ->
+      """SELECT event_id, ts,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00' THEN 'train'
+        |       WHEN ts >= TIMESTAMP '2024-01-26 00:00:00' THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |FROM events""".stripMargin,
     "q_split_exact" ->
       """WITH r AS (
         |  SELECT doc_id, lang,
@@ -2304,6 +2346,16 @@ object SparkEntry {
         |  MIN(mn + bucket * ((mx - mn) / 20.0)) AS edge_lo,
         |  MIN(mn + (bucket + 1) * ((mx - mn) / 20.0)) AS edge_hi
         |FROM b GROUP BY bucket""".stripMargin,
+    "q_histogram_equidepth" ->
+      s"""WITH b AS (
+        |  SELECT [${(1 until 20).map(i =>
+              s"ROUND(quantile_cont(o_totalprice, ${i / 20.0}), 6)").mkString(", ")}] AS bs
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT CAST(LEN(LIST_FILTER(bs, x -> x < o_totalprice)) AS INT) AS bucket,
+        |  COUNT(*) AS n,
+        |  MIN(o_totalprice) AS bucket_min, MAX(o_totalprice) AS bucket_max
+        |FROM orders, b WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_segment_filter" ->
       """SELECT doc_id,
         |  COALESCE(array_to_string(list_filter(string_split(text, ' merge '),

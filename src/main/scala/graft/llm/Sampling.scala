@@ -69,6 +69,52 @@ object Sampling {
     df.filter(samplingKey(key) < threshold)
   }
 
+  /** Quality-weighted deterministic sampling: keep each row with its
+    * OWN probability — a column, e.g. a quality score mapped to [0, 1]
+    * — decided against the same md5 sampling key as
+    * [[deterministicSample]]. This is the importance-sampling step of
+    * quality-weighted corpus curation ("sample documents proportional
+    * to quality", à la the DCLM/FineWeb quality-classifier pipelines),
+    * with the file's reproducibility contract intact: no rand(), no
+    * seed, a row's keep/drop never churns as the corpus grows, and the
+    * decision is a pure codegen'd filter (no shuffle, scan-speed).
+    * The per-row hex threshold is built with the identical
+    * floor(p · 2³²) arithmetic as [[hexThreshold]], so the DuckDB
+    * oracle compares the very same strings.
+    */
+  def weightedSample(df: DataFrame, key: Column, prob: Column): DataFrame = {
+    val p = least(greatest(prob.cast("double"), lit(0.0)), lit(1.0))
+    val thr = lpad(lower(hex(floor(p * 4294967296.0).cast("long"))), 8, "0")
+    // p = 1 makes the hex threshold 9 chars ("100000000") which lpad
+    // would truncate — the disjunct keeps those rows unconditionally
+    df.filter(p >= 1.0 || samplingKey(key) < thr)
+  }
+
+  /** Embargoed temporal split (purged time-series split): train is
+    * strictly before `trainEnd`, test strictly after `trainEnd` +
+    * `embargoSec`, and rows inside the embargo window are assigned
+    * "embargo" (to be DROPPED by the caller) — the gap prevents
+    * look-ahead leakage when features aggregate trailing windows (a
+    * test row just after the boundary would otherwise see train-period
+    * events inside its feature horizon; the embargo must be ≥ the
+    * longest feature lookback). Pure projection: no shuffle, no state,
+    * pushdown-friendly — the split predicate prunes partitions when
+    * the table is date-partitioned.
+    */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      trainEnd: String,
+      embargoSec: Long): DataFrame = {
+    require(embargoSec >= 0, s"embargoSec must be >= 0, got $embargoSec")
+    val cut = to_timestamp(lit(trainEnd))
+    val ts = col(tsCol)
+    df.withColumn("split",
+      when(ts < cut, "train")
+        .when(ts >= cut + expr(s"INTERVAL $embargoSec SECONDS"), "test")
+        .otherwise("embargo"))
+  }
+
   /** Deterministic train/val/test split assignment: each row gets the
     * first split whose cumulative hash threshold its key falls under
     * (fractions must sum to 1; the last split is the catch-all, so hash

@@ -173,6 +173,42 @@ object Stats {
         min(col("_mn") + (col("bucket") + 1) * width).as("edge_hi"))
   }
 
+  /** Equi-DEPTH histogram: bucket boundaries are the column's exact
+    * (i/bins)-percentiles, so buckets hold ≈ equal row counts (exactly
+    * equal up to value ties) — the profiling/binning complement of
+    * [[histogramEquiWidth]] for skewed distributions, and the standard
+    * feature-discretization step. A row's bucket is the number of
+    * boundaries strictly below its value, so boundary ties land in the
+    * lower bucket on both engines; boundaries are rounded to 6 decimals
+    * before comparison (same last-ulp discipline as [[outlierFilter]]).
+    *
+    * Scale: the textbook NTILE formulation is a GLOBAL single-partition
+    * window sort — a non-starter. Here the boundaries come from the
+    * bounded-state percentile localization and broadcast as ONE row;
+    * assignment is a codegen'd array probe, the data never globally
+    * sorts, and output is ≤ bins rows.
+    */
+  def histogramEquiDepth(
+      df: DataFrame,
+      valueCol: String,
+      bins: Int = 20,
+      buckets: Int = 1024): DataFrame = {
+    require(bins >= 2, s"histogramEquiDepth: bins must be >= 2, got $bins")
+    val v = col(valueCol).cast("double")
+    val nonNull = df.filter(v.isNotNull)
+    val ps = (1 until bins).map(i => (s"_b$i", i.toDouble / bins))
+    val bounds = percentilesByGroup(
+      nonNull.withColumn("_g", lit(1)), "_g", valueCol, ps, buckets)
+      .select(array(ps.map { case (n, _) => round(col(n), 6) }: _*).as("_bs"))
+    nonNull.crossJoin(broadcast(bounds))
+      .withColumn("bucket", size(filter(col("_bs"), b => b < v)))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(v).as("bucket_min"),
+        max(v).as("bucket_max"))
+  }
+
   /** Median absolute deviation per group — the robust spread measure
     * (outlier detection that, unlike stddev, is not itself dragged by
     * the outliers): MAD = median(|x − median(x)|), both medians EXACT

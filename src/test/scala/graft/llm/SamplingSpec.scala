@@ -286,6 +286,46 @@ class SamplingSpec extends SparkSpec {
       s"diverging docs: ${lsh.filter { case (k, v) => exact.get(k).exists(_ != v) }.take(5)}")
   }
 
+  test("weightedSample: p=0 drops, p=1 keeps, intermediate matches scalar threshold") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, (i % 11).toDouble / 10.0))
+      .toDF("doc_id", "p")
+    val kept = Sampling.weightedSample(df, col("doc_id"), col("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kept.values.forall(_ > 0.0), "p=0 rows must never survive")
+    val ones = (1L to 2000L).filter(_ % 11 == 10)
+    assert(ones.forall(kept.contains), "p=1 rows must always survive")
+    // every decision equals the scalar-threshold reference: row kept iff
+    // its hex key is under ITS OWN hexThreshold(p)
+    for (i <- 1L to 2000L) {
+      val p = (i % 11).toDouble / 10.0
+      val expectKeep = p >= 1.0 || {
+        val hk = java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        hk < Sampling.hexThreshold(p)
+      }
+      assert(kept.contains(i) == expectKeep, s"doc $i p=$p")
+    }
+    // monotone in p: overall keep rate between p=0.4 and p=0.6 cohorts
+    val rate = (j: Long) => (1L to 2000L).count(i => i % 11 == j && kept.contains(i))
+    assert(rate(2) <= rate(8), "higher p must not keep fewer rows")
+  }
+
+  test("temporalSplit: strict boundaries, embargo band excluded from both sides") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-24 23:59:59"), (2L, "2024-01-25 00:00:00"),
+      (3L, "2024-01-25 12:00:00"), (4L, "2024-01-26 00:00:00"),
+      (5L, "2024-01-27 00:00:00"))
+      .toDF("event_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Sampling.temporalSplit(df, "ts", "2024-01-25 00:00:00", 86400L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(out == Map(1L -> "train", 2L -> "embargo", 3L -> "embargo",
+      4L -> "test", 5L -> "test"), s"got $out")
+  }
+
   test("exactSplitAssign hits floor(cum·n) exactly per stratum") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, if (i <= 37) "a" else "b"))

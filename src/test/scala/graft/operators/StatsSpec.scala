@@ -141,4 +141,47 @@ class StatsSpec extends SparkSpec {
       "three non-null constant rows in bucket 0, the NULL excluded")
   }
 
+  test("histogramEquiDepth: near-equal depths vs brute force, ties to the lower bucket") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vals = Vector.fill(500)(math.floor(rnd.nextDouble() * 200) / 2.0) // ties
+    val df = vals.toDF("v")
+    val bins = 10
+    val out = Stats.histogramEquiDepth(df, "v", bins = bins)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.values.map(_._1).sum == 500L)
+    // brute force: same interpolated percentiles (rounded 6), same
+    // strictly-below assignment
+    val sorted = vals.sorted
+    def q(p: Double): Double = {
+      val h = (sorted.size - 1) * p; val lo = h.toInt
+      val raw = if (lo == h) sorted(lo)
+        else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val bounds = (1 until bins).map(i => q(i.toDouble / bins))
+    val expect = vals.groupBy(v => bounds.count(_ < v)).map { case (b, vs) =>
+      b -> ((vs.size.toLong, vs.min, vs.max))
+    }
+    assert(out == expect, s"ours=$out brute=$expect")
+    // depths are near-equal: every bucket within 2x of the ideal depth
+    // unless collapsed by ties
+    val ideal = 500.0 / bins
+    assert(out.values.forall(_._1 <= 2 * ideal), s"skewed depths: $out")
+    // monotone extents across buckets
+    val ordered = out.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach {
+      case Seq((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("histogramEquiDepth: NULLs excluded, constant column collapses to one bucket") {
+    import spark.implicits._
+    val df = Seq(Some(7.0), Some(7.0), Some(7.0), None).toDF("v")
+    val out = Stats.histogramEquiDepth(df, "v", bins = 4).collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(0) == 0 && out.head.getLong(1) == 3L)
+  }
+
 }
