@@ -1318,7 +1318,11 @@ object SparkEntry {
       Tables.orders(s, dir)
         .select(col("o_custkey").as("user_id"), col("o_orderkey")),
       tO, "user_id", buckets = 8)
-    s.table(tE).join(s.table(tO), "user_id")
+    // merge hint: at fixture sizes AQE would broadcast the small side
+    // and mark the bucketed scan "disabled by query planner" — the hint
+    // keeps the SortMergeJoin so the registered plan actually exercises
+    // the exchange-free bucketed layout the operator exists for
+    s.table(tE).hint("merge").join(s.table(tO).hint("merge"), "user_id")
       .select(col("event_id"), col("user_id"), col("o_orderkey"))
   }
 
