@@ -446,6 +446,23 @@ object SparkEntry {
       .select(col("doc_id"), col("split_key"), col("split"))
   }
 
+  /** Exact ROC-AUC as relational algebra (ml.Metrics.aucExact): does
+    * the event value rank purchases above non-purchases? Mann–Whitney
+    * with tie correction over the score histogram — integer-count
+    * algebra until one rounded division, so it hash-matches DuckDB.
+    */
+  private def qAuc(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Metrics.aucExact(Tables.events(s, dir),
+      col("event_type") === "purchase", col("value"))
+
+  /** Reliability bins (ml.Metrics.calibrationBins): value scaled into
+    * [0,1] as the score, purchase as the label — the calibration-curve
+    * relation.
+    */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Metrics.calibrationBins(Tables.events(s, dir),
+      col("event_type") === "purchase", col("value") / lit(500.0), bins = 10)
+
   /** Quality-weighted deterministic sampling
     * (Sampling.weightedSample): keep probability = the doc's
     * length-derived quality weight, decided by the corpus-stable md5
@@ -1592,6 +1609,8 @@ object SparkEntry {
     "q_split_leakage_lsh" -> (qSplitLeakageLsh _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_temporal_split" -> (qTemporalSplit _),
+    "q_auc" -> (qAuc _),
+    "q_calibration" -> (qCalibration _),
     "q_split_exact" -> (qSplitExact _),
     "q_trailing_distinct" -> (qTrailingDistinct _),
     "q_trailing_distinct_approx" -> (qTrailingDistinctApprox _),
@@ -1969,6 +1988,35 @@ object SparkEntry {
         |            < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id""".stripMargin),
+    "q_auc" ->
+      """WITH h AS (
+        |  SELECT value AS s,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nn
+        |  FROM events GROUP BY value),
+        |c AS (
+        |  SELECT np, nn,
+        |    COALESCE(SUM(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM h)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    ROUND(SUM(np * (2 * below + nn)) / (2.0 * SUM(np) * SUM(nn)), 6)
+        |  END AS auc
+        |FROM c""".stripMargin,
+    "q_calibration" ->
+      """WITH s AS (
+        |  SELECT LEAST(GREATEST(value / 500.0, 0.0), 1.0) AS v,
+        |    event_type = 'purchase' AS pos
+        |  FROM events)
+        |SELECT LEAST(CAST(FLOOR(v * 10) AS INT), 9) AS bin,
+        |  COUNT(*) AS n,
+        |  ROUND(SUM(CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+        |        / COUNT(*), 6) AS mean_score,
+        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  ROUND(SUM(CASE WHEN pos THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS pos_rate
+        |FROM s GROUP BY 1""".stripMargin,
     "q_weighted_sample" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE LEAST(n_chars / 3000.0, 1.0) >= 1.0
