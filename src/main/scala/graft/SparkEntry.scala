@@ -1752,7 +1752,8 @@ object SparkEntry {
     "q_span_trim", "q_corpus_pipeline", "q_trailing_distinct",
     "q_multi_window", "q_rolling_median", "q_ppl_filter",
     "q_temporal_join", "q_asof_join", "q_markov_transitions",
-    "q_incr_agg", "q_winnow_overlap_exact")
+    "q_incr_agg", "q_winnow_overlap_exact", "q_incr_cdc",
+    "q_histogram_equidepth", "q_auc", "q_bucketed_join")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →

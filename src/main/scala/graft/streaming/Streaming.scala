@@ -79,16 +79,25 @@ object Streaming {
     val cancelled = col("o_orderdate") < to_timestamp(lit("1998-01-01")) &&
       col("o_orderkey") % 7 === 0
     val inserts = raw.select(col("o_custkey"), col("o_totalprice"),
-      lit(1L).as("sign"))
+      lit("i").as("op"))
     val deletes = raw.filter(cancelled)
-      .select(col("o_custkey"), col("o_totalprice"), lit(-1L).as("sign"))
-    inserts.unionByName(deletes)
+      .select(col("o_custkey"), col("o_totalprice"), lit("d").as("op"))
+    signedOrderAgg(inserts.unionByName(deletes))
+  }
+
+  /** The signed (retracting) aggregation [[cdcAggStream]] runs: input
+    * is a CDC op-log (o_custkey, o_totalprice, op ∈ i/d), batch or
+    * streaming — deletes carry sign −1 into the same hash agg. Integer
+    * cents inside the state, same as the batch MV: signed merge order
+    * cannot perturb a long sum, across partitions OR micro-batches.
+    */
+  def signedOrderAgg(cdcLog: DataFrame): DataFrame = {
+    val sign = when(col("op") === "d", -1L).otherwise(1L)
+    cdcLog
       .groupBy(col("o_custkey"))
       .agg(
-        sum(col("sign")).as("n_orders"),
-        // integer cents inside the state, same as the batch MV: signed
-        // merge order cannot perturb a long sum
-        sum(col("sign") * floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        sum(sign).as("n_orders"),
+        sum(sign * floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("price_cents"))
       .filter(col("n_orders") > 0) // fully-retracted keys leave the table
       .select(col("o_custkey"), col("n_orders"),

@@ -291,6 +291,37 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch && batch.nonEmpty)
   }
 
+  test("CDC retraction across micro-batches: later deletes retract earlier state") {
+    import spark.implicits._
+    // three files = three real micro-batches (maxFilesPerTrigger=1):
+    // state built in batch 1 must be RETRACTED by batch 3's deletes,
+    // and a fully-deleted key must leave the result table entirely
+    val dir = java.nio.file.Files.createTempDirectory("cdc_batches").toString
+    def writeFile(rows: Seq[(Long, Double, String)]): Unit =
+      rows.toDF("o_custkey", "o_totalprice", "op")
+        .coalesce(1).write.mode("append").parquet(dir)
+    writeFile(Seq((1L, 100.0, "i"), (2L, 50.0, "i")))
+    writeFile(Seq((1L, 30.0, "i")))
+    writeFile(Seq((1L, 100.0, "d"), (2L, 50.0, "d")))
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 3, s"need 3 files for 3 batches, got $nFiles")
+    val streamed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*.parquet")
+    val out = Streaming.runToMemory(spark, Streaming.signedOrderAgg(streamed))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(1L -> (1L, 30.0)),
+      s"key 1 keeps only the surviving order, key 2 fully retracted: $out")
+  }
+
   test("continuous Trigger.ProcessingTime delivery updates results across batches (push query)") {
     // the reference's EMIT CHANGES push query over chunked HTTP: a
     // LONG-RUNNING trigger (not AvailableNow) whose result table keeps
