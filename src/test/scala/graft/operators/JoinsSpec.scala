@@ -145,6 +145,31 @@ class JoinsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must produce pairs for the test to bite")
   }
 
+  test("fuzzyBlockedPairs: duplicate names expand to distance-0 id pairs, once each") {
+    // the domain-compare design pairs NAMES then re-attaches ids: the
+    // (x, x) name pair must expand to each unordered id pair exactly
+    // once, and a (x, y) pair to the full id cross product, id-ordered
+    val df = Seq(
+      (1L, "A", "red bolt"), (4L, "A", "red bolt"), (2L, "A", "red bolt"),
+      (3L, "A", "red bolz"))
+      .toDF("id", "blk", "name")
+    val out = Joins.fuzzyBlockedPairs(df, "blk", "id", "name", maxDistance = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+        r.getAs[Int]("distance"))).toSet
+    assert(out == Set(
+      (1L, 2L, 0), (1L, 4L, 0), (2L, 4L, 0),       // the triple of dups
+      (1L, 3L, 1), (2L, 3L, 1), (3L, 4L, 1)),      // each dup vs the variant
+      s"got $out")
+    // names travel with their ids after the least/greatest reorder
+    val named = Joins.fuzzyBlockedPairs(df, "blk", "id", "name", 2)
+      .filter($"left_id" === 3L || $"right_id" === 3L).collect()
+    named.foreach { r =>
+      val (lid, lname) = (r.getAs[Long]("left_id"), r.getAs[String]("left_name"))
+      assert((lid == 3L) == (lname == "red bolz"), s"row $r")
+    }
+  }
+
   test("fuzzyBlockedPairs: maxBlock caps a hot cell without touching cold ones") {
     // hot cell: one block, 50 identical-length near-identical names —
     // the fixed-cardinality-block quadratic blowup in miniature.
