@@ -1039,6 +1039,25 @@ object SparkEntry {
       Seq("last_order_key", "last_order_price"))
   }
 
+  /** The SAME as-of enrichment through the broadcast variant
+    * (Joins.asOfJoinBroadcast): the dim history broadcasts as per-key
+    * sorted arrays and the fact side never shuffles — shares
+    * q_asof_join's oracle, so the driver proves the two plans agree.
+    */
+  private def qAsofBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.eventsWithEpoch(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    val r0 = Relational.latestByKey(
+      Tables.orders(s, dir)
+        .withColumn("o_sec", col("o_orderdate").cast("timestamp").cast("long")),
+      key = Seq("o_custkey", "o_sec"), orderBy = Seq("o_orderkey"))
+    val r = r0.select(col("o_custkey"), col("o_sec"),
+      col("o_orderkey").as("last_order_key"),
+      col("o_totalprice").as("last_order_price"))
+    Joins.asOfJoinBroadcast(l, r, "user_id", "o_custkey", "ts_sec", "o_sec",
+      Seq("last_order_key", "last_order_price"))
+  }
+
   /** Full-outer reconciliation (engine completeness): per-user event and
     * order counts stitched across both activity tables, keeping users
     * present on either side.
@@ -1701,6 +1720,7 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_broadcast" -> (qAsofBroadcast _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_sample_det" -> (qSampleDet _),
@@ -1753,7 +1773,8 @@ object SparkEntry {
     "q_multi_window", "q_rolling_median", "q_ppl_filter",
     "q_temporal_join", "q_asof_join", "q_markov_transitions",
     "q_incr_agg", "q_winnow_overlap_exact", "q_incr_cdc",
-    "q_histogram_equidepth", "q_auc", "q_bucketed_join")
+    "q_histogram_equidepth", "q_auc", "q_bucketed_join",
+    "q_asof_broadcast")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -2737,6 +2758,21 @@ object SparkEntry {
     "q_stream_tumbling" -> tumblingOracle,
     "q_stream_session" -> sessionOracle,
     "q_asof_join" ->
+      """WITH r0 AS (
+        |  SELECT o_custkey, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_sec,
+        |         o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_sec, o_orderkey AS last_order_key,
+        |             o_totalprice AS last_order_price
+        |      FROM r0 WHERE rn = 1),
+        |l AS (SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        |      FROM events)
+        |SELECT l.event_id, l.user_id, l.ts_sec, r.last_order_key, r.last_order_price
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.o_custkey AND l.ts_sec >= r.o_sec""".stripMargin,
+    "q_asof_broadcast" ->
       """WITH r0 AS (
         |  SELECT o_custkey, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_sec,
         |         o_orderkey, o_totalprice,

@@ -117,6 +117,45 @@ object Joins {
         rightPayload.map(c => col("_r").getField(c).as(c)): _*)
   }
 
+  /** Broadcast as-of join — [[asOfJoin]]'s zero-fact-shuffle variant
+    * for the common case where the right side is a broadcastable
+    * DIMENSION HISTORY (SCD2 dims: versions per key × keys ≪ facts).
+    * The dim compacts to one per-key time-sorted history array (one
+    * small shuffle of the dim only), broadcasts, and each fact row
+    * picks the LAST history entry with ts ≤ its own — a broadcast hash
+    * join plus a codegen'd array probe, so the 100 TB fact side is
+    * never exchanged or sorted at all (plan-asserted). [[asOfJoin]]
+    * remains the big-right-side path (one fact shuffle, merge-join
+    * shaped).
+    *
+    * Same semantics as [[asOfJoin]]: ≤ on ties, NULL payloads before a
+    * key's first version or for unmatched keys, the whole payload
+    * struct selected atomically (no cross-version column mixing), and
+    * the one-row-per-(key, ts) determinism precondition. O(|history|)
+    * probe per fact row — the dim history per key is what bounds it.
+    */
+  def asOfJoinBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTsSec: String,
+      rightTsSec: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val hist = right.groupBy(col(rightKey).as("_k"))
+      .agg(sort_array(collect_list(struct(
+        (col(rightTsSec).as("_t") +: rightPayload.map(col)): _*))).as("_hist"))
+    left.join(broadcast(hist), left(leftKey) === hist("_k"), "left")
+      // last qualifying version: filter keeps ts <= fact-ts in sorted
+      // order, try_element_at(-1) takes the newest (NULL when none or
+      // when the key has no history — ANSI-safe)
+      .withColumn("_m", try_element_at(
+        filter(col("_hist"), e => e("_t") <= col(leftTsSec)), lit(-1)))
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("_m")(c).as(c)): _*)
+  }
+
   /** Blocked fuzzy self-matching (entity resolution): candidate pairs
     * are generated within (blocking key × length bucket), scored with
     * exact Levenshtein edit distance, and kept under `maxDistance`.

@@ -97,6 +97,51 @@ class JoinsSpec extends SparkSpec {
     assert(out(0).getAs[String]("v2") == "x10")
   }
 
+  test("asOfJoinBroadcast: same semantics as asOfJoin on the boundary fixture") {
+    val left = Seq(
+      (1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 15L), (4L, 1L, 25L), (5L, 2L, 100L)
+    ).toDF("id", "k", "t")
+    val right = Seq((1L, 10L, "v10"), (1L, 20L, "v20")).toDF("rk", "rt", "v")
+    val bc = Joins.asOfJoinBroadcast(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getAs[String]("v")))
+    assert(bc.toSeq == Seq(
+      (1L, null), (2L, "v10"), (3L, "v10"), (4L, "v20"), (5L, null)))
+    // NULL payload in the matching version stays NULL (atomic struct)
+    val r2 = Seq(
+      (1L, 5L, Option("a5"), Option("y5")),
+      (1L, 10L, Option.empty[String], Option("x10")))
+      .toDF("rk", "rt", "v1", "v2")
+    val l2 = Seq((1L, 1L, 20L)).toDF("id", "k", "t")
+    val out2 = Joins.asOfJoinBroadcast(l2, r2, "k", "rk", "t", "rt", Seq("v1", "v2"))
+      .collect().head
+    assert(out2.getAs[String]("v1") == null && out2.getAs[String]("v2") == "x10")
+  }
+
+  test("asOfJoinBroadcast ≡ asOfJoin on a random frame; fact side never exchanges") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5)
+    val left = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(8) + 1).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "t")
+    val right = (1 to 40).map(i =>
+      ((i % 10 + 1).toLong, (i * 37 % 1000).toLong, s"p$i"))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // (key, ts) unique
+      .toDF("rk", "rt", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getAs[String]("v")))).toSet
+    val mergeV = canon(Joins.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("v")))
+    val bcast = Joins.asOfJoinBroadcast(left, right, "k", "rk", "t", "rt", Seq("v"))
+    assert(canon(bcast) == mergeV)
+    // AQE's toString repeats the pre-adaptive plan under "Initial Plan"
+    // — count exchanges in the executed FINAL section only
+    val plan = bcast.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly one hash exchange: the DIM compaction; the fact side rides
+    // a broadcast join with no exchange and no sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1, plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("fuzzyBlockedPairs: within-block pairs only, each once, exact distance") {
     val df = Seq(
       (1L, "A", "red widget"), (2L, "A", "red widgit"), // distance 1
