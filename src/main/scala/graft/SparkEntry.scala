@@ -640,6 +640,12 @@ object SparkEntry {
     WindowOps.sessionize(Tables.events(s, dir))
       .select(col("event_id"), col("user_id"), col("ts"), col("session_no"))
 
+  /** Character-bigram entropy per doc (TextOps.charEntropy) — the
+    * gibberish/randomness quality signal, integer-count algebra.
+    */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextOps.charEntropy(Tables.documents(s, dir))
+
   /** Exact repeated-span trimming (Dedup.trimRepeatedSpans): every
     * 8-token span that re-occurs in the corpus survives only at its
     * globally-first occurrence.
@@ -1683,6 +1689,7 @@ object SparkEntry {
     "q_quality_filter" -> (qQualityFilter _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition_stats" -> (qRepetitionStats _),
+    "q_char_entropy" -> (qCharEntropy _),
     "q_contamination" -> (qContamination _),
     "q_stream_contamination" -> (qStreamContamination _),
     "q_embed_normalize" -> (qEmbedNormalize _),
@@ -2912,6 +2919,15 @@ object SparkEntry {
         |  ROUND(dist * 1.0 / tot, 6) AS type_token_ratio,
         |  ROUND(mx * 1.0 / tot, 6) AS top_token_ratio
         |FROM a""".stripMargin,
+    "q_char_entropy" ->
+      """WITH bg AS (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(LEN(text) - 1),
+        |    i -> text[i+1:i+2])) AS bg
+        |  FROM documents WHERE LEN(text) >= 2),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6) AS entropy
+        |FROM c GROUP BY doc_id""".stripMargin,
     "q_contamination" -> contaminationOracle,
     // streaming ≡ batch: the incremental execution shares the oracle
     "q_stream_contamination" -> contaminationOracle,

@@ -249,6 +249,36 @@ object TextOps {
         round(col("dist").cast("double") / col("tot"), 6).as("type_token_ratio"),
         round(col("mx").cast("double") / col("tot"), 6).as("top_token_ratio"))
 
+  /** Character-bigram entropy per document — the classic gibberish /
+    * randomness signal (low entropy = repeated filler or template spam,
+    * near-maximal entropy = keyboard mash or encoded blobs; natural
+    * text sits in a stable mid band, which makes this a cheap quality
+    * band filter alongside [[qualityScore]]).
+    *
+    * H = log2(n) − Σ c·log2(c) / n over the doc's character-bigram
+    * counts — the algebraically identical regrouping of −Σ p·log2(p)
+    * that keeps every summand derived from INTEGER counts, so both
+    * engines compute the same doubles up to summation order and the
+    * 6-decimal round is stable. One explode + two hash aggregations,
+    * all map-side combinable; docs shorter than one bigram are absent
+    * (no 0/0 row).
+    */
+  def charEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val grams = docs
+      .filter(length(t) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), length(t) - 2),
+          i => t.substr(i + lit(1), lit(2)))).as("bg"))
+    grams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast("double") * log2(col("c"))).as("_clogc"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(log2(col("n_bigrams")) - col("_clogc") / col("n_bigrams"), 6)
+          .as("entropy"))
+  }
+
   /** Benchmark-contamination check: for every corpus doc, the fraction
     * of its distinct w-shingles that also appear in a benchmark corpus
     * (eval-set leakage detection before training).

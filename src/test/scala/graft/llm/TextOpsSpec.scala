@@ -81,6 +81,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1).getDouble(1) == 1.0 && out(1).getDouble(2) == 0.25)
   }
 
+  test("charEntropy: constant text scores 0, distinct bigrams score log2(n), brute force agrees") {
+    val df = Seq(
+      (1L, "aaaa"),    // one distinct bigram "aa" x3 -> H = 0
+      (2L, "abcd"),    // bigrams ab bc cd, all distinct -> H = log2(3)
+      (3L, "x"),       // shorter than a bigram -> absent
+      (4L, "abab"))    // ab x2, ba x1 -> H = log2(3) - (2*1)/3
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropy(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L) == ((3L, 0.0)))
+    assert(out(2L)._1 == 3L &&
+      math.abs(out(2L)._2 - math.log(3) / math.log(2)) < 1e-6)
+    def brute(s: String): Double = {
+      val counts = s.sliding(2).toSeq.groupBy(identity).values.map(_.size.toDouble)
+      val n = counts.sum
+      counts.map(c => -(c / n) * (math.log(c / n) / math.log(2))).sum
+    }
+    assert(math.abs(out(4L)._2 - brute("abab")) < 1e-6)
+    // natural text sits strictly between the degenerate extremes
+    val nat = TextOps.charEntropy(Seq((9L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")).collect().head.getDouble(2)
+    // 24 distinct bigrams: H = log2(24) exactly; the 6-decimal round can
+    // land a hair above the unrounded bound
+    assert(nat > 2.0 && nat < math.log(24) / math.log(2) + 1e-5)
+  }
+
   test("contamination: planted benchmark overlap detected, clean docs score 0") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(
