@@ -1184,6 +1184,18 @@ object SparkEntry {
       "source", "n_chars", 0.05, 0.95)
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  /** Winsorization (Stats.winsorize): the clamp-don't-drop companion
+    * of q_outlier_filter — every doc kept, tails tamed into the
+    * source's exact p05–p95 band.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.winsorize(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", 0.05, 0.95)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("n_chars_wins"))
+
   /** Decontamination applied: the corpus minus docs whose benchmark
     * contamination ratio reaches 0.2 (flag → anti-join).
     */
@@ -1733,6 +1745,7 @@ object SparkEntry {
     "q_sample_det" -> (qSampleDet _),
     "q_cap_per_group" -> (qCapPerGroup _),
     "q_outlier_filter" -> (qOutlierFilter _),
+    "q_winsorize" -> (qWinsorize _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_split_assign" -> (qSplitAssign _),
     "q_embed_quantize" -> (qEmbedQuantize _),
@@ -1781,7 +1794,7 @@ object SparkEntry {
     "q_temporal_join", "q_asof_join", "q_markov_transitions",
     "q_incr_agg", "q_winnow_overlap_exact", "q_incr_cdc",
     "q_histogram_equidepth", "q_auc", "q_bucketed_join",
-    "q_asof_broadcast")
+    "q_asof_broadcast", "q_winnow_overlap")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -3037,6 +3050,15 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d JOIN b USING (source)
         |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ROUND(QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.05), 6) AS lo,
+        |    ROUND(QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.95), 6) AS hi
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi) AS n_chars_wins
+        |FROM documents d JOIN b USING (source)""".stripMargin,
     "q_decontaminate" -> decontaminateOracle,
     "q_bloom_decontaminate" -> decontaminateOracle,
     "q_split_assign" ->

@@ -130,6 +130,32 @@ object Stats {
       .drop("_lo", "_hi")
   }
 
+  /** Winsorization: CLAMP each row's value into its group's
+    * [loP, hiP] exact-percentile band — the keep-the-row companion of
+    * [[outlierFilter]]'s drop semantics (feature engineering wants the
+    * row with a tamed tail, not a smaller table). Same bounded-state
+    * percentile localization, same one-row-per-group broadcast, same
+    * 6-decimal bound rounding so the clamp decision is engine-identical;
+    * the corpus never shuffles.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loP: Double = 0.05,
+      hiP: Double = 0.95,
+      buckets: Int = 1024): DataFrame = {
+    require(loP <= hiP, s"winsorize: loP $loP must be <= hiP $hiP")
+    val b = percentilesByGroup(df, groupCol, valueCol,
+      Seq("_lo" -> loP, "_hi" -> hiP), buckets)
+      .select(col(groupCol),
+        round(col("_lo"), 6).as("_lo"), round(col("_hi"), 6).as("_hi"))
+    df.join(broadcast(b), groupCol)
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol).cast("double"), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
   /** Equi-width histogram of a numeric column: `bins` buckets spanning
     * the observed [min, max], each row reporting its bucket edges, row
     * count, and observed value extent. The standard first-look profiling

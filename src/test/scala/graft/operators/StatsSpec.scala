@@ -176,6 +176,18 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: clamps into the band, keeps every row, interior values untouched") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val out = Stats.winsorize(df, "g", "v", 0.1, 0.9)
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("v_wins")).toMap
+    assert(out.size == 100, "winsorize must keep every row")
+    // exact p10/p90 of 1..100 (interpolated): 10.9 and 90.1
+    assert(out(1L) == 10.9 && out(5L) == 10.9, "low tail clamps to p10")
+    assert(out(100L) == 90.1 && out(95L) == 90.1, "high tail clamps to p90")
+    assert(out(50L) == 50.0, "interior values pass through unchanged")
+  }
+
   test("histogramEquiDepth: NULLs excluded, constant column collapses to one bucket") {
     import spark.implicits._
     val df = Seq(Some(7.0), Some(7.0), Some(7.0), None).toDF("v")
