@@ -1447,6 +1447,30 @@ object SparkEntry {
   private def qWinnowOverlapExact(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowOverlapPairsExact(Tables.documents(s, dir))
 
+  /** The winnowing pipeline a real corpus runs: strip boilerplate
+    * segments FIRST (TextOps.removeBoilerplate), then fingerprint what
+    * remains at PARAGRAPH granularity — k = 25 chars (≈ 4 words),
+    * w = 8, so only shared runs ≥ w + k − 1 = 32 chars fingerprint
+    * together (the MOSS-realistic plagiarism setting). The unstripped
+    * q_winnow_overlap / _exact pair keeps the k = 5 default, where a
+    * "gram" is sub-word and the fixture's 40-word vocabulary makes
+    * chance 8-char collisions ubiquitous — their pair set is quadratic
+    * in corpus size by construction (measured 9.51 M pairs / 23.7 s at
+    * sf0.1), measuring pair-dump I/O, not winnowing compute. This
+    * composition is the benched scale path: measured 613 pairs / 1.7 s
+    * at sf0.1 (28 at sf0.001 — subquadratic growth, the planted
+    * overlaps plus a thin chance tail). DedupSpec asserts the pair
+    * count drops orders of magnitude vs the unstripped run while a
+    * planted post-strip duplicate still pairs. Rows-only (seeded
+    * xxhash64 fingerprints are not SQL-expressible; the winnowing
+    * semantics are oracled via q_winnow_overlap_exact).
+    */
+  private def qWinnowClean(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairs(
+      TextOps.removeBoilerplate(Tables.documents(s, dir), " merge ", minDocs = 2)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      k = 25, w = 8)
+
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.1)
 
@@ -1751,6 +1775,7 @@ object SparkEntry {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_winnow_overlap_exact" -> (qWinnowOverlapExact _),
+    "q_winnow_clean" -> (qWinnowClean _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_mixture_weights" -> (qMixtureWeights _),
     "q_sample_temperature" -> (qSampleTemperature _),
@@ -1794,7 +1819,7 @@ object SparkEntry {
     "q_temporal_join", "q_asof_join", "q_markov_transitions",
     "q_incr_agg", "q_winnow_overlap_exact", "q_incr_cdc",
     "q_histogram_equidepth", "q_auc", "q_bucketed_join",
-    "q_asof_broadcast", "q_winnow_overlap")
+    "q_asof_broadcast", "q_winnow_overlap", "q_winnow_clean")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →

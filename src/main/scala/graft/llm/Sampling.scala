@@ -91,8 +91,9 @@ object Sampling {
   }
 
   /** Embargoed temporal split (purged time-series split): train is
-    * strictly before `trainEnd`, test strictly after `trainEnd` +
-    * `embargoSec`, and rows inside the embargo window are assigned
+    * strictly before `trainEnd`, test at or after `trainEnd` +
+    * `embargoSec` (a row exactly at the embargo end is test — the
+    * oracled `>=` boundary), and rows inside the embargo window are assigned
     * "embargo" (to be DROPPED by the caller) — the gap prevents
     * look-ahead leakage when features aggregate trailing windows (a
     * test row just after the boundary would otherwise see train-period

@@ -16,33 +16,66 @@ import org.apache.spark.sql.functions._
 object Metrics {
 
   /** Exact ROC-AUC via the Mann–Whitney U statistic with tie
-    * correction, computed on the SCORE HISTOGRAM: group rows by
-    * distinct score (map-side combinable), then one cumulative window
-    * over the histogram — the window sorts |distinct scores| rows,
-    * never the table (the percentile-localization discipline; quantize
-    * scores first if they are continuous and unbounded in cardinality).
+    * correction, computed on the SCORE HISTOGRAM with the two-level
+    * bucket localization the percentile machinery uses
+    * ([[graft.operators.Stats]]): group rows by distinct score
+    * (map-side combinable), coarse-bucket the histogram over its
+    * observed extent, derive each bucket's cross-bucket negative
+    * offset from the ≤ `buckets`-row bucket relation (a triangular
+    * join-agg — no unpartitioned window anywhere in the plan), then
+    * run the cumulative window PARTITIONED BY BUCKET with the offset
+    * added. No task ever sorts more than ~|distinct scores|/`buckets`
+    * rows, so continuous near-unique scores (the 100 TB scored-table
+    * case) are safe without quantization.
     *
     * AUC = Σ_s n⁺(s) · (N⁻(<s) + n⁻(s)/2) / (P·N) — each positive
     * counts the negatives ranked strictly below it plus half its own
     * tie group. Doubled U stays an exact integer sum, so both engines
-    * agree before the single rounded division. Output one row:
-    * (n_pos, n_neg, auc); auc is NULL when either class is absent.
+    * agree before the single rounded division; bucket boundaries only
+    * relocate where the running sum is split, never its value, so the
+    * result is bit-identical to the single-window formulation. NULL
+    * scores keep their own bucket BELOW all others (Spark's former
+    * nulls-first window order). The groupBy-score exchange is one
+    * subtree reused by every path (ReuseExchange), so the base table
+    * still scans once. Output one row: (n_pos, n_neg, auc); auc is
+    * NULL when either class is absent.
     */
   def aucExact(
       df: DataFrame,
       labelCol: Column,
-      scoreCol: Column): DataFrame = {
+      scoreCol: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"aucExact: buckets must be >= 2, got $buckets")
     val h = df
       .groupBy(scoreCol.cast("double").as("s"))
       .agg(
         sum(when(labelCol, 1L).otherwise(0L)).as("np"),
         sum(when(labelCol, 0L).otherwise(1L)).as("nn"))
-    // cumulative negatives strictly below each score: a window over the
-    // distinct-score histogram (|scores| rows), same single-partition
-    // trade as Sampling.mixtureWeights' group-relation window
-    val w = Window.orderBy(col("s"))
+    val ext = h.agg(min(col("s")).as("_mn"), max(col("s")).as("_mx"))
+    val hb = h.crossJoin(broadcast(ext))
+      .withColumn("_b",
+        when(col("s").isNull, lit(-1))
+          .when(col("_mx") === col("_mn"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("s") - col("_mn")) /
+              ((col("_mx") - col("_mn")) / buckets)).cast("int"))))
+      .drop("_mn", "_mx")
+    // negatives strictly below each bucket: triangular join-agg over the
+    // ≤ buckets-row bucket-sum relation (broadcast nested loop on ≤ 2²⁰
+    // comparisons) — bounded by construction, and free of the
+    // single-partition WindowExec an unpartitioned cumulative would plan
+    val bsum = hb.groupBy(col("_b")).agg(sum(col("nn")).as("_bn"))
+    val below = bsum.select(col("_b").as("_ob"), col("_bn").as("_obn"))
+    val off = bsum.join(broadcast(below), col("_ob") < col("_b"), "left")
+      .groupBy(col("_b"))
+      .agg(coalesce(sum(col("_obn")), lit(0L)).as("_off"))
+    // within-bucket cumulative: partitioned by bucket → parallel, each
+    // task sorts only its bucket's distinct scores
+    val w = Window.partitionBy(col("_b")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    h.withColumn("below", coalesce(sum(col("nn")).over(w), lit(0L)))
+    hb.join(broadcast(off), "_b")
+      .withColumn("below",
+        col("_off") + coalesce(sum(col("nn")).over(w), lit(0L)))
       .agg(
         sum(col("np")).as("n_pos"),
         sum(col("nn")).as("n_neg"),

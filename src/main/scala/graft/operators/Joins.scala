@@ -231,7 +231,11 @@ object Joins {
       .drop("_probe")
     // expansion: re-attach the id lists of both names; for equal names
     // keep i < j directly (the product contains both orientations), for
-    // distinct names orient the single occurrence by id
+    // distinct names orient the single occurrence by id. The explicit
+    // _ida =!= _idb guard matters when one id occurs under BOTH names
+    // (two rows, same id, names within maxDistance): the name pair is a
+    // real match but its expansion would otherwise emit a self-pair,
+    // which the pair contract (left_id < right_id) excludes
     val la = ids.select(col("block").as("_ba"), col("_name").as("_na2"),
       col("_id").as("_ida"))
     val rb = ids.select(col("block").as("_bb"), col("_name").as("_nb2"),
@@ -239,7 +243,8 @@ object Joins {
     matched
       .join(la, col("block") === col("_ba") && col("na") === col("_na2"))
       .join(rb, col("block") === col("_bb") && col("nb") === col("_nb2"))
-      .filter(col("na") =!= col("nb") || col("_ida") < col("_idb"))
+      .filter(col("_ida") =!= col("_idb") &&
+        (col("na") =!= col("nb") || col("_ida") < col("_idb")))
       .select(col("block"),
         least(col("_ida"), col("_idb")).as("left_id"),
         when(col("_ida") < col("_idb"), col("na")).otherwise(col("nb"))

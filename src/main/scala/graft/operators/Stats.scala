@@ -213,6 +213,18 @@ object Stats {
     * bounded-state percentile localization and broadcast as ONE row;
     * assignment is a codegen'd array probe, the data never globally
     * sorts, and output is ≤ bins rows.
+    *
+    * Measured cost floor (sf0.1, local[32], A/B in one JVM): the FIRST
+    * execution pays ~3.5–4 s of one-time whole-stage-codegen compilation
+    * for the 19-boundary localization (the 2·|ps|-disjunct rank
+    * predicate plus the ~4·|ps|-expression selection agg compile once
+    * per JVM, cached by plan signature); warm steady-state is ~2.0–2.5 s
+    * — commensurate with the sibling localizations. A/B showed
+    * `localCheckpoint` on the bounds subtree changes nothing (the
+    * broadcast already executes it exactly once; job count 19 either
+    * way), so none is taken. The compile cost is a driver-side constant
+    * independent of data volume — irrelevant at 100 TB, visible at
+    * fixture scale.
     */
   def histogramEquiDepth(
       df: DataFrame,

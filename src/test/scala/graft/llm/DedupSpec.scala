@@ -293,6 +293,32 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("boilerplate-stripped winnowing: pair count collapses, true overlaps survive") {
+    // the q_winnow_clean composition: the fixture's 40-word vocabulary
+    // makes sub-word (k = 5) grams collide across essentially all docs,
+    // so unstripped winnowing is output-bound (pair set quadratic in
+    // corpus size); boilerplate-stripping + paragraph-scale grams
+    // (k = 25, w = 8 — only ≥ 32-char shared runs fingerprint together)
+    // must collapse the pair count by orders of magnitude while keeping
+    // genuinely copied content
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val raw = Dedup.winnowOverlapPairs(docs).count()
+    val clean = TextOps.removeBoilerplate(docs, " merge ", minDocs = 2)
+      .select($"doc_id", $"clean_text".as("text"))
+    val strippedN = Dedup.winnowOverlapPairs(clean, k = 25, w = 8).count()
+    assert(strippedN >= 1L, "composition must still find the planted overlaps")
+    assert(raw >= 100L * strippedN,
+      s"composition must collapse the pair set: raw=$raw stripped=$strippedN")
+    // a planted non-boilerplate overlap still comes through the
+    // composition: copy one doc's cleaned text into a fresh doc id
+    val donor = clean.filter(length($"text") > 100).limit(1)
+    val planted = clean.unionAll(
+      donor.select(lit(999999L).as("doc_id"), $"text"))
+    val found = Dedup.winnowOverlapPairs(planted, k = 25, w = 8)
+      .filter($"b" === 999999L).count()
+    assert(found >= 1L, "planted post-strip duplicate must still pair")
+  }
+
   test("incremental delta dedup ≡ full-corpus pairing restricted to new docs") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val old = docs.filter($"doc_id" % 2 === 0)

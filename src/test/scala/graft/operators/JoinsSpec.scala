@@ -215,6 +215,23 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyBlockedPairs: an id under two near names never emits a self-pair") {
+    // one id occurring with TWO different names within maxDistance: the
+    // (na, nb) name pair is a genuine match, but its id expansion
+    // contains (7, 7) — the pair contract (left_id < right_id) must
+    // exclude it while keeping the cross-id pairs
+    val df = Seq(
+      (7L, "A", "red bolt"), (7L, "A", "red bolz"), (8L, "A", "red bol"))
+      .toDF("id", "blk", "name")
+    val out = Joins.fuzzyBlockedPairs(df, "blk", "id", "name", maxDistance = 2)
+      .collect()
+    assert(out.forall(r =>
+      r.getAs[Long]("left_id") < r.getAs[Long]("right_id")), out.mkString(";"))
+    // both 7-vs-8 name pairings survive (distinct name columns)
+    assert(out.count(r => r.getAs[Long]("left_id") == 7L &&
+      r.getAs[Long]("right_id") == 8L) == 2, out.mkString(";"))
+  }
+
   test("fuzzyBlockedPairs: maxBlock caps a hot cell without touching cold ones") {
     // hot cell: one block, 50 identical-length near-identical names —
     // the fixed-cardinality-block quadratic blowup in miniature.
