@@ -57,6 +57,23 @@ object SparkEntry {
     * micro-batch in streaming).
     */
   private def scoredFlagship(
+      spark: SparkSession, feats: DataFrame, dir: String): DataFrame =
+    enrichedFlagship(spark, feats, dir)
+      .withColumn("predicted_label",
+        call_udf("predict", lit("Bot Detector"),
+          Relational.asArray(col("country"), col("platform")),
+          Relational.asArray(
+            col("purchase_views").cast("int"), col("view_views").cast("int"),
+            col("click_views").cast("int"), col("nb_orders"))))
+
+  /** The flagship's RELATIONAL PREFIX — everything up to (not
+    * including) the predict UDF column: hopping pivot features
+    * left-enriched with user dims and order counts. Split out so the
+    * streaming flagship's relational algebra can be driver-hash-checked
+    * on its own (q_stream_flagship_rel): the model column is not
+    * SQL-expressible, but this prefix is plain ANSI.
+    */
+  private def enrichedFlagship(
       spark: SparkSession, feats: DataFrame, dir: String): DataFrame = {
     val dims = Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)),
@@ -74,12 +91,6 @@ object SparkEntry {
         coalesce(col("country"), lit("UNKNOWN")).as("country"),
         coalesce(col("platform"), lit("UNKNOWN")).as("platform"),
         coalesce(col("nb_orders"), lit(0L)).cast("int").as("nb_orders"))
-      .withColumn("predicted_label",
-        call_udf("predict", lit("Bot Detector"),
-          Relational.asArray(col("country"), col("platform")),
-          Relational.asArray(
-            col("purchase_views").cast("int"), col("view_views").cast("int"),
-            col("click_views").cast("int"), col("nb_orders"))))
   }
 
   // ---- query implementations ------------------------------------------
@@ -375,6 +386,12 @@ object SparkEntry {
     * AGGREGATED 25-row relation (never the fact table), and the total is
     * summed in integer cents so the share is an exact-integer ratio on
     * both engines — no FP-summation-order divergence.
+    *
+    * CONTRACT: the window input must stay the post-aggregation group
+    * relation (nation — fixed 25-row domain). EntrySpec plan-asserts
+    * the Window sits above the aggregate, so a future re-parameterization
+    * onto a high-cardinality key (the q_auc round-7 hazard) fails the
+    * suite instead of shipping a single-task sort.
     */
   private def qRevenueShare(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -417,6 +434,23 @@ object SparkEntry {
     val sym = trade.unionAll(trade.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.Graph.pageRank(sym, iterations = 10)
       .select(col("node"), round(col("rank") * 1e6, 3).as("rank_ppm"))
+  }
+
+  /** The trade graph's PageRank in pure integer micro-units
+    * (Graph.pageRankIntScaled, 3 iterations): identical edges to
+    * q_pagerank, but every step floor-division integer algebra, so the
+    * DuckDB CTE-chain oracle hash-matches bit-for-bit — the graph
+    * family's driver-checked row. GraphSpec asserts the scaled ranks
+    * track the float iteration.
+    */
+  private def qPagerankExact(s: SparkSession, dir: String): DataFrame = {
+    val trade = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val sym = trade.unionAll(trade.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pageRankIntScaled(sym, iterations = 3)
   }
 
   /** Leakage-safe splits: whole dedup clusters (exact n-gram Jaccard
@@ -462,6 +496,25 @@ object SparkEntry {
   private def qCalibration(s: SparkSession, dir: String): DataFrame =
     graft.ml.Metrics.calibrationBins(Tables.events(s, dir),
       col("event_type") === "purchase", col("value") / lit(500.0), bins = 10)
+
+  /** The reference's model evaluation end-to-end (train.py:334-336):
+    * train + register the bot detector, score the training frame with
+    * the vectorized path, then exact Mann–Whitney AUC on the model's
+    * P(bot) probabilities against the true label — the
+    * areaUnderROC computation the reference runs, as ONE registered
+    * relation (scoring never leaves the executors; the AUC is the
+    * bucket-localized integer algebra of q_auc). Rows-only (model
+    * probabilities are not SQL-expressible); MLSpec asserts equality
+    * with MLlib's evaluator to 1e-6 on the same frame.
+    */
+  private def qAucModel(s: SparkSession, dir: String): DataFrame = {
+    val reg = tempRegistry()
+    Trainer.trainAndRegister(s, dir, reg, "Bot Detector", useCv = false)
+    graft.ml.Metrics.aucExact(
+      Scorer.withPositiveProbability(
+        reg.load("Bot Detector"), Trainer.trainingFrame(s, dir), "bot", "p_bot"),
+      col("label") === "bot", col("p_bot"))
+  }
 
   /** Quality-weighted deterministic sampling
     * (Sampling.weightedSample): keep probability = the doc's
@@ -943,6 +996,14 @@ object SparkEntry {
   private def qEmbedDimStats(s: SparkSession, dir: String): DataFrame =
     graft.llm.EmbeddingOps.dimStats(Tables.embeddings(s, dir))
 
+  /** The exact d×d sample covariance (upper triangle) of the embedding
+    * corpus — the Gramian q_embed_pca eigendecomposes, as integer-micros
+    * relational algebra, so the PCA family gains its driver-hash-checked
+    * row (eigenvectors stay spec-side: sign-indeterminate across BLAS).
+    */
+  private def qEmbedCovariance(s: SparkSession, dir: String): DataFrame =
+    graft.llm.EmbeddingOps.covarianceExact(Tables.embeddings(s, dir), dims = 64)
+
   private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
@@ -1166,6 +1227,19 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select(col("doc_id"), col("source"), col("split"))
 
+  /** Reproducible global training order + round-robin data-parallel
+    * shards (Sampling.shardAssign over globalOrderIndex): every doc gets
+    * a dense md5-order ordinal and a shard = (ord-1) mod 32 — the
+    * loader contract for a 32-way data-parallel run, computed WITHOUT a
+    * single-task global sort (two-level bucket-localized ranking; the
+    * only unpartitioned window consumes the 256-row bucket-count
+    * relation — SamplingSpec plan-asserts the shape).
+    */
+  private def qCorpusOrder(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardAssign(
+      Tables.documents(s, dir).select(col("doc_id")), col("doc_id"), nShards = 32)
+      .select(col("doc_id"), col("ord"), col("shard"))
+
   /** Per-group deterministic cap — "max 50 docs per source", the count
     * form of a mixing policy guardrail.
     */
@@ -1315,6 +1389,27 @@ object SparkEntry {
     graft.operators.Sketches.thetaIntersectEstimate(
       seg("click"), seg("purchase"), "seg")
   }
+
+  /** The exact set algebra behind q_theta_overlap: distinct-user
+    * intersection/union of the click and purchase segments in ONE
+    * groupBy(user) pass (per-user membership flags, then a bounded
+    * 4-sum agg) — the in-driver truth row the theta sketch estimates.
+    * SketchesSpec asserts the sketch's relative error against this
+    * exact intersect; the DuckDB oracle hash-matches it, so the sketch
+    * family's ground truth is itself driver-verified.
+    */
+  private def qThetaOverlapExact(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("_c"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("_p"))
+      .agg(
+        sum(when(col("_c") === 1 && col("_p") === 1, 1L).otherwise(0L)).as("n_both"),
+        sum(col("_c").cast("long")).as("n_click"),
+        sum(col("_p").cast("long")).as("n_purchase"),
+        count(lit(1)).as("n_union"))
 
   /** Bounded-memory approximate heavy hitters over the same bigram
     * relation as the exact q_top_ngrams (rows-only; heavy-item agreement
@@ -1575,6 +1670,18 @@ object SparkEntry {
       scoredFlagship(s, Streaming.hoppingPivotStream(s, dir), dir))
   }
 
+  /** The streaming flagship's relational prefix executed INCREMENTALLY
+    * (state store + micro-batches) and hash-checked by the driver:
+    * q_stream_flagship itself stays rows-only because the model column
+    * is not SQL-expressible, but everything before the predict UDF —
+    * hopping pivot, dim enrich, order counts — is plain ANSI, so this
+    * variant shares that algebra with a DuckDB oracle. Streaming ≡
+    * batch ≡ oracle on the finite replay.
+    */
+  private def qStreamFlagshipRel(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s,
+      enrichedFlagship(s, Streaming.hoppingPivotStream(s, dir), dir))
+
   private def tempRegistry(): Registry =
     new Registry(java.nio.file.Files.createTempDirectory("graft_reg").toString)
 
@@ -1603,18 +1710,20 @@ object SparkEntry {
              FROM ml_features""")
   }
 
-  /** decode() keeps its struct-valued API; the comparison view flattens
-    * to scalars (+ to_json features) because the driver's compare cannot
-    * sort struct/array columns (round-1 ERRORED rows check).
+  /** decode() keeps its struct-valued API; the comparison view projects
+    * the DETERMINISTIC decode fields — modality, byte count, channel
+    * count, feature-vector arity — which are pure metadata arithmetic
+    * and therefore DuckDB-oracle-able (the q_multimodal_frames trick).
+    * The stub-hash payload fields (width/height/features, xxhash64-
+    * derived) are excluded here and stay covered by MultimodalSpec's
+    * determinism tests; a real codec swap changes those, not these.
     */
   private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decode(Multimodal.asMedia(Tables.documents(s, dir)))
       .select(
         col("media_id"), col("modality"), col("n_bytes"),
-        col("decoded.width").as("width"),
-        col("decoded.height").as("height"),
         col("decoded.channels").as("channels"),
-        to_json(col("decoded.features")).as("features_json"))
+        size(col("decoded.features")).as("n_features"))
 
   private def qMultimodalPartitioned(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodePartitioned(Multimodal.asMedia(Tables.documents(s, dir)))
@@ -1672,6 +1781,7 @@ object SparkEntry {
     "q_temporal_split" -> (qTemporalSplit _),
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
+    "q_auc_model" -> (qAucModel _),
     "q_split_exact" -> (qSplitExact _),
     "q_trailing_distinct" -> (qTrailingDistinct _),
     "q_trailing_distinct_approx" -> (qTrailingDistinctApprox _),
@@ -1730,6 +1840,7 @@ object SparkEntry {
     "q_stream_contamination" -> (qStreamContamination _),
     "q_embed_normalize" -> (qEmbedNormalize _),
     "q_embed_dim_stats" -> (qEmbedDimStats _),
+    "q_embed_covariance" -> (qEmbedCovariance _),
     "q_sim_topk" -> (qSimTopk _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1751,6 +1862,7 @@ object SparkEntry {
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
     "q_stream_changelog_pivot" -> (qStreamChangelogPivot _),
     "q_stream_flagship" -> (qStreamFlagship _),
+    "q_stream_flagship_rel" -> (qStreamFlagshipRel _),
     "q_ml_train_score" -> (qMlTrainScore _),
     "q_predict_udf" -> (qPredictUdf _),
     "q_ml_features" -> (qMlFeatures _),
@@ -1772,6 +1884,7 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_split_assign" -> (qSplitAssign _),
+    "q_corpus_order" -> (qCorpusOrder _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_winnow_overlap_exact" -> (qWinnowOverlapExact _),
@@ -1794,6 +1907,8 @@ object SparkEntry {
     "q_hll_distinct" -> (qHllDistinct _),
     "q_kll_quantiles" -> (qKllQuantiles _),
     "q_theta_overlap" -> (qThetaOverlap _),
+    "q_theta_overlap_exact" -> (qThetaOverlapExact _),
+    "q_pagerank_exact" -> (qPagerankExact _),
     "q_approx_top_ngrams" -> (qApproxTopNgrams _),
     "q_dedup_delta" -> (qDedupDelta _),
     "q_dedup_delta_exact" -> (qDedupDeltaExact _),
@@ -1819,7 +1934,8 @@ object SparkEntry {
     "q_temporal_join", "q_asof_join", "q_markov_transitions",
     "q_incr_agg", "q_winnow_overlap_exact", "q_incr_cdc",
     "q_histogram_equidepth", "q_auc", "q_bucketed_join",
-    "q_asof_broadcast", "q_winnow_overlap", "q_winnow_clean")
+    "q_asof_broadcast", "q_winnow_overlap", "q_winnow_clean",
+    "q_embed_covariance", "q_corpus_order")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -2071,6 +2187,57 @@ object SparkEntry {
         |    ROUND(SUM(np * (2 * below + nn)) / (2.0 * SUM(np) * SUM(nn)), 6)
         |  END AS auc
         |FROM c""".stripMargin,
+    "q_theta_overlap_exact" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT
+        |  CAST(SUM(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(SUM(c) AS BIGINT) AS n_click,
+        |  CAST(SUM(p) AS BIGINT) AS n_purchase,
+        |  COUNT(*) AS n_union
+        |FROM u""".stripMargin,
+    "q_pagerank_exact" -> {
+      // the same integer algebra as Graph.pageRankIntScaled, unrolled as
+      // a CTE chain: c_i = per-node floor-div contribution sums from
+      // r_{i-1}, r_i = base + damped floor-div total. All BIGINT ops.
+      val S = 1000000000000L
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS node, SUM(r${i - 1}.r // deg.d) AS s
+           |  FROM e JOIN deg ON e.src = deg.src
+           |         JOIN r${i - 1} ON r${i - 1}.node = e.src
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT nodes.node,
+           |    (15 * $S) // (100 * (SELECT n FROM nn))
+           |      + (85 * COALESCE(c$i.s, 0)) // 100 AS r
+           |  FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT DISTINCT src, dst FROM
+         |    (SELECT src, dst FROM t UNION ALL SELECT dst, src FROM t)),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM
+         |    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT node, $S // (SELECT n FROM nn) AS r FROM nodes),
+         |$iters
+         |SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3""".stripMargin
+    },
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS media_id, 'image' AS modality,
+        |  CAST(STRLEN(text) AS INT) AS n_bytes,
+        |  3 AS channels, 8 AS n_features
+        |FROM documents""".stripMargin,
     "q_calibration" ->
       """WITH s AS (
         |  SELECT LEAST(GREATEST(value / 500.0, 0.0), 1.0) AS v,
@@ -2778,6 +2945,30 @@ object SparkEntry {
          |       ELSE 'fr' END AS lang_pred
          |FROM documents""".stripMargin
     },
+    "q_stream_flagship_rel" -> (hopCte +
+      """,
+        |pv AS (
+        |  SELECT user_id, w_start,
+        |    STRFTIME(MIN(ts), '%H:%M:%S') AS window_start,
+        |    STRFTIME(MAX(ts), '%H:%M:%S') AS window_end,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_views,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_views,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_views,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_views,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_views
+        |  FROM h GROUP BY user_id, w_start),
+        |nb AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |dims AS (SELECT c_custkey, n_name AS country, c_mktsegment AS platform
+        |         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT p.user_id, p.w_start, p.window_start, p.window_end,
+        |  p.click_views, p.view_views, p.purchase_views, p.signup_views,
+        |  p.error_views,
+        |  COALESCE(d.country, 'UNKNOWN') AS country,
+        |  COALESCE(d.platform, 'UNKNOWN') AS platform,
+        |  CAST(COALESCE(nb.n_orders, 0) AS INTEGER) AS nb_orders
+        |FROM pv p
+        |LEFT JOIN dims d ON p.user_id = d.c_custkey
+        |LEFT JOIN nb ON p.user_id = nb.o_custkey""".stripMargin),
     "q_ml_features" -> (hopCte +
       """,
         |per_window AS (
@@ -3103,6 +3294,40 @@ object SparkEntry {
         |    ELSE LEAST(255.0, FLOOR((e.v - st.mn) / (st.mx - st.mn) * 256.0))
         |  END AS INTEGER) AS q
         |FROM ex e JOIN st USING (dim)""".stripMargin,
+    // integer-micros covariance: quantize each value to BIGINT micros,
+    // sum products in 128-bit integer space (DuckDB HUGEINT ≡ Spark
+    // DECIMAL(38,0)), one final double division + ROUND(9) — identical
+    // on both engines because every input to the division is an exact
+    // integer
+    "q_embed_covariance" ->
+      """WITH m AS (
+        |  SELECT LIST_TRANSFORM(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT i.i AS dim_i, j.j AS dim_j,
+        |    m[CAST(i.i AS INTEGER) + 1] * m[CAST(j.j AS INTEGER) + 1] AS xy,
+        |    m[CAST(i.i AS INTEGER) + 1] AS x,
+        |    m[CAST(j.j AS INTEGER) + 1] AS y
+        |  FROM m, (SELECT UNNEST(RANGE(64)) AS i) i,
+        |          (SELECT UNNEST(RANGE(64)) AS j) j
+        |  WHERE j.j >= i.i)
+        |SELECT dim_i, dim_j, COUNT(*) AS n,
+        |  ROUND(CAST(COUNT(*) * SUM(xy) - SUM(x) * SUM(y) AS DOUBLE)
+        |        / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) - 1 AS DOUBLE) * 1e12),
+        |        9) AS cov
+        |FROM p GROUP BY dim_i, dim_j""".stripMargin,
+    // global training order: ROW_NUMBER over the full (md5, key) order —
+    // DuckDB may single-sort; the Spark side is the bucket-localized
+    // two-level plan, proving the same total order without a global sort
+    "q_corpus_order" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS ord,
+        |  CAST((ROW_NUMBER() OVER (
+        |    ORDER BY SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) - 1) % 32
+        |    AS INTEGER) AS shard
+        |FROM documents""".stripMargin,
     // temperature mixing: ROUND(weight,6) BEFORE deriving frac on both
     // sides so the engines' different float-sum orders cannot diverge
     "q_mixture_weights" ->

@@ -135,4 +135,59 @@ object EmbeddingOps {
       .select(col(idCol), vector_to_array(col("pca")).as("pca"))
   }
 
+  /** EXACT sample covariance of the embedding corpus, upper triangle —
+    * the d×d Gramian [[pcaProject]] eigendecomposes, surfaced as a
+    * relation so the PCA family gains a driver-hash-checked row (the
+    * eigenvectors themselves are sign-indeterminate across BLAS builds
+    * and stay spec-side).
+    *
+    * Exactness discipline (the integer-cents pattern): each value is
+    * first quantized to integer MICROS (`round(v·1e6)` as BIGINT), all
+    * sums run in integer space — per-pair products in DECIMAL(38,0), so
+    * a 1e12-magnitude product stream cannot overflow a 64-bit sum at any
+    * corpus size — and the single inexact step is one final
+    * double division + round, identical on any engine and any partition
+    * order.
+    *
+    * Scale: one map-side expansion of d(d+1)/2 compact structs per row
+    * (no self-join, no explode-then-join), collapsed by partial
+    * aggregation to ≤ d(d+1)/2 rows per task before the only shuffle —
+    * a d(d+1)/2-key hash aggregate. Driver/output state is d², the same
+    * bound MLlib's Gramian ships; cov = (n·Σxy − Σx·Σy) / (n·(n−1))
+    * in micros², reported in original units rounded to 9 places.
+    */
+  def covarianceExact(
+      emb: DataFrame,
+      dims: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1 && dims <= 512, s"covarianceExact: 1 <= dims <= 512, got $dims")
+    val pairs = emb
+      .select(transform(slice(asDouble(col(vecCol)), 1, dims),
+        x => round(x * 1e6).cast("long")).as("m"))
+      .select(explode(flatten(transform(
+        sequence(lit(0), lit(dims - 1)),
+        i => transform(sequence(i, lit(dims - 1)),
+          j => struct(i.as("i"), j.as("j"),
+            (element_at(col("m"), i + 1) * element_at(col("m"), j + 1))
+              .cast("decimal(38,0)").as("xy"),
+            element_at(col("m"), i + 1).as("x"),
+            element_at(col("m"), j + 1).as("y")))))).as("p"))
+      .select(col("p.i").cast("long").as("dim_i"),
+        col("p.j").cast("long").as("dim_j"),
+        col("p.xy"), col("p.x"), col("p.y"))
+    pairs
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xy")).as("sxy"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        round(
+          (col("n").cast("decimal(38,0)") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy").cast("decimal(38,0)"))
+            .cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double") * 1e12),
+          9).as("cov"))
+  }
+
 }

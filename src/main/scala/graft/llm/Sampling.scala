@@ -154,6 +154,14 @@ object Sampling {
     * weight is rounded to 6 places BEFORE frac is derived from it (and
     * frac rounded again), so an engine summing the group powers in a
     * different order (the DuckDB oracle) lands on identical values.
+    *
+    * CONTRACT: `groupCol` must be a LOW-CARDINALITY domain column
+    * (sources, languages, domains — thousands at most), because the
+    * global window's input is one row per group. Do NOT pass a
+    * high-cardinality key (doc id, user id): that turns the window into
+    * a single-task sort of the keyspace — the q_auc round-7 hazard.
+    * SamplingSpec plan-asserts the window input is the
+    * post-aggregation relation, never the corpus.
     */
   def temperatureWeights(
       df: DataFrame,
@@ -350,6 +358,75 @@ object Sampling {
         Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
       }.get.otherwise(lit(splits.last._1))
     base.withColumn("split", assigned).drop("_rn", "_n")
+  }
+
+  /** Deterministic GLOBAL training order without a global sort: every
+    * row gets a dense 1-based ordinal `ord` in (md5-hash, key) order —
+    * the reproducible corpus shuffle a training run reads, stable
+    * across engines, partitionings, and re-runs (same md5 key
+    * discipline as [[deterministicSample]]).
+    *
+    * This is the scale-safe replacement for
+    * `row_number().over(Window.orderBy(...))`, which plans a
+    * SINGLE-TASK sort of the whole table (the q_auc hazard class).
+    * Two-level instead: rows bucket by the first `prefixLen` hex chars
+    * of their hash (16^prefixLen buckets, uniform by construction);
+    * bucket COUNTS — a bounded ≤4096-row relation — get cumulative
+    * offsets from one window over that aggregate; each bucket then
+    * ranks internally with a PARTITIONED window and adds its bucket's
+    * offset. No task ever sorts more than ~n/16^prefixLen rows, and the
+    * only unpartitioned window consumes the bounded count relation.
+    *
+    * `key` must be unique (it is the tiebreak that makes the order
+    * total — duplicate keys would make `ord` nondeterministic within
+    * the tie). Downstream: `shardAssign` turns `ord` into round-robin
+    * data-parallel shards.
+    */
+  def globalOrderIndex(
+      df: DataFrame,
+      key: Column,
+      prefixLen: Int = 2,
+      outCol: String = "ord"): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 3,
+      s"globalOrderIndex: 1 <= prefixLen <= 3 (16..4096 buckets), got $prefixLen")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("_gk", samplingKey(key))
+      .withColumn("_gb", substring(col("_gk"), 1, prefixLen))
+    // bounded relation: one row per hex-prefix bucket; the running
+    // offset window is over ≤ 16^prefixLen rows BY CONSTRUCTION (the
+    // aggregate precedes it — SamplingSpec plan-asserts this shape)
+    val offsets = keyed.groupBy(col("_gb")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_bn")).over(
+            Window.orderBy(col("_gb"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("_bn")
+    keyed
+      .join(broadcast(offsets), "_gb")
+      .withColumn(outCol,
+        row_number().over(
+          Window.partitionBy(col("_gb")).orderBy(col("_gk"), key))
+          .cast("long") + col("_off"))
+      .drop("_gk", "_gb", "_off")
+  }
+
+  /** Round-robin shard assignment on top of [[globalOrderIndex]]: shard
+    * s reads rows `ord ≡ s (mod nShards)` — every shard sees an
+    * identical-size (±1), content-unbiased, reproducible slice in a
+    * deterministic read order, which is exactly the data-parallel
+    * loader contract (rank r of world size W trains on shard r).
+    */
+  def shardAssign(
+      df: DataFrame,
+      key: Column,
+      nShards: Int,
+      prefixLen: Int = 2): DataFrame = {
+    require(nShards >= 1, s"shardAssign: nShards >= 1, got $nShards")
+    globalOrderIndex(df, key, prefixLen)
+      .withColumn("shard", ((col("ord") - 1) % nShards).cast("int"))
   }
 
 }

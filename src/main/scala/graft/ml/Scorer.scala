@@ -42,6 +42,31 @@ object Scorer {
     scoreDF(loaded, df).select((df.columns.map(col) :+ col(out)): _*)
   }
 
+  /** [[scoreDF]] plus the POSITIVE-CLASS PROBABILITY as a scalar
+    * column: P(`positiveLabel`) read from the classifier's probability
+    * vector at the position the pipeline's IndexToString stage assigns
+    * that label (never a hardcoded index — StringIndexer orders labels
+    * by frequency, which the corpus decides). This is the evaluation
+    * input the reference's areaUnderROC computation consumes
+    * (train.py:334-336): feed it to [[Metrics.aucExact]] /
+    * [[Metrics.calibrationBins]] against the true label.
+    */
+  def withPositiveProbability(
+      loaded: LoadedModel,
+      df: DataFrame,
+      positiveLabel: String,
+      outCol: String = "p_pos"): DataFrame = {
+    val labels = loaded.model.stages.collectFirst {
+      case it: org.apache.spark.ml.feature.IndexToString => it.getLabels
+    }.getOrElse(throw new IllegalArgumentException(
+      "withPositiveProbability: pipeline has no IndexToString stage"))
+    val idx = labels.indexOf(positiveLabel)
+    require(idx >= 0,
+      s"label '$positiveLabel' not in model labels ${labels.mkString("[", ",", "]")}")
+    scoreDF(loaded, df).withColumn(outCol,
+      org.apache.spark.ml.functions.vector_to_array(col("probability"))(idx))
+  }
+
   // U2: lazy per-JVM scorer cache (reference: ConcurrentHashMap filled on
   // first call per model, PredictUdf.java:26,43-45).
   private val cache = new ConcurrentHashMap[String, LocalScorer]()

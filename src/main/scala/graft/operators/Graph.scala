@@ -79,4 +79,54 @@ object Graph {
     nodes.unpersist(); outDeg.unpersist(); adj.unpersist()
     ranks
   }
+
+  /** Oracle-grade PageRank: the same damped iteration in PURE INTEGER
+    * arithmetic — ranks carried as micro-units of `scale`, every
+    * division an explicit floor (`DIV`), every sum an integer sum — so
+    * the result is bit-identical across engines and partition orders
+    * (integer addition commutes; doubles don't). This is what upgrades
+    * the graph family from tolerance-spec-only to a DuckDB hash-match:
+    * a fixed-iteration CTE chain evaluates the identical algebra.
+    *
+    * r'(v) = (15·scale) DIV (100·N)  +  (85·Σ_{u→v} r(u) DIV deg(u)) DIV 100
+    *
+    * Deliberately simpler than [[pageRank]]: no dangling-mass
+    * redistribution — mass reaching a sink is dropped, so ranks no
+    * longer sum to `scale` on graphs with sinks. Symmetrize first (as
+    * the registered trade graph does) if that matters; the float
+    * variant remains the production path. Same per-iteration
+    * `localCheckpoint` lineage discipline; `iterations` is capped
+    * because each extra iteration is another CTE stage in the oracle.
+    */
+  def pageRankIntScaled(
+      edges: DataFrame,
+      iterations: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 8,
+      s"pageRankIntScaled: 1 <= iterations <= 8, got $iterations")
+    require(scale >= 1000000L, s"scale too small for micro-unit ranks: $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count() // one bounded driver long, as in pageRank
+    val base = 15L * scale / (100L * n)
+    var ranks = nodes.withColumn("r", lit(scale / n)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contribs = e.join(outDeg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
 }

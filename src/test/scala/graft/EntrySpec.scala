@@ -29,4 +29,20 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
   }
+
+  test("q_revenue_share: the share window consumes the 25-row aggregate, not orders") {
+    // the q_auc round-7 hazard class: a whole-relation window is only
+    // scale-safe when its input is a bounded group relation. Assert the
+    // executed plan keeps the Window ABOVE the aggregate — below the
+    // Window there must be a HashAggregate before any table scan
+    val out = SparkEntry.queries("q_revenue_share")(spark, sf0001)
+    val lines = out.queryExecution.executedPlan.toString.linesIterator.toVector
+    val wi = lines.indexWhere(_.contains("Window"))
+    assert(wi >= 0, "plan must contain a Window node")
+    val below = lines.drop(wi + 1)
+    val aggAt = below.indexWhere(_.contains("HashAggregate"))
+    val scanAt = below.indexWhere(_.contains("Scan"))
+    assert(aggAt >= 0 && (scanAt < 0 || aggAt < scanAt),
+      s"window input must be the post-aggregation relation:\n${lines.take(30).mkString("\n")}")
+  }
 }

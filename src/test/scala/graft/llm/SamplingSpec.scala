@@ -211,6 +211,22 @@ class SamplingSpec extends SparkSpec {
     assert(sFlat("small") > sNat("small") && sFlat("big") < sNat("big"))
   }
 
+  test("temperatureWeights: the global window consumes the group relation, not the corpus") {
+    // the documented low-cardinality-domain contract: below the Window
+    // there must be a HashAggregate before any corpus scan, i.e. the
+    // single-partition window only ever sees one row per group
+    val out = Sampling.temperatureWeights(
+      Tables.documents(spark, sf0001), "source", alpha = 0.5, targetRows = 100L)
+    val lines = out.queryExecution.executedPlan.toString.linesIterator.toVector
+    val wi = lines.indexWhere(_.contains("Window"))
+    assert(wi >= 0, "plan must contain a Window node")
+    val below = lines.drop(wi + 1)
+    val aggAt = below.indexWhere(_.contains("HashAggregate"))
+    val scanAt = below.indexWhere(_.contains("Scan"))
+    assert(aggAt >= 0 && (scanAt < 0 || aggAt < scanAt),
+      s"window input must be the post-aggregation relation:\n${lines.take(30).mkString("\n")}")
+  }
+
   test("temperatureSample: deterministic, bounded per group, near expected size") {
     val docs = Tables.documents(spark, sf0001)
     val out = Sampling.temperatureSample(docs, col("doc_id"), "source",
@@ -338,6 +354,52 @@ class SamplingSpec extends SparkSpec {
     assert(out(("a", "train")) == 29L && out(("a", "val")) == 4L && out(("a", "test")) == 4L)
     // b: 63 rows -> 50 / 6 / 7
     assert(out(("b", "train")) == 50L && out(("b", "val")) == 6L && out(("b", "test")) == 7L)
+  }
+
+  test("globalOrderIndex: dense 1..n ordinal in (md5, key) order, no global sort") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"doc$i")).toDF("doc_id", "body")
+    val out = Sampling.globalOrderIndex(docs, col("doc_id"))
+    val got = out.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ord")).toMap
+    // dense 1..n, and the order is exactly the driver-side (md5-8, key) sort
+    assert(got.values.toSeq.sorted == (1L to 500L))
+    def hk(i: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    val want = (1L to 500L).sortBy(i => (hk(i), i)).zipWithIndex
+      .map { case (id, ix) => id -> (ix + 1L) }.toMap
+    assert(got == want)
+    // scale shape: the per-row ranking window is PARTITIONED (its Window
+    // line carries a partition-spec bracket), and the one running-total
+    // window consumes the bucket-count aggregate (HashAggregate below it
+    // before any scan) — never the corpus
+    val lines = out.queryExecution.executedPlan.toString.linesIterator.toVector
+    val rn = lines.find(l => l.contains("Window") && l.contains("row_number"))
+    assert(rn.exists(_.matches(""".*\], \[_gb#\d+\], \[.*""")),
+      s"ranking window must be partitioned by bucket:\n${rn.getOrElse("(missing)")}")
+    val si = lines.indexWhere(l => l.contains("Window") && l.contains("sum("))
+    assert(si >= 0, "running-offset window missing from plan")
+    val below = lines.drop(si + 1)
+    val aggAt = below.indexWhere(_.contains("HashAggregate"))
+    val scanAt = below.indexWhere(_.contains("Scan"))
+    assert(aggAt >= 0 && (scanAt < 0 || aggAt < scanAt),
+      s"running-offset window must sit above the bucket-count aggregate:\n" +
+        lines.take(40).mkString("\n"))
+  }
+
+  test("shardAssign: balanced reproducible round-robin shards") {
+    import spark.implicits._
+    val docs = (1L to 320L).map(i => (i, s"d$i")).toDF("doc_id", "body")
+    val out = Sampling.shardAssign(docs, col("doc_id"), nShards = 32)
+    val sizes = out.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 32).toSet && sizes.values.forall(_ == 10L))
+    // reproducible: a second run assigns identical shards
+    val a = out.select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = Sampling.shardAssign(docs, col("doc_id"), nShards = 32)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
   }
 
 }

@@ -290,4 +290,37 @@ class SimilaritySpec extends SparkSpec {
       s"top-2 PCA variance $varProj should dominate dim-0 variance $varOrig")
   }
 
+  test("covarianceExact matches a driver-computed covariance to micro precision") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 150L).map { i =>
+      (i, Array.fill(4)(rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = EmbeddingOps.covarianceExact(df, dims = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.size == 10, s"4 dims -> 10 upper-triangle pairs, got ${got.size}")
+    assert(got.values.forall(_._1 == 150L))
+    // reference covariance from the micro-quantized values (the operator's
+    // documented exactness contract is over micros, not raw floats)
+    val micros = rows.map(_._2.map(x => math.round(x.toDouble * 1e6)))
+    for (i <- 0 until 4; j <- i until 4) {
+      val xs = micros.map(_(i)); val ys = micros.map(_(j))
+      val n = xs.size.toDouble
+      val want =
+        (n * xs.zip(ys).map { case (a, b) => a.toDouble * b }.sum -
+          xs.sum.toDouble * ys.sum.toDouble) / (n * (n - 1) * 1e12)
+      assert(math.abs(got((i.toLong, j.toLong))._2 - want) < 1e-8,
+        s"cov($i,$j): got ${got((i.toLong, j.toLong))._2} want $want")
+    }
+    // diagonal is the sample variance: ties out against dimStats' std
+    val stds = EmbeddingOps.dimStats(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for (d <- 0L until 4L)
+      assert(math.abs(math.sqrt(got((d, d))._2) - stds(d)) < 1e-3,
+        s"sqrt(cov($d,$d)) should be dimStats std")
+  }
+
 }

@@ -81,6 +81,30 @@ class MLSpec extends SparkSpec {
     }
   }
 
+  test("model-score AUC: aucExact on P(bot) ≡ MLlib areaUnderROC on the same frame") {
+    // the q_auc_model composition: score the training frame, take the
+    // probability-vector entry the IndexToString stage maps to "bot",
+    // and the relational Mann–Whitney AUC must agree with the MLlib
+    // evaluator the reference runs (train.py's areaUnderROC) — DTC
+    // probabilities are leaf-constant, so tie handling is exercised hard
+    trained
+    val scored = Scorer.withPositiveProbability(
+      reg.load("Bot Detector"), Trainer.trainingFrame(spark, sf0001),
+      "bot", "p_bot")
+    val ours = Metrics.aucExact(scored, col("label") === "bot", col("p_bot"))
+      .head().getAs[Double]("auc")
+    val mllib = new org.apache.spark.mllib.evaluation.BinaryClassificationMetrics(
+      scored.select(col("p_bot"), when(col("label") === "bot", 1.0).otherwise(0.0))
+        .rdd.map(r => (r.getDouble(0), r.getDouble(1))))
+      .areaUnderROC()
+    assert(math.abs(ours - mllib) < 1e-6, s"ours=$ours mllib=$mllib")
+    // an unknown positive label fails loudly, never a silent index
+    intercept[IllegalArgumentException] {
+      Scorer.withPositiveProbability(
+        reg.load("Bot Detector"), Trainer.trainingFrame(spark, sf0001), "nope")
+    }
+  }
+
   test("registry versioning: second save becomes latest Production") {
     trained
     val loaded = reg.load("Bot Detector")

@@ -36,6 +36,26 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks must sum to 1")
   }
 
+  test("pageRankIntScaled tracks the float iteration on a sink-free graph") {
+    // symmetrized (sink-free) graph — the int variant's documented
+    // domain; micro-unit floor rounding loses < ~1e-9 of mass per step,
+    // so scaled/1e12 must track the float ranks to ~1e-6
+    val base = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"))
+    val edges = (base ++ base.map(_.swap)).distinct
+    val intR = Graph.pageRankIntScaled(edges.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ref(edges, 3, 0.85)
+    assert(intR.keySet == want.keySet)
+    for ((k, v) <- want)
+      assert(math.abs(intR(k) / 1e12 - v) < 1e-6,
+        s"node $k: scaled ${intR(k)} (${intR(k) / 1e12}) want $v")
+    // determinism: a second run is bit-identical (integer algebra has
+    // no partition-order sensitivity)
+    val again = Graph.pageRankIntScaled(edges.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == intR)
+  }
+
   test("pageRank ranks the hub above leaves") {
     // star: everyone links to h
     val edges = (1 to 6).map(i => (s"n$i", "h"))

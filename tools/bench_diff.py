@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Per-query bench regression ledger.
+
+Diffs two BENCH_r{N}.json files (driver format: {"n","rc","cpus","sf",
+"parsed":{"queries":{name:sec}}}; a bare {"queries":...} line from a
+local graft.Bench run also works) and separates SELECTIVE regressions
+from uniform machine-load noise: per-query ratios are normalized by the
+median ratio of all common queries, so a loaded box (everything ~1.3x)
+reports nothing, while one query at 3x alone is flagged.
+
+Usage:
+  python3 tools/bench_diff.py BENCH_r07.json BENCH_r08.json [--threshold 1.5]
+  python3 tools/bench_diff.py            # newest two BENCH_r*.json in repo root
+"""
+import glob
+import json
+import os
+import re
+import statistics
+import sys
+
+
+def load_queries(path):
+    with open(path) as f:
+        d = json.load(f)
+    if isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    q = d.get("queries")
+    if not isinstance(q, dict) or not q:
+        raise SystemExit(f"{path}: no queries dict found")
+    return q
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    threshold = 1.5
+    for a in argv:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+    if len(args) >= 2:
+        old_path, new_path = args[0], args[1]
+    else:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        bench = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
+                       key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+        if len(bench) < 2:
+            raise SystemExit("need two BENCH_r*.json files")
+        old_path, new_path = bench[-2], bench[-1]
+
+    old, new = load_queries(old_path), load_queries(new_path)
+    common = sorted(set(old) & set(new))
+    if not common:
+        raise SystemExit("no common queries")
+    ratios = {q: new[q] / old[q] for q in common if old[q] > 0}
+    med = statistics.median(ratios.values())
+    print(f"# {os.path.basename(old_path)} -> {os.path.basename(new_path)}: "
+          f"{len(common)} common queries, median ratio {med:.2f}x "
+          f"(uniform load factor), selective threshold {threshold}x")
+    print(f"# total: {sum(old[q] for q in common):.1f}s -> "
+          f"{sum(new[q] for q in common):.1f}s on the common set")
+    only_new = sorted(set(new) - set(old), key=lambda q: -new[q])
+    if only_new:
+        print("# new this round: " +
+              ", ".join(f"{q} {new[q]:.2f}s" for q in only_new))
+    flagged = {q: r / med for q, r in ratios.items() if r / med >= threshold}
+    if not flagged:
+        print("OK: no selective regression (load-normalized)")
+        return 0
+    print(f"SELECTIVE REGRESSIONS ({len(flagged)}):")
+    for q, nr in sorted(flagged.items(), key=lambda kv: -kv[1]):
+        print(f"  {q}: {old[q]:.2f}s -> {new[q]:.2f}s  "
+              f"raw {ratios[q]:.2f}x, load-normalized {nr:.2f}x")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
