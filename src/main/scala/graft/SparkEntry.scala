@@ -489,6 +489,19 @@ object SparkEntry {
     graft.ml.Metrics.aucExact(Tables.events(s, dir),
       col("event_type") === "purchase", col("value"))
 
+  /** Per-day exact AUC (ml.Metrics.aucByGroup): the drift-monitoring
+    * relation — did yesterday's model degrade? Same label/score as
+    * q_auc, grouped by event date; every stage of the bucket-localized
+    * algebra carries the day key, so days evaluate independently in
+    * parallel.
+    */
+  private def qAucDaily(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Metrics.aucByGroup(
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+      col("day"), col("event_type") === "purchase", col("value"),
+      outGroup = "day")
+
   /** Reliability bins (ml.Metrics.calibrationBins): value scaled into
     * [0,1] as the score, purchase as the label — the calibration-curve
     * relation.
@@ -1240,6 +1253,20 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id")), col("doc_id"), nShards = 32)
       .select(col("doc_id"), col("ord"), col("shard"))
 
+  /** Short-to-long curriculum order (Sampling.orderIndexByValue): a
+    * dense corpus-wide ordinal by (char length, doc_id) — the classic
+    * length-curriculum read order — computed with value-range bucket
+    * localization instead of a single-task global sort. The DuckDB
+    * oracle is the naive global ROW_NUMBER; the hash-match proves the
+    * two-level plan realizes the identical total order.
+    */
+  private def qCurriculumOrder(s: SparkSession, dir: String): DataFrame =
+    Sampling.orderIndexByValue(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("n_chars")),
+      col("n_chars"), col("doc_id"))
+      .select(col("doc_id"), col("n_chars"), col("ord"))
+
   /** Per-group deterministic cap — "max 50 docs per source", the count
     * form of a mixing policy guardrail.
     */
@@ -1780,6 +1807,7 @@ object SparkEntry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_temporal_split" -> (qTemporalSplit _),
     "q_auc" -> (qAuc _),
+    "q_auc_daily" -> (qAucDaily _),
     "q_calibration" -> (qCalibration _),
     "q_auc_model" -> (qAucModel _),
     "q_split_exact" -> (qSplitExact _),
@@ -1885,6 +1913,7 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_split_assign" -> (qSplitAssign _),
     "q_corpus_order" -> (qCorpusOrder _),
+    "q_curriculum_order" -> (qCurriculumOrder _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_winnow_overlap_exact" -> (qWinnowOverlapExact _),
@@ -1935,7 +1964,8 @@ object SparkEntry {
     "q_incr_agg", "q_winnow_overlap_exact", "q_incr_cdc",
     "q_histogram_equidepth", "q_auc", "q_bucketed_join",
     "q_asof_broadcast", "q_winnow_overlap", "q_winnow_clean",
-    "q_embed_covariance", "q_corpus_order")
+    "q_embed_covariance", "q_corpus_order", "q_auc_daily",
+    "q_curriculum_order")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -2187,6 +2217,23 @@ object SparkEntry {
         |    ROUND(SUM(np * (2 * below + nn)) / (2.0 * SUM(np) * SUM(nn)), 6)
         |  END AS auc
         |FROM c""".stripMargin,
+    "q_auc_daily" ->
+      """WITH h AS (
+        |  SELECT STRFTIME(ts, '%Y-%m-%d') AS day, value AS s,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nn
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT day, np, nn,
+        |    COALESCE(SUM(nn) OVER (PARTITION BY day ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM h)
+        |SELECT day, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    ROUND(SUM(np * (2 * below + nn)) / (2.0 * SUM(np) * SUM(nn)), 6)
+        |  END AS auc
+        |FROM c GROUP BY day""".stripMargin,
     "q_theta_overlap_exact" ->
       """WITH u AS (
         |  SELECT user_id,
@@ -3327,6 +3374,10 @@ object SparkEntry {
         |  CAST((ROW_NUMBER() OVER (
         |    ORDER BY SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) - 1) % 32
         |    AS INTEGER) AS shard
+        |FROM documents""".stripMargin,
+    "q_curriculum_order" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_chars,
+        |  ROW_NUMBER() OVER (ORDER BY LENGTH(text), doc_id) AS ord
         |FROM documents""".stripMargin,
     // temperature mixing: ROUND(weight,6) BEFORE deriving frac on both
     // sides so the engines' different float-sum orders cannot diverge

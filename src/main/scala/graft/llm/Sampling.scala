@@ -413,6 +413,61 @@ object Sampling {
       .drop("_gk", "_gb", "_off")
   }
 
+  /** Dense global ordinal by an arbitrary NUMERIC sort column —
+    * curriculum ordering ("train short-to-long", "easy-to-hard by
+    * quality score") — with the same no-global-sort discipline as
+    * [[globalOrderIndex]], but bucketing by VALUE RANGE instead of hash
+    * prefix (a hash prefix would scramble the value order): equi-width
+    * buckets over the observed [min, max] extent (one broadcast scalar
+    * row, the [[graft.ml.Metrics.aucExact]] pattern), bucket counts →
+    * bounded running offsets, within-bucket PARTITIONED ranking by
+    * (value, key). Ties order by `key`, so the ordinal is total and
+    * reproducible. NULL values order FIRST (their own bucket below all
+    * others).
+    *
+    * Caveat (documented, same as equi-width histograms): value buckets
+    * inherit the value distribution — a spike (half the corpus at one
+    * length) concentrates its bucket. For heavy spikes, rank on a
+    * continuous tiebroken value (e.g. `len + hash/2³²` jitter) or use
+    * the equi-depth boundaries from `Stats`.
+    */
+  def orderIndexByValue(
+      df: DataFrame,
+      valueCol: Column,
+      key: Column,
+      buckets: Int = 1024,
+      outCol: String = "ord"): DataFrame = {
+    require(buckets >= 2, s"orderIndexByValue: buckets >= 2, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val v = valueCol.cast("double")
+    val ext = df.agg(min(v).as("_mn"), max(v).as("_mx"))
+    val keyed = df
+      .crossJoin(broadcast(ext))
+      .withColumn("_vv", v)
+      .withColumn("_vb",
+        when(col("_vv").isNull, lit(-1))
+          .when(col("_mx") === col("_mn"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("_vv") - col("_mn")) /
+              ((col("_mx") - col("_mn")) / buckets)).cast("int"))))
+      .drop("_mn", "_mx")
+    val offsets = keyed.groupBy(col("_vb")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_bn")).over(
+            Window.orderBy(col("_vb"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("_bn")
+    keyed
+      .join(broadcast(offsets), "_vb")
+      .withColumn(outCol,
+        row_number().over(
+          Window.partitionBy(col("_vb")).orderBy(col("_vv"), key))
+          .cast("long") + col("_off"))
+      .drop("_vv", "_vb", "_off")
+  }
+
   /** Round-robin shard assignment on top of [[globalOrderIndex]]: shard
     * s reads rows `ord ≡ s (mod nShards)` — every shard sees an
     * identical-size (±1), content-unbiased, reproducible slice in a

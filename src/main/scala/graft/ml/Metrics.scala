@@ -88,6 +88,66 @@ object Metrics {
           .as("auc"))
   }
 
+  /** [[aucExact]] PER GROUP — segment-wise / per-day model evaluation
+    * (AUC by market, by cohort, by scoring date for drift monitoring)
+    * as one relation. The identical two-level bucket-localized algebra
+    * with the group key threaded through every stage: the score
+    * histogram, extent, bucket sums, triangular offset join, and
+    * cumulative window all carry the key, so each group evaluates
+    * independently and in parallel — adding a grouping column never
+    * adds a scale hazard (windows are partitioned by (group, bucket);
+    * the offset join is equi on the group key plus the banded bucket
+    * predicate). Output one row per group: (outGroup, n_pos, n_neg,
+    * auc), auc NULL where a group lacks a class — a group you can
+    * anti-join for "segments the model cannot be evaluated on".
+    */
+  def aucByGroup(
+      df: DataFrame,
+      groupCol: Column,
+      labelCol: Column,
+      scoreCol: Column,
+      buckets: Int = 1024,
+      outGroup: String = "grp"): DataFrame = {
+    require(buckets >= 2, s"aucByGroup: buckets must be >= 2, got $buckets")
+    val h = df
+      .groupBy(groupCol.as(outGroup), scoreCol.cast("double").as("s"))
+      .agg(
+        sum(when(labelCol, 1L).otherwise(0L)).as("np"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("nn"))
+    val ext = h.groupBy(col(outGroup))
+      .agg(min(col("s")).as("_mn"), max(col("s")).as("_mx"))
+    val hb = h.join(ext, outGroup)
+      .withColumn("_b",
+        when(col("s").isNull, lit(-1))
+          .when(col("_mx") === col("_mn"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("s") - col("_mn")) /
+              ((col("_mx") - col("_mn")) / buckets)).cast("int"))))
+      .drop("_mn", "_mx")
+    val bsum = hb.groupBy(col(outGroup), col("_b")).agg(sum(col("nn")).as("_bn"))
+    val below = bsum.select(
+      col(outGroup).as("_og"), col("_b").as("_ob"), col("_bn").as("_obn"))
+    val off = bsum
+      .join(below, col("_og") === col(outGroup) && col("_ob") < col("_b"), "left")
+      .groupBy(col(outGroup), col("_b"))
+      .agg(coalesce(sum(col("_obn")), lit(0L)).as("_off"))
+    val w = Window.partitionBy(col(outGroup), col("_b")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hb.join(off, Seq(outGroup, "_b"))
+      .withColumn("below",
+        col("_off") + coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col(outGroup))
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("below") + col("nn"))).as("_u2"))
+      .select(
+        col(outGroup), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("_u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .as("auc"))
+  }
+
   /** Reliability (calibration) bins: bucket a [0, 1] score into `bins`
     * equal-width bins and report per-bin count, mean predicted score,
     * and observed positive rate — the relation a calibration curve /

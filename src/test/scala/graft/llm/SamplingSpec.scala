@@ -388,6 +388,27 @@ class SamplingSpec extends SparkSpec {
         lines.take(40).mkString("\n"))
   }
 
+  test("orderIndexByValue: value-order ordinal, NULLs first, partitioned ranking") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 400L).map(i =>
+      (i, if (i % 97 == 0) None else Some(rnd.nextInt(1000)))) // a few NULLs
+    val df = rows.toDF("doc_id", "score")
+    val out = Sampling.orderIndexByValue(df, col("score"), col("doc_id"), buckets = 16)
+    val got = out.collect().map(r => r.getLong(0) -> r.getAs[Long]("ord")).toMap
+    assert(got.values.toSeq.sorted == (1L to 400L))
+    // driver reference: NULLs first, then (value, key)
+    val want = rows.sortBy { case (id, v) =>
+      (v.isDefined, v.getOrElse(Int.MinValue), id)
+    }.zipWithIndex.map { case ((id, _), ix) => id -> (ix + 1L) }.toMap
+    assert(got == want)
+    // the ranking window is partitioned by the value bucket
+    val lines = out.queryExecution.executedPlan.toString.linesIterator.toVector
+    val rn = lines.find(l => l.contains("Window") && l.contains("row_number"))
+    assert(rn.exists(_.matches(""".*\], \[_vb#\d+\], \[.*""")),
+      s"ranking window must be partitioned by value bucket:\n${rn.getOrElse("(missing)")}")
+  }
+
   test("shardAssign: balanced reproducible round-robin shards") {
     import spark.implicits._
     val docs = (1L to 320L).map(i => (i, s"d$i")).toDF("doc_id", "body")

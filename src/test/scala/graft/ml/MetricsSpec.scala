@@ -82,6 +82,39 @@ class MetricsSpec extends SparkSpec {
     assert(auc == ref && auc3 == ref, s"auc=$auc auc3=$auc3 ref=$ref")
   }
 
+  test("aucByGroup ≡ aucExact per group; all windows carry (group, bucket)") {
+    val rnd = new scala.util.Random(29)
+    val rows = Vector.fill(900) {
+      val g = s"seg${rnd.nextInt(4)}"
+      val s = rnd.nextDouble() * 100.0
+      // per-segment slope differences make the per-group AUCs distinct
+      (g, rnd.nextDouble() < (0.1 + (g.last - '0') * 0.2 * s / 100.0), s)
+    } :+ (("seg9", true, 1.0)) // single-class group -> NULL auc
+    val df = rows.toDF("seg", "label", "score")
+    val out = Metrics.aucByGroup(df, $"seg", $"label", $"score", outGroup = "seg")
+    val got = out.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got.keySet == Set("seg0", "seg1", "seg2", "seg3", "seg9"))
+    assert(got("seg9")._3.isEmpty, "single-class group must have NULL auc")
+    for (g <- Seq("seg0", "seg1", "seg2", "seg3")) {
+      val sub = df.filter($"seg" === g)
+      val ref = Metrics.aucExact(sub, $"label", $"score").head()
+      assert(got(g)._1 == ref.getLong(0) && got(g)._2 == ref.getLong(1))
+      assert(got(g)._3.contains(ref.getAs[Double]("auc")),
+        s"group $g: grouped=${got(g)._3} solo=${ref.getAs[Double]("auc")}")
+    }
+    // scale shape: every window in the plan is partitioned (carries the
+    // group key alongside the bucket key) — grouping must never
+    // introduce an unpartitioned WindowExec
+    val plan = out.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val partitioned = "windowspecdefinition\\(seg#".r.findAllIn(plan).length
+    assert(specs > 0 && specs == partitioned,
+      s"$partitioned of $specs windows carry the group partition key:\n${plan.take(2000)}")
+  }
+
   test("aucExact: NULL scores rank below every real score (nulls-first contract)") {
     // a NULL-score negative must count as "below" every positive; a
     // NULL-score positive ties nothing and sees no negatives below it
