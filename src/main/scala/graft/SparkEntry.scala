@@ -1017,6 +1017,22 @@ object SparkEntry {
   private def qEmbedCovariance(s: SparkSession, dir: String): DataFrame =
     graft.llm.EmbeddingOps.covarianceExact(Tables.embeddings(s, dir), dims = 64)
 
+  /** Bounded-postings inverted index (Retrieval.invertedIndex): terms
+    * over maxDf drop from a df-only aggregate BEFORE the posting-rank
+    * window, so no task ever sorts a stopword's corpus-sized list. At
+    * sf0.1 the 3000 cap actually fires (common plan-words exceed it);
+    * at sf0.01 everything survives — same oracle either way.
+    */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Retrieval.invertedIndex(Tables.documents(s, dir), maxDf = 3000L, k = 10)
+
+  /** Okapi BM25 for a fixed query-term bag (rare + common terms) —
+    * the retrieval-based decontamination / RAG-prep scoring relation;
+    * per-term scores integer-micro-quantized before the per-doc sum.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Retrieval.bm25(Tables.documents(s, dir), Seq("dup", "window", "merge"))
+
   private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
@@ -1860,6 +1876,8 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_lang_id_ngram" -> (qLangIdNgram _),
     "q_tfidf_keywords" -> (qTfidfKeywords _),
+    "q_inverted_index" -> (qInvertedIndex _),
+    "q_bm25" -> (qBm25 _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition_stats" -> (qRepetitionStats _),
@@ -1965,7 +1983,7 @@ object SparkEntry {
     "q_histogram_equidepth", "q_auc", "q_bucketed_join",
     "q_asof_broadcast", "q_winnow_overlap", "q_winnow_clean",
     "q_embed_covariance", "q_corpus_order", "q_auc_daily",
-    "q_curriculum_order")
+    "q_curriculum_order", "q_inverted_index", "q_bm25")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -3224,6 +3242,41 @@ object SparkEntry {
         |      ORDER BY tfidf DESC, term) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_inverted_index" ->
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |kept AS (SELECT tf.term, tf.doc_id, tf.tf, df.df
+        |         FROM tf JOIN df USING (term) WHERE df.df <= 3000),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+        |    ORDER BY tf DESC, doc_id) AS rk FROM kept)
+        |SELECT term, df,
+        |  STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY rk) AS postings
+        |FROM ranked WHERE rk <= 10 GROUP BY term, df""".stripMargin,
+    // BM25: per-term scores quantized to integer micros BEFORE the
+    // per-doc sum (integer sums commute; double sums don't), one
+    // rounded division at the end — mirrors Retrieval.bm25 exactly
+    "q_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl,
+        |         UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |       FROM (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl
+        |             FROM documents)),
+        |hits AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+        |         FROM terms WHERE term IN ('dup', 'window', 'merge')
+        |         GROUP BY 1, 2),
+        |dfs AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
+        |sc AS (SELECT h.doc_id,
+        |  CAST(ROUND(LN((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |    * (h.tf * 2.2)
+        |    / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / st.avgdl)) * 1e6) AS BIGINT)
+        |    AS sm
+        |  FROM hits h JOIN dfs d USING (term) CROSS JOIN st)
+        |SELECT doc_id, COUNT(*) AS n_hit, ROUND(SUM(sm) / 1e6, 6) AS bm25
+        |FROM sc GROUP BY doc_id""".stripMargin,
     "q_ngram_jaccard_exact" -> (ngramExactCte +
       "\nSELECT a, b, jaccard FROM pairs"),
     "q_dedup_delta_exact" ->

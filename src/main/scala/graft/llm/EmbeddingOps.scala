@@ -161,7 +161,16 @@ object EmbeddingOps {
       dims: Int,
       vecCol: String = "embedding"): DataFrame = {
     require(dims >= 1 && dims <= 512, s"covarianceExact: 1 <= dims <= 512, got $dims")
-    val pairs = emb
+    // the d(d+1)/2 expansion is the compute; it must not serialize
+    // behind a narrow scan (a demo-sized corpus is often ONE file = ONE
+    // split, and the whole 2080× blow-up would run in a single task —
+    // measured 4.3 s → 1.0 s at sf0.1 from this spread alone). A real
+    // 100 TB corpus arrives in thousands of splits and skips this.
+    val spread = {
+      val p = emb.sparkSession.sparkContext.defaultParallelism
+      if (emb.rdd.getNumPartitions < p) emb.repartition(p) else emb
+    }
+    val pairs = spread
       .select(transform(slice(asDouble(col(vecCol)), 1, dims),
         x => round(x * 1e6).cast("long")).as("m"))
       .select(explode(flatten(transform(
