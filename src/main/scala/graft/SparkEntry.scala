@@ -1017,6 +1017,14 @@ object SparkEntry {
   private def qEmbedCovariance(s: SparkSession, dir: String): DataFrame =
     graft.llm.EmbeddingOps.covarianceExact(Tables.embeddings(s, dir), dims = 64)
 
+  /** Tokenizer vocab selection (TextOps.vocabCoverage): top-20 corpus
+    * tokens with rank + cumulative coverage share — the "what vocab
+    * size covers X% of tokens" relation; the only unpartitioned window
+    * consumes the post-limit ≤20-row relation.
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabCoverage(Tables.documents(s, dir), v = 20)
+
   /** Bounded-postings inverted index (Retrieval.invertedIndex): terms
     * over maxDf drop from a df-only aggregate BEFORE the posting-rank
     * window, so no task ever sorts a stopword's corpus-sized list. At
@@ -1878,6 +1886,7 @@ object SparkEntry {
     "q_tfidf_keywords" -> (qTfidfKeywords _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_bm25" -> (qBm25 _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition_stats" -> (qRepetitionStats _),
@@ -3242,6 +3251,21 @@ object SparkEntry {
         |      ORDER BY tfidf DESC, term) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT term, COUNT(*) AS cnt FROM (
+        |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS total FROM c),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20),
+        |r AS (SELECT term, CAST(cnt AS BIGINT) AS cnt,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS INTEGER) AS rank,
+        |        SUM(cnt) OVER (ORDER BY cnt DESC, term
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM top)
+        |SELECT rank, term, cnt,
+        |  ROUND(cum / (SELECT total FROM t), 6) AS coverage
+        |FROM r""".stripMargin,
     "q_inverted_index" ->
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),

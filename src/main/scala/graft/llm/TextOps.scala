@@ -126,6 +126,43 @@ object TextOps {
       .limit(k)
   }
 
+  /** Tokenizer vocabulary selection: the top-`v` corpus tokens by
+    * frequency with rank and CUMULATIVE corpus coverage — "how big must
+    * the vocab be to cover 95 % of tokens?", the relation a tokenizer
+    * build reads before committing to a vocab size.
+    *
+    * Scale: token counts partial-aggregate map-side; the top-v cut is
+    * `orderBy.limit` (planned as TakeOrderedAndProject — per-partition
+    * top-v, never a global sort); the cumulative window then consumes
+    * the ≤ v-row POST-LIMIT relation, so the one unpartitioned window
+    * in the plan is bounded by construction (the q_revenue_share
+    * contract; TextOpsSpec plan-asserts the limit sits below it).
+    * Coverage stays an exact integer ratio until one rounded division.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      v: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(v >= 1, s"vocabCoverage: v >= 1, got $v")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(v)
+    top
+      .crossJoin(broadcast(total))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term")))
+          .cast("int"))
+      .withColumn("cum",
+        sum(col("cnt")).over(
+          Window.orderBy(col("cnt").desc, col("term"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("rank"), col("term"), col("cnt"),
+        round(col("cum") / col("_total"), 6).as("coverage"))
+  }
+
   /** Document fingerprint: canonical-form content hash — lowercase,
     * collapse non-alphanumerics, md5. The exact-dedup key.
     */

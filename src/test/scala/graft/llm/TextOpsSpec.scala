@@ -215,6 +215,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out.getInt(2) == 2 && out.getInt(3) == 3)
   }
 
+  test("vocabCoverage: exact ranks, cumulative shares, bounded post-limit window") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b b c"),  // a:3 b:2 c:1
+      (2L, "a b d")         // a:4 b:3 c:1 d:1 of 9 total
+    ).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(df, v = 3)
+      .collect().map(r =>
+        r.getInt(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 3)
+    assert(out(1) == (("a", 4L, math.rint(4.0 / 9 * 1e6) / 1e6)))
+    assert(out(2) == (("b", 3L, math.rint(7.0 / 9 * 1e6) / 1e6)))
+    // rank 3 tie (c/d, cnt 1) breaks by term: c first, cum 8/9
+    assert(out(3) == (("c", 1L, math.rint(8.0 / 9 * 1e6) / 1e6)))
+    // the one unpartitioned window consumes the post-limit relation:
+    // a Limit/TakeOrdered node must sit between the window and any scan
+    val lines = TextOps.vocabCoverage(df, v = 3)
+      .queryExecution.executedPlan.toString.linesIterator.toVector
+    val wi = lines.indexWhere(_.contains("Window"))
+    assert(wi >= 0)
+    val below = lines.drop(wi + 1)
+    val limAt = below.indexWhere(l =>
+      l.contains("TakeOrdered") || l.contains("Limit"))
+    val scanAt = below.indexWhere(_.contains("Scan"))
+    assert(limAt >= 0 && (scanAt < 0 || limAt < scanAt),
+      s"window input must be the post-limit relation:\n${lines.take(30).mkString("\n")}")
+  }
+
   test("removeBoilerplate strips repeated segments; all-boilerplate doc survives empty") {
     import spark.implicits._
     val df = Seq(
