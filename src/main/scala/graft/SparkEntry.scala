@@ -1025,6 +1025,41 @@ object SparkEntry {
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabCoverage(Tables.documents(s, dir), v = 20)
 
+  /** Per-language distinctive terms (TextOps.domainKeyness): add-one
+    * log-odds of in-group vs rest-of-corpus odds, top-5 per language —
+    * the mixture-design "what characterizes this bucket" relation.
+    * Exact integer-count odds, one ln per (group, term).
+    */
+  private def qDomainKeyness(s: SparkSession, dir: String): DataFrame =
+    TextOps.domainKeyness(Tables.documents(s, dir), groupCol = "lang", k = 5)
+
+  /** DSIR importance weights (LangModel.dsirWeights): target-vs-corpus
+    * unigram log-likelihood ratio per doc, target = English docs.
+    * Per-token ratios integer-micro-quantized before the per-doc sum.
+    */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LangModel.dsirWeights(
+      Tables.documents(s, dir), targetPred = col("lang") === "en")
+
+  /** BPE tokenizer training (Tokenizer.bpeTrain, k=3): the merge table
+    * learned over the word-frequency relation — one corpus pass, then
+    * vocabulary-sized iterations; the DuckDB oracle replays all three
+    * iterations as repeated CTEs, so the hash-match proves the entire
+    * training loop (pair counting, tie-breaking, merge application)
+    * against an independent engine.
+    */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Tokenizer.bpeMerges(s, Tables.documents(s, dir), numMerges = 3)
+
+  /** BPE application (Tokenizer.bpeTrainTokenize, k=3): the learned
+    * merges folded into chained literal REPLACEs inside a per-word
+    * transform — shuffle-free scan-speed tokenization (plan-asserted in
+    * TokenizerSpec); oracle = the same training CTEs plus the same
+    * REPLACE chain per document.
+    */
+  private def qBpeTokenize(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Tokenizer.bpeTrainTokenize(Tables.documents(s, dir), numMerges = 3)
+
   /** Bounded-postings inverted index (Retrieval.invertedIndex): terms
     * over maxDf drop from a df-only aggregate BEFORE the posting-rank
     * window, so no task ever sorts a stopword's corpus-sized list. At
@@ -1887,6 +1922,10 @@ object SparkEntry {
     "q_inverted_index" -> (qInvertedIndex _),
     "q_bm25" -> (qBm25 _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_tokenize" -> (qBpeTokenize _),
+    "q_domain_keyness" -> (qDomainKeyness _),
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition_stats" -> (qRepetitionStats _),
@@ -2139,6 +2178,41 @@ object SparkEntry {
       |SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE doc_id % 10 <> 0
       |  AND doc_id NOT IN (SELECT doc_id FROM r WHERE ratio >= 0.2)""".stripMargin
+
+  /** One BPE training iteration as DuckDB CTEs: pair counts over the
+    * current symbolization (p), deterministic argmax (m), merge applied
+    * as the boundary-safe literal replace (s) — the exact loop body of
+    * Tokenizer.bpeTrain.
+    */
+  private def bpeIterCte(i: Int): String = {
+    val prev = s"s${i - 1}"
+    s"""
+       |p$i AS (
+       |  SELECT toks[g.i] AS a, toks[g.i+1] AS b, SUM(freq) AS cnt
+       |  FROM (SELECT freq, string_split(trim(sym), '  ') AS toks FROM $prev) t,
+       |       UNNEST(range(1, len(toks))) AS g(i)
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+       |s$i AS (
+       |  SELECT word, freq,
+       |    replace(sym,
+       |      ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ',
+       |      ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS sym
+       |  FROM $prev)""".stripMargin
+  }
+
+  /** Word-frequency base + three [[bpeIterCte]] iterations — shared by
+    * the q_bpe_merges and q_bpe_tokenize oracles so both replay the
+    * identical training.
+    */
+  private val bpeTrainCtes: String =
+    """WITH wf AS (
+      |  SELECT term AS word, COUNT(*) AS freq
+      |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1),
+      |s0 AS (SELECT word, freq,
+      |       regexp_replace(word, '(.)', ' \1 ', 'g') AS sym FROM wf),""".stripMargin +
+      (1 to 3).map(bpeIterCte).mkString(",")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3266,6 +3340,79 @@ object SparkEntry {
         |SELECT rank, term, cnt,
         |  ROUND(cum / (SELECT total FROM t), 6) AS coverage
         |FROM r""".stripMargin,
+    "q_domain_keyness" ->
+      """WITH c AS (
+        |  SELECT grp, term, COUNT(*) AS c_in FROM (
+        |    SELECT lang AS grp, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT term, SUM(c_in) AS c_all FROM c GROUP BY 1),
+        |gt AS (SELECT grp, SUM(c_in) AS tot_in FROM c GROUP BY 1),
+        |g AS (SELECT SUM(tot_in) AS t FROM gt),
+        |s AS (
+        |  SELECT c.grp, c.term, c.c_in,
+        |    ROUND(
+        |      LN((c.c_in + 1.0) / (gt.tot_in - c.c_in + 1.0)) -
+        |      LN((tt.c_all - c.c_in + 1.0) /
+        |         ((SELECT t FROM g) - gt.tot_in - tt.c_all + c.c_in + 1.0)),
+        |      6) AS score
+        |  FROM c JOIN tt USING (term) JOIN gt USING (grp)),
+        |r AS (SELECT grp, term, CAST(c_in AS BIGINT) AS c_in, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY grp
+        |          ORDER BY score DESC, term) AS INTEGER) AS rank
+        |      FROM s)
+        |SELECT grp AS lang, term, c_in, score, rank FROM r
+        |WHERE rank <= 5""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS is_tgt,
+        |    UNNEST(STRING_SPLIT(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, COUNT(*) AS c_all,
+        |        SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+        |      FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_all) AS DOUBLE) AS t_all,
+        |        CAST(SUM(c_tgt) AS DOUBLE) AS t_tgt,
+        |        CAST(COUNT(*) AS DOUBLE) AS vocab FROM c),
+        |r AS (SELECT token,
+        |        CAST(ROUND((
+        |          LN((c_tgt + 0.5) / (t_tgt + 0.5 * vocab)) -
+        |          LN((c_all + 0.5) / (t_all + 0.5 * vocab))) * 1e6) AS BIGINT)
+        |          AS rm
+        |      FROM c, t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(SUM(rm) / 1e6, 6) AS logratio
+        |FROM tok JOIN r USING (token)
+        |GROUP BY 1""".stripMargin,
+    "q_bpe_merges" ->
+      (bpeTrainCtes +
+        """
+          |SELECT * FROM (
+          |  SELECT 1 AS rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS freq FROM m1
+          |  UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m2
+          |  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m3)
+          |ORDER BY rank""".stripMargin),
+    "q_bpe_tokenize" ->
+      (bpeTrainCtes +
+        """,
+          |mm AS (SELECT
+          |  (SELECT a FROM m1) AS a1, (SELECT b FROM m1) AS b1,
+          |  (SELECT a FROM m2) AS a2, (SELECT b FROM m2) AS b2,
+          |  (SELECT a FROM m3) AS a3, (SELECT b FROM m3) AS b3),
+          |tok AS (
+          |  SELECT doc_id,
+          |    array_to_string(list_transform(string_split(text, ' '), w ->
+          |      replace(trim(
+          |        replace(replace(replace(regexp_replace(w, '(.)', ' \1 ', 'g'),
+          |          ' ' || a1 || '  ' || b1 || ' ', ' ' || a1 || b1 || ' '),
+          |          ' ' || a2 || '  ' || b2 || ' ', ' ' || a2 || b2 || ' '),
+          |          ' ' || a3 || '  ' || b3 || ' ', ' ' || a3 || b3 || ' ')
+          |      ), '  ', ' ')), ' ') AS bpe_text
+          |  FROM documents, mm)
+          |SELECT doc_id, bpe_text,
+          |  CAST(len(list_filter(string_split(bpe_text, ' '), t -> t != '')) AS INT)
+          |    AS n_subtokens
+          |FROM tok""".stripMargin),
     "q_inverted_index" ->
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),

@@ -55,6 +55,54 @@ object LangModel {
         round(avg(-log2(col("p"))), 6).as("xent"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-document
+    * log-likelihood RATIO between a target-domain unigram LM and the
+    * whole-corpus unigram LM, both add-k smoothed over the corpus
+    * vocabulary. Documents whose token distribution resembles the
+    * target domain score high; feeding `logratio` to
+    * [[Sampling.weightedSample]] is the DSIR pipeline.
+    *
+    * Exactness: both LMs come from one exploded-token aggregation
+    * (target counts are a conditional sum in the same pass — the target
+    * is a subset of the corpus, so its vocab needs no second scan); the
+    * per-TOKEN ln-ratio is deterministic and quantized to integer
+    * micros BEFORE the per-doc sum, so partition order cannot perturb
+    * the 6th decimal (the bm25 discipline).
+    *
+    * Scale: the model is a vocabulary-sized relation joined on `token`
+    * (AQE broadcasts while it fits); no driver-side model, no UDF.
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      targetPred: Column,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0.0, s"addK must be positive for unseen-token mass, got $addK")
+    val counts = docs
+      .select(targetPred.as("is_tgt"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val totals = counts.agg(
+      sum(col("c_all")).cast("double").as("t_all"),
+      sum(col("c_tgt")).cast("double").as("t_tgt"),
+      count(lit(1)).cast("double").as("vocab"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round((
+          log((col("c_tgt") + addK) / (col("t_tgt") + lit(addK) * col("vocab"))) -
+            log((col("c_all") + addK) / (col("t_all") + lit(addK) * col("vocab")))
+          ) * 1e6).cast("long").as("_r_micro"))
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .join(ratios, "token")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("_r_micro")) / 1e6, 6).as("logratio"))
+  }
+
   /** Per-document cross-entropy under the add-k BIGRAM LM — the
     * next-order refinement of [[crossEntropy]] (word order now matters:
     * shuffled boilerplate that fools a unigram filter scores high here):

@@ -163,6 +163,58 @@ object TextOps {
         round(col("cum") / col("_total"), 6).as("coverage"))
   }
 
+  /** Per-group distinctive terms by add-one-smoothed log-odds ratio
+    * (the Monroe-et-al "fightin' words" family, simplified): for each
+    * (group, term), score = ln of the term's smoothed in-group odds over
+    * its smoothed rest-of-corpus odds; emit the top-`k` per group. The
+    * mixture-design read: which terms characterize each source/language
+    * bucket before choosing domain weights.
+    *
+    * Exactness: the odds are ratios of exact integer counts, so the
+    * score is one deterministic `ln` per (group, term) + one rounded
+    * emission — no FP accumulation anywhere.
+    *
+    * Scale: one corpus shuffle to (group, term) counts; term and group
+    * totals derive from that relation (vocabulary-sized and
+    * group-count-sized). The ranking window partitions by group over
+    * per-group vocabularies — bounded by Heaps-law vocab growth, not
+    * corpus rows; `minCount` prunes the rare-term tail before the sort
+    * (rare terms have noisy keyness and would dominate the list
+    * otherwise).
+    */
+  def domainKeyness(
+      docs: DataFrame,
+      groupCol: String = "lang",
+      k: Int = 5,
+      minCount: Long = 1L,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"domainKeyness: k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("c_in"))
+    val termTot = counts.groupBy(col("term")).agg(sum(col("c_in")).as("c_all"))
+    val grpTot = counts.groupBy(col("grp")).agg(sum(col("c_in")).as("tot_in"))
+    val grand = grpTot.agg(sum(col("tot_in")).as("_t"))
+    val scored = counts
+      .filter(col("c_in") >= minCount)
+      .join(termTot, "term")
+      .join(broadcast(grpTot), "grp")
+      .crossJoin(broadcast(grand))
+      .withColumn("score", round(
+        log((col("c_in") + 1) / (col("tot_in") - col("c_in") + 1)) -
+          log((col("c_all") - col("c_in") + 1) /
+            (col("_t") - col("tot_in") - col("c_all") + col("c_in") + 1)), 6))
+    scored
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("grp"))
+            .orderBy(col("score").desc, col("term"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("grp").as(groupCol), col("term"), col("c_in"),
+        col("score"), col("rank"))
+  }
+
   /** Document fingerprint: canonical-form content hash — lowercase,
     * collapse non-alphanumerics, md5. The exact-dedup key.
     */

@@ -70,4 +70,22 @@ class LangModelSpec extends SparkSpec {
     assert(!out.contains(3L), "single-token docs have no bigrams")
   }
 
+  test("dsirWeights matches hand-computed target-vs-corpus log-ratios") {
+    import spark.implicits._
+    // target doc 1: "a a b"; background doc 2: "b c"
+    // counts: a(all 2, tgt 2) b(all 2, tgt 1) c(all 1, tgt 0)
+    // T_all=5 T_tgt=3 V=3, k=0.5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = LangModel.dsirWeights(docs, targetPred = col("doc_id") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def rm(cTgt: Double, cAll: Double): Long =
+      math.round((math.log((cTgt + 0.5) / (3 + 0.5 * 3)) -
+        math.log((cAll + 0.5) / (5 + 0.5 * 3))) * 1e6)
+    val (ra, rb, rc) = (rm(2, 2), rm(1, 2), rm(0, 1))
+    assert(out(1L) == ((3L, (2 * ra + rb) / 1e6)))
+    assert(out(2L) == ((2L, (rb + rc) / 1e6)))
+    // the target doc must outscore the background doc
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
 }

@@ -243,6 +243,32 @@ class TextOpsSpec extends SparkSpec {
       s"window input must be the post-limit relation:\n${lines.take(30).mkString("\n")}")
   }
 
+  test("domainKeyness: hand-computed log-odds scores, ranks, partitioned window") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x x y", "A"),
+      (2L, "y z", "B")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.domainKeyness(df, groupCol = "lang", k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // A: x c_in=2 tot_in=3 c_all=2, T=5 → ln(3/2) − ln(1/3)
+    assert(out(("A", "x")) == ((2L, r6(math.log(3.0 / 2) - math.log(1.0 / 3)), 1)))
+    assert(out(("A", "y")) == ((1L, r6(math.log(2.0 / 3) - math.log(1.0)), 2)))
+    // B: z beats y (ln 4 > ln(3/2)·…)
+    assert(out(("B", "z")) == ((1L, r6(math.log(1.0) - math.log(1.0 / 4)), 1)))
+    assert(out(("B", "y")) == ((1L, r6(math.log(1.0) - math.log(2.0 / 3)), 2)))
+    // r8 discipline: the ranking window must carry its partition key
+    val plan = TextOps.domainKeyness(df, groupCol = "lang", k = 5)
+      .queryExecution.optimizedPlan.toString
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("grp")),
+      s"keyness window must partition by group:\n$plan")
+  }
+
   test("removeBoilerplate strips repeated segments; all-boilerplate doc survives empty") {
     import spark.implicits._
     val df = Seq(

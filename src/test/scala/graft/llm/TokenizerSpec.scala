@@ -1,0 +1,72 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.llm.Tokenizer.Merge
+
+class TokenizerSpec extends SparkSpec {
+
+  test("bpeTrain learns the hand-computed merges on the Sennrich-style fixture") {
+    import spark.implicits._
+    // words: low:3 lower:1 newest:1 widest:1
+    val df = Seq((1L, "low low lower"), (2L, "newest low widest"))
+      .toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(df, numMerges = 3)
+    // iter1: (l,o)=4 ties (o,w)=4 → lexicographic lhs wins
+    // iter2: (lo,w)=4; iter3: (w,e)=(e,s)=(s,t)=2 → (e,s) wins
+    assert(merges == Seq(
+      Merge(1, "l", "o", 4L),
+      Merge(2, "lo", "w", 4L),
+      Merge(3, "e", "s", 2L)))
+  }
+
+  test("bpeTokenize applies merges greedily left-to-right, non-overlapping") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
+    val out = Tokenizer
+      .bpeTokenize(df, Seq(Merge(1, "a", "a", 0L)))
+      .collect().head
+    // "aaa" → "aa a" (leftmost pair merges, no overlap); "aaaa" → "aa aa"
+    assert(out.getString(1) == "aa a aa aa")
+    assert(out.getInt(2) == 4)
+  }
+
+  test("merge replace is boundary-safe: ' a  b ' never matches inside ' xa  b '") {
+    import spark.implicits._
+    val df = Seq((1L, "xab ab")).toDF("doc_id", "text")
+    val out = Tokenizer
+      .bpeTokenize(df, Seq(Merge(1, "x", "a", 0L), Merge(2, "a", "b", 0L)))
+      .collect().head
+    // "xab" → (x,a) → "xa b"; the (a,b) merge must NOT fire against the
+    // trailing 'a' of symbol "xa". "ab" → "ab".
+    assert(out.getString(1) == "xa b ab")
+    assert(out.getInt(2) == 3)
+  }
+
+  test("bpeTrainTokenize: learned merges and their application agree end-to-end") {
+    import spark.implicits._
+    val df = Seq((1L, "low low lower"), (2L, "newest low widest"))
+      .toDF("doc_id", "text")
+    val out = Tokenizer.bpeTrainTokenize(df, numMerges = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // merges: (l,o), (lo,w), (e,s)
+    assert(out(1L) == (("low low low e r", 5)))
+    assert(out(2L) == (("n e w es t low w i d es t", 11)))
+  }
+
+  test("bpeTokenize is shuffle-free (no Exchange in the plan)") {
+    import spark.implicits._
+    val df = Seq((1L, "low lower")).toDF("doc_id", "text")
+    val plan = Tokenizer
+      .bpeTokenize(df, Seq(Merge(1, "l", "o", 0L), Merge(2, "lo", "w", 0L)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"tokenize must not shuffle:\n$plan")
+  }
+
+  test("bpeTrain stops early when no adjacent pairs remain") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // only one possible merge exists; asking for 5 returns 1
+    val merges = Tokenizer.bpeTrain(df, numMerges = 5)
+    assert(merges == Seq(Merge(1, "a", "b", 2L)))
+  }
+}
