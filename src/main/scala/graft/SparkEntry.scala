@@ -1025,6 +1025,26 @@ object SparkEntry {
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabCoverage(Tables.documents(s, dir), v = 20)
 
+  /** Cross-source shingle-overlap matrix (Dedup.sourceOverlap):
+    * distinct shared 3-token shingles per source pair — aggregate-first
+    * (per-shingle bounded source sets), never a shingle self-join.
+    */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(Tables.documents(s, dir))
+
+  /** Per-source dataset card (TextOps.corpusReport): docs/tokens/exact
+    * dup-rate/lang-share/mean-length in one grouped aggregation.
+    */
+  private def qCorpusReport(s: SparkSession, dir: String): DataFrame =
+    TextOps.corpusReport(Tables.documents(s, dir))
+
+  /** Exact trailing EWMA (WindowOps.ewma, decay 7/10, window 8): the
+    * integer-weight construction — no runtime pow, one final division.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame =
+    graft.operators.WindowOps.ewma(Tables.events(s, dir))
+      .select(col("event_id"), col("user_id"), col("value"), col("ewma"))
+
   /** Per-language distinctive terms (TextOps.domainKeyness): add-one
     * log-odds of in-group vs rest-of-corpus odds, top-5 per language —
     * the mixture-design "what characterizes this bucket" relation.
@@ -1926,6 +1946,9 @@ object SparkEntry {
     "q_bpe_tokenize" -> (qBpeTokenize _),
     "q_domain_keyness" -> (qDomainKeyness _),
     "q_dsir_weights" -> (qDsirWeights _),
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_corpus_report" -> (qCorpusReport _),
+    "q_ewma" -> (qEwma _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition_stats" -> (qRepetitionStats _),
@@ -2031,7 +2054,9 @@ object SparkEntry {
     "q_histogram_equidepth", "q_auc", "q_bucketed_join",
     "q_asof_broadcast", "q_winnow_overlap", "q_winnow_clean",
     "q_embed_covariance", "q_corpus_order", "q_auc_daily",
-    "q_curriculum_order", "q_inverted_index", "q_bm25")
+    "q_curriculum_order", "q_inverted_index", "q_bm25",
+    "q_vocab_coverage", "q_bpe_tokenize", "q_domain_keyness",
+    "q_dsir_weights", "q_ewma", "q_source_overlap")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -3340,6 +3365,48 @@ object SparkEntry {
         |SELECT rank, term, cnt,
         |  ROUND(cum / (SELECT total FROM t), 6) AS coverage
         |FROM r""".stripMargin,
+    "q_source_overlap" ->
+      """WITH toks AS (SELECT source, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT grp, s FROM (
+        |    SELECT source AS grp,
+        |      UNNEST(LIST_TRANSFORM(RANGE(LEN(tk) - 2),
+        |        i -> ARRAY_TO_STRING(tk[i+1:i+3], ' '))) AS s
+        |    FROM toks WHERE LEN(tk) >= 3))
+        |SELECT x.grp AS src_a, y.grp AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sh x JOIN sh y ON x.s = y.s AND x.grp < y.grp
+        |GROUP BY 1, 2""".stripMargin,
+    "q_corpus_report" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT MD5(TRIM(REGEXP_REPLACE(LOWER(text),
+        |    '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS n_uniq,
+        |  ROUND(1.0 - COUNT(DISTINCT MD5(TRIM(REGEXP_REPLACE(LOWER(text),
+        |    '[^a-z0-9]+', ' ', 'g')))) / COUNT(*), 6) AS dup_rate,
+        |  ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / COUNT(*), 6)
+        |    AS en_share,
+        |  ROUND(SUM(n_chars) / COUNT(*), 6) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(ROUND(value * 1e6) AS BIGINT) AS xm, epoch_us(ts) AS tu
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, value,
+        |    list_reverse(list(xm) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS lst
+        |  FROM e),
+        |w AS (SELECT [10000000, 7000000, 4900000, 3430000, 2401000,
+        |              1680700, 1176490, 823543] AS wts)
+        |SELECT event_id, user_id, value,
+        |  ROUND(CAST(list_sum(list_transform(lst, (x, i) -> x * wts[i]))
+        |      AS DOUBLE)
+        |    / list_sum(wts[1:len(lst)]) / 1e6, 6) AS ewma
+        |FROM l, w""".stripMargin,
     "q_domain_keyness" ->
       """WITH c AS (
         |  SELECT grp, term, COUNT(*) AS c_in FROM (

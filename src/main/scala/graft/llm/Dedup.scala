@@ -741,4 +741,42 @@ object Dedup {
     assigned.join(dups, assigned("id") === dups("dup_id"), "left_anti")
       .select(col("id"), col("cell"))
   }
+
+  /** Cross-source overlap matrix: for every pair of sources, the number
+    * of distinct `n`-token shingles that appear in BOTH — the dedup /
+    * contamination diagnostic a pipeline reads before trusting a source
+    * mix (heavy off-diagonal mass means shared boilerplate or mirrored
+    * content; which pairs carry it tells you where).
+    *
+    * Scale — aggregate-FIRST, never a shingle self-join: the distinct
+    * (shingle, source) relation collapses to per-shingle sorted source
+    * SETS (bounded by |sources|, a legal bounded collect), and each
+    * shingle then expands to at most C(|sources|, 2) pairs regardless
+    * of how many billions of docs carry it. A naive self-join on
+    * shingle explodes quadratically on exactly the boilerplate shingles
+    * this diagnostic exists to find.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      groupCol: String = "source",
+      n: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"sourceOverlap: n >= 1, got $n")
+    val toks = TextOps.tokens(col(textCol))
+    val fp = docs
+      .filter(size(toks) >= n)
+      .select(col(groupCol).as("grp"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))).as("sh"))
+      .distinct()
+    fp.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("grp"))).as("grps"))
+      .filter(size(col("grps")) >= 2)
+      .select(explode(flatten(transform(col("grps"), (x, i) =>
+        transform(slice(col("grps"), i + lit(2), size(col("grps"))),
+          y => struct(x.as("a"), y.as("b")))))).as("pr"))
+      .select(col("pr.a").as("src_a"), col("pr.b").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -215,6 +215,31 @@ object TextOps {
         col("score"), col("rank"))
   }
 
+  /** Per-source dataset card: the one-look corpus report a pipeline
+    * publishes with a training run — doc and token counts, exact
+    * duplicate rate (distinct canonical fingerprints vs docs), English
+    * share, mean document length. One grouped aggregation over the
+    * corpus; the only non-trivial member is the per-group exact
+    * distinct (Spark plans it as a two-phase expand + partial
+    * aggregate). All ratios are exact integer quotients rounded once.
+    */
+  def corpusReport(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"),
+        countDistinct(fingerprint(col(textCol))).as("n_uniq"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col(groupCol),
+        col("n_docs"), col("n_tokens"), col("n_uniq"),
+        round(lit(1.0) - col("n_uniq") / col("n_docs"), 6).as("dup_rate"),
+        round(col("n_en") / col("n_docs"), 6).as("en_share"),
+        round(col("sum_chars") / col("n_docs"), 6).as("avg_chars"))
+
   /** Document fingerprint: canonical-form content hash — lowercase,
     * collapse non-alphanumerics, md5. The exact-dedup key.
     */

@@ -472,4 +472,56 @@ object WindowOps {
       percent_rank().over(w).as("pct_rank"),
       cume_dist().over(w).as("cume"))
   }
+
+  /** Exact trailing EWMA feature (adjust=true / truncated form): per
+    * key, ordered by (ts, id), the exponentially-weighted mean of the
+    * trailing `w` values with decay `keepNum/keepDen` per step —
+    * ewma_t = Σⱼ x_{t−j}·d^j / Σⱼ d^j over the last min(t, w) rows.
+    *
+    * Exactness across engines, with NO runtime `pow`: the decay is a
+    * RATIONAL d = keepNum/keepDen, so weight_j · keepDen^(w−1) =
+    * keepNum^j · keepDen^(w−1−j) is an exact 64-bit integer computed
+    * once at plan time and embedded as a literal array. Values quantize
+    * to integer micros, the weighted sum folds in pure integer
+    * arithmetic, and the single FP step is the final division — two
+    * engines' libm `pow` (the usual 1-ulp divergence source) never
+    * runs. Overflow headroom is `require`d at plan time.
+    *
+    * Scale: one shuffle on the key; the trailing frame is a bounded
+    * rows-window (`collect_list` over ≤ w rows — bounded state by
+    * construction, the same contract as the other trailing features).
+    */
+  def ewma(
+      df: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      valCol: String = "value",
+      keepNum: Int = 7,
+      keepDen: Int = 10,
+      w: Int = 8): DataFrame = {
+    require(w >= 1 && w <= 20, s"ewma: 1 <= w <= 20, got $w")
+    require(keepNum >= 1 && keepNum < keepDen,
+      s"ewma: need 0 < keepNum/keepDen < 1, got $keepNum/$keepDen")
+    // weight_j scaled by keepDen^(w-1): exact longs, newest (j=0) first
+    val weights: Seq[Long] = (0 until w).map { j =>
+      (BigInt(keepNum).pow(j) * BigInt(keepDen).pow(w - 1 - j)).toLong
+    }
+    require(weights.forall(_ <= Long.MaxValue / (w * 2000000000L)),
+      "ewma: weight scale leaves no headroom for micro-quantized values")
+    val win = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(w - 1), 0)
+    val wts = array(weights.map(lit(_)): _*)
+    val lst = reverse(collect_list(round(col(valCol) * 1e6).cast("long")).over(win))
+    df.select(col(idCol), col(keyCol), col(tsCol), col(valCol), lst.as("_lst"))
+      .select(col(idCol), col(keyCol), col(tsCol), col(valCol),
+        round(
+          aggregate(zip_with(col("_lst"), slice(wts, lit(1), size(col("_lst"))),
+            (x, wt) => x * wt), lit(0L), (acc, t) => acc + t).cast("double")
+            / aggregate(slice(wts, lit(1), size(col("_lst"))), lit(0L),
+                (acc, t) => acc + t)
+            / 1e6,
+          6).as("ewma"))
+  }
 }

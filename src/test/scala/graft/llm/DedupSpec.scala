@@ -493,4 +493,22 @@ class DedupSpec extends SparkSpec {
     assert(hashed == out, "8-byte gram keys must not change the relation")
   }
 
+  test("sourceOverlap counts distinct shared shingles per source pair, no self-join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "s1"),   // shingles: "a b c", "b c d"
+      (2L, "a b c x", "s2"),   // "a b c", "b c x"
+      (3L, "b c d y", "s3"),   // "b c d", "c d y"
+      (4L, "a b c d", "s1"),   // duplicate content, same source — no double count
+      (5L, "zz", "s1")         // too short, no shingles
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // s1∩s2 = {"a b c"}; s1∩s3 = {"b c d"}; s2∩s3 = {}
+    assert(out == Map(("s1", "s2") -> 1L, ("s1", "s3") -> 1L))
+    // aggregate-first shape: the plan must contain NO join at all
+    val plan = Dedup.sourceOverlap(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"sourceOverlap must not self-join:\n$plan")
+  }
+
 }

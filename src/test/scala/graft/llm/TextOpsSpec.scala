@@ -269,6 +269,24 @@ class TextOpsSpec extends SparkSpec {
       s"keyness window must partition by group:\n$plan")
   }
 
+  test("corpusReport: exact per-source counts, dup rate, shares") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "a b c", "fr", "s1", 5L),   // exact dup of doc 1 (fingerprint)
+      (3L, "x y", "en", "s1", 3L),
+      (4L, "p q r s", "de", "s2", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.corpusReport(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // s1: 3 docs, 8 tokens, 2 uniq fingerprints → dup 1/3; en 2/3; chars 13/3
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out("s1") == ((3L, 8L, 2L, r6(1.0 - 2.0 / 3), r6(2.0 / 3), r6(13.0 / 3))))
+    assert(out("s2") == ((1L, 4L, 1L, 0.0, 0.0, 7.0)))
+  }
+
   test("removeBoilerplate strips repeated segments; all-boilerplate doc survives empty") {
     import spark.implicits._
     val df = Seq(

@@ -308,4 +308,32 @@ class WindowOpsSpec extends SparkSpec {
       s"row-level sessions $nSessionized != session_window count $nWindowed")
   }
 
+  test("ewma matches brute-force truncated exponential weighting") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // key 1: 4 values; key 2: 1 value (partial-window normalization)
+    val df = Seq(
+      (1L, 1L, ts(10), 10.0), (2L, 1L, ts(20), 20.0),
+      (3L, 1L, ts(30), 40.0), (4L, 1L, ts(40), 0.5),
+      (5L, 2L, ts(10), 7.25)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = WindowOps.ewma(df, w = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // brute force: newest-first weights d^0, d^1, d^2 with d = 0.7 over
+    // micro-quantized values
+    def brute(vals: Seq[Double]): Double = {
+      val xm = vals.map(v => math.round(v * 1e6))
+      val wts = Seq(100L, 70L, 49L).take(xm.length)
+      val num = xm.zip(wts).map { case (x, wt) => x * wt }.sum
+      val den = wts.sum
+      math.rint(num.toDouble / den / 1e6 * 1e6) / 1e6
+    }
+    assert(out(1L) == brute(Seq(10.0)))
+    assert(out(2L) == brute(Seq(20.0, 10.0)))
+    assert(out(3L) == brute(Seq(40.0, 20.0, 10.0)))
+    assert(out(4L) == brute(Seq(0.5, 40.0, 20.0)), "window truncates to w=3")
+    assert(out(5L) == brute(Seq(7.25)), "keys are independent")
+  }
+
 }
