@@ -1025,6 +1025,26 @@ object SparkEntry {
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabCoverage(Tables.documents(s, dir), v = 20)
 
+  /** Subword vocabulary after k=3 BPE merges (Tokenizer.bpeVocab):
+    * symbol, corpus frequency, merge-product flag — the tokenizer
+    * capstone relation (merges → tokenized corpus → vocab).
+    */
+  private def qBpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Tokenizer.bpeVocab(Tables.documents(s, dir), numMerges = 3)
+
+  /** Duplicate-cluster-size profile (Dedup.dupProfile): the dedup
+    * before/after histogram over exact fingerprints.
+    */
+  private def qDupProfile(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupProfile(Tables.documents(s, dir))
+
+  /** Daily quantile drift (Stats.quantileDrift): exact per-day p50/p90
+    * of event value + day-over-day deltas; the lag window consumes the
+    * post-aggregation #days relation.
+    */
+  private def qQuantileDrift(s: SparkSession, dir: String): DataFrame =
+    Stats.quantileDrift(Tables.events(s, dir))
+
   /** Cross-source shingle-overlap matrix (Dedup.sourceOverlap):
     * distinct shared 3-token shingles per source pair — aggregate-first
     * (per-shingle bounded source sets), never a shingle self-join.
@@ -1949,6 +1969,9 @@ object SparkEntry {
     "q_source_overlap" -> (qSourceOverlap _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_ewma" -> (qEwma _),
+    "q_bpe_vocab" -> (qBpeVocab _),
+    "q_dup_profile" -> (qDupProfile _),
+    "q_quantile_drift" -> (qQuantileDrift _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition_stats" -> (qRepetitionStats _),
@@ -2238,6 +2261,27 @@ object SparkEntry {
       |s0 AS (SELECT word, freq,
       |       regexp_replace(word, '(.)', ' \1 ', 'g') AS sym FROM wf),""".stripMargin +
       (1 to 3).map(bpeIterCte).mkString(",")
+
+  /** [[bpeTrainCtes]] + the tokenizer application (merge scalars cross
+    * joined, then the same three boundary-safe REPLACEs per document) —
+    * shared by q_bpe_tokenize and q_bpe_vocab.
+    */
+  private val bpeTokenizeCtes: String = bpeTrainCtes +
+    """,
+      |mm AS (SELECT
+      |  (SELECT a FROM m1) AS a1, (SELECT b FROM m1) AS b1,
+      |  (SELECT a FROM m2) AS a2, (SELECT b FROM m2) AS b2,
+      |  (SELECT a FROM m3) AS a3, (SELECT b FROM m3) AS b3),
+      |tok AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(string_split(text, ' '), w ->
+      |      replace(trim(
+      |        replace(replace(replace(regexp_replace(w, '(.)', ' \1 ', 'g'),
+      |          ' ' || a1 || '  ' || b1 || ' ', ' ' || a1 || b1 || ' '),
+      |          ' ' || a2 || '  ' || b2 || ' ', ' ' || a2 || b2 || ' '),
+      |          ' ' || a3 || '  ' || b3 || ' ', ' ' || a3 || b3 || ' ')
+      |      ), '  ', ' ')), ' ') AS bpe_text
+      |  FROM documents, mm)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3365,6 +3409,25 @@ object SparkEntry {
         |SELECT rank, term, cnt,
         |  ROUND(cum / (SELECT total FROM t), 6) AS coverage
         |FROM r""".stripMargin,
+    "q_dup_profile" ->
+      """WITH f AS (
+        |  SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')))
+        |    AS fp FROM documents),
+        |c AS (SELECT fp, COUNT(*) AS sz FROM f GROUP BY 1)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY sz""".stripMargin,
+    "q_quantile_drift" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        |    ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |    ROUND(quantile_cont(value, 0.9), 6) AS p90
+        |  FROM events GROUP BY 1)
+        |SELECT day, CAST(n_events AS BIGINT) AS n_events, p50, p90,
+        |  ROUND(p50 - LAG(p50, 1) OVER (ORDER BY day), 6) AS d_p50,
+        |  ROUND(p90 - LAG(p90, 1) OVER (ORDER BY day), 6) AS d_p90
+        |FROM d""".stripMargin,
     "q_source_overlap" ->
       """WITH toks AS (SELECT source, STRING_SPLIT(text, ' ') AS tk FROM documents),
         |sh AS (
@@ -3460,26 +3523,20 @@ object SparkEntry {
           |  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m3)
           |ORDER BY rank""".stripMargin),
     "q_bpe_tokenize" ->
-      (bpeTrainCtes +
-        """,
-          |mm AS (SELECT
-          |  (SELECT a FROM m1) AS a1, (SELECT b FROM m1) AS b1,
-          |  (SELECT a FROM m2) AS a2, (SELECT b FROM m2) AS b2,
-          |  (SELECT a FROM m3) AS a3, (SELECT b FROM m3) AS b3),
-          |tok AS (
-          |  SELECT doc_id,
-          |    array_to_string(list_transform(string_split(text, ' '), w ->
-          |      replace(trim(
-          |        replace(replace(replace(regexp_replace(w, '(.)', ' \1 ', 'g'),
-          |          ' ' || a1 || '  ' || b1 || ' ', ' ' || a1 || b1 || ' '),
-          |          ' ' || a2 || '  ' || b2 || ' ', ' ' || a2 || b2 || ' '),
-          |          ' ' || a3 || '  ' || b3 || ' ', ' ' || a3 || b3 || ' ')
-          |      ), '  ', ' ')), ' ') AS bpe_text
-          |  FROM documents, mm)
+      (bpeTokenizeCtes +
+        """
           |SELECT doc_id, bpe_text,
           |  CAST(len(list_filter(string_split(bpe_text, ' '), t -> t != '')) AS INT)
           |    AS n_subtokens
           |FROM tok""".stripMargin),
+    "q_bpe_vocab" ->
+      (bpeTokenizeCtes +
+        """
+          |SELECT subword, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  (LEN(subword) > 1) AS is_merged
+          |FROM (SELECT UNNEST(list_filter(string_split(bpe_text, ' '),
+          |        t -> t != '')) AS subword FROM tok)
+          |GROUP BY 1""".stripMargin),
     "q_inverted_index" ->
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),

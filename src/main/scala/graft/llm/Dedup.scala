@@ -779,4 +779,18 @@ object Dedup {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Duplicate-cluster-size profile: how many exact-duplicate clusters
+    * exist at each multiplicity, and how many docs they hold — the
+    * before/after read of any dedup pass (a healthy post-dedup corpus
+    * is one row: cluster_size 1). Two grouped aggregations, both with
+    * map-side partials; output is bounded by the largest multiplicity.
+    */
+  def dupProfile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
 }

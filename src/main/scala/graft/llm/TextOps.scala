@@ -180,19 +180,25 @@ object TextOps {
     * per-group vocabularies — bounded by Heaps-law vocab growth, not
     * corpus rows; `minCount` prunes the rare-term tail before the sort
     * (rare terms have noisy keyness and would dominate the list
-    * otherwise).
+    * otherwise). The counts subtree feeds four consumers whose pruned
+    * projections defeat exchange reuse, so physically the corpus
+    * aggregates more than once; at demo scale that beats a checkpoint
+    * (same A/B finding as [[LangModel.dsirWeights]]) — set
+    * `reuseCounts = true` when corpus tokenization dominates.
     */
   def domainKeyness(
       docs: DataFrame,
       groupCol: String = "lang",
       k: Int = 5,
       minCount: Long = 1L,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      reuseCounts: Boolean = false): DataFrame = {
     require(k >= 1, s"domainKeyness: k >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val counts = docs
+    val counts0 = docs
       .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("c_in"))
+    val counts = if (reuseCounts) counts0.localCheckpoint() else counts0
     val termTot = counts.groupBy(col("term")).agg(sum(col("c_in")).as("c_all"))
     val grpTot = counts.groupBy(col("grp")).agg(sum(col("c_in")).as("tot_in"))
     val grand = grpTot.agg(sum(col("tot_in")).as("_t"))

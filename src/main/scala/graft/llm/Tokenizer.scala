@@ -140,4 +140,21 @@ object Tokenizer {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     bpeTokenize(docs, bpeTrain(docs, numMerges, textCol), textCol, idCol)
+
+  /** The subword vocabulary after `numMerges` merges: every surviving
+    * symbol with its corpus frequency and whether it is a merge product
+    * (base symbols are single chars by construction). Together with
+    * [[TextOps.vocabCoverage]] this closes the tokenizer-construction
+    * loop: merges → tokenized corpus → resulting vocab + coverage.
+    */
+  def bpeVocab(
+      docs: DataFrame,
+      numMerges: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    bpeTrainTokenize(docs, numMerges, textCol, idCol)
+      .select(explode(filter(split(col("bpe_text"), " "), t => t =!= ""))
+        .as("subword"))
+      .groupBy(col("subword")).agg(count(lit(1)).as("cnt"))
+      .withColumn("is_merged", length(col("subword")) > 1)
 }

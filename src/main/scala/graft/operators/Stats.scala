@@ -430,4 +430,31 @@ object Stats {
       .select(col("_g"), col("_m"), col("_v"), col("_c"), col("_cum"),
         col("_n"), col("_b"), col("_sb"))
   }
+
+  /** Daily quantile drift — the distribution-shift monitor a training
+    * pipeline runs over a metric column: per UTC day, exact p50/p90
+    * (R-7 interpolation, the `percentile` aggregate both Spark and
+    * DuckDB implement) plus the day-over-day deltas.
+    *
+    * Scale: one shuffle to per-day groups (each day's percentile is an
+    * in-group exact aggregate — day cardinality bounds memory, and a
+    * day of metrics is the natural localization unit); the lag window
+    * runs UNPARTITIONED but consumes the post-aggregation #days-row
+    * relation — the q_revenue_share contract.
+    */
+  def quantileDrift(
+      df: DataFrame,
+      tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+    df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(expr(s"percentile($valCol, 0.5)"), 6).as("p50"),
+        round(expr(s"percentile($valCol, 0.9)"), 6).as("p90"))
+      .select(col("day"), col("n_events"), col("p50"), col("p90"),
+        round(col("p50") - lag(col("p50"), 1).over(w), 6).as("d_p50"),
+        round(col("p90") - lag(col("p90"), 1).over(w), 6).as("d_p90"))
+  }
 }

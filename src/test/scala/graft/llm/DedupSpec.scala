@@ -511,4 +511,15 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"sourceOverlap must not self-join:\n$plan")
   }
 
+  test("dupProfile: cluster-size histogram over exact fingerprints") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Same text!"), (2L, "same TEXT"),   // fingerprint-identical pair
+      (3L, "unique one"), (4L, "unique two"), (5L, "unique three")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupProfile(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (3L, 3L), 2L -> (1L, 2L)))
+  }
+
 }

@@ -86,6 +86,9 @@ class LangModelSpec extends SparkSpec {
     assert(out(2L) == ((2L, (rb + rc) / 1e6)))
     // the target doc must outscore the background doc
     assert(out(1L)._2 > out(2L)._2)
+    // the reuseCounts scale path is relation-identical
+    val ckpt = LangModel.dsirWeights(docs, col("doc_id") === 1, reuseCounts = true)
+    assert(ckpt.exceptAll(LangModel.dsirWeights(docs, col("doc_id") === 1)).isEmpty)
   }
 
 }

@@ -62,6 +62,21 @@ class TokenizerSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"tokenize must not shuffle:\n$plan")
   }
 
+  test("bpeVocab: subword frequencies and merge flags after training") {
+    import spark.implicits._
+    val df = Seq((1L, "low low lower"), (2L, "newest low widest"))
+      .toDF("doc_id", "text")
+    // merges (l,o),(lo,w),(e,s): low→[low]; lower→[low,e,r];
+    // newest→[n,e,w,es,t]; widest→[w,i,d,es,t]
+    val out = Tokenizer.bpeVocab(df, numMerges = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      "low" -> (4L, true), "es" -> (2L, true),
+      "e" -> (2L, false), "r" -> (1L, false), "n" -> (1L, false),
+      "w" -> (2L, false), "t" -> (2L, false), "i" -> (1L, false),
+      "d" -> (1L, false)))
+  }
+
   test("bpeTrain stops early when no adjacent pairs remain") {
     import spark.implicits._
     val df = Seq((1L, "ab ab")).toDF("doc_id", "text")

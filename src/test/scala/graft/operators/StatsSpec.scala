@@ -196,4 +196,23 @@ class StatsSpec extends SparkSpec {
     assert(out.head.getInt(0) == 0 && out.head.getLong(1) == 3L)
   }
 
+  test("quantileDrift: exact R-7 day percentiles and day-over-day deltas") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val day0 = 86400L * 100
+    def ts(d: Int, s: Long) = new Timestamp((day0 + d * 86400L + s) * 1000L)
+    // day 0: values 1,2,4,8 → p50=3, p90=6.8; day 1: 10,20 → p50=15, p90=19
+    val df = Seq(
+      (ts(0, 10), 1.0), (ts(0, 20), 2.0), (ts(0, 30), 4.0), (ts(0, 40), 8.0),
+      (ts(1, 10), 10.0), (ts(1, 20), 20.0)
+    ).toDF("ts", "value")
+    val out = Stats.quantileDrift(df).orderBy("day").collect()
+    assert(out.length == 2)
+    val d0 = out(0); val d1 = out(1)
+    assert(d0.getLong(1) == 4L && d0.getDouble(2) == 3.0 && d0.getDouble(3) == 6.8)
+    assert(d0.isNullAt(4) && d0.isNullAt(5), "first day has no delta")
+    assert(d1.getLong(1) == 2L && d1.getDouble(2) == 15.0 && d1.getDouble(3) == 19.0)
+    assert(d1.getDouble(4) == 12.0 && math.abs(d1.getDouble(5) - 12.2) < 1e-9)
+  }
+
 }
