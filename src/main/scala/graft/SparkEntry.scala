@@ -1025,6 +1025,52 @@ object SparkEntry {
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabCoverage(Tables.documents(s, dir), v = 20)
 
+  /** TPC-H Q6 (forecasting revenue change): every predicate is
+    * scan-side — the pushdown/pruning showcase (two columns read, no
+    * shuffle before the scalar aggregate). Revenue quantizes each
+    * price×discount product to 1e-4 before the sum (integer-cents
+    * discipline at 4 decimals, since the product carries 4).
+    */
+  private def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg((sum(floor(col("l_extendedprice") * col("l_discount") * 1e4
+        + 0.5).cast("long")) / 1e4).as("revenue"))
+
+  /** TPC-H Q4 shape (priority check): EXISTS decorrelates to a LEFT
+    * SEMI join — lineitem is touched once and never duplicated into
+    * the aggregate (fixture variant: shipped-after-order predicate, as
+    * the fixture has no commit/receipt dates).
+    */
+  private def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q14 (promotion effect): one month of lineitem joined to the
+    * broadcast part dim; both sums quantize products to 1e-4 before
+    * aggregation so the percentage is a ratio of exact integers.
+    */
+  private def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val disc4 = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 1e4 + 0.5).cast("long")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type").startsWith("PROMO"), disc4).otherwise(0L))
+          * 100.0 / sum(disc4), 6).as("promo_revenue_pct"))
+  }
+
   /** Subword vocabulary after k=3 BPE merges (Tokenizer.bpeVocab):
     * symbol, corpus frequency, merge-product flag — the tokenizer
     * capstone relation (merges → tokenized corpus → vocab).
@@ -1972,6 +2018,9 @@ object SparkEntry {
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_dup_profile" -> (qDupProfile _),
     "q_quantile_drift" -> (qQuantileDrift _),
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition_stats" -> (qRepetitionStats _),
@@ -2079,7 +2128,8 @@ object SparkEntry {
     "q_embed_covariance", "q_corpus_order", "q_auc_daily",
     "q_curriculum_order", "q_inverted_index", "q_bm25",
     "q_vocab_coverage", "q_bpe_tokenize", "q_domain_keyness",
-    "q_dsir_weights", "q_ewma", "q_source_overlap")
+    "q_dsir_weights", "q_ewma", "q_source_overlap",
+    "q4_priority_exists", "q6_forecast_revenue", "q14_promo_revenue")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -3409,6 +3459,30 @@ object SparkEntry {
         |SELECT rank, term, cnt,
         |  ROUND(cum / (SELECT total FROM t), 6) AS coverage
         |FROM r""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+        |  AS BIGINT)) / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT ROUND(
+        |  SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |      AS BIGINT) ELSE 0 END) * 100.0 /
+        |  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |    AS BIGINT)), 6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
     "q_dup_profile" ->
       """WITH f AS (
         |  SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')))
