@@ -1025,6 +1025,25 @@ object SparkEntry {
   private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabCoverage(Tables.documents(s, dir), v = 20)
 
+  /** Exact phrase search (Retrieval.phraseSearch): positional-index
+    * intersection via one per-doc window over phrase-term occurrences —
+    * no k-way self-join, one shuffle.
+    */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Retrieval.phraseSearch(
+      Tables.documents(s, dir), phrase = Seq("table", "hash"))
+
+  /** Count–Min term-frequency estimates (Sketches.cmsTermCounts):
+    * per-source partials unioned by the executor-side CMS Aggregator,
+    * probed for common + absent terms. Rows-only (sketch binary is not
+    * SQL-expressible); SketchesSpec asserts estimate ≥ exact, the
+    * eps·N upper bound, and partial/merge ≡ one-shot.
+    */
+  private def qCmsTermCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsTermCounts(
+      Tables.documents(s, dir),
+      probes = Seq("table", "hash", "join", "nosuchterm"))
+
   /** TPC-H Q6 (forecasting revenue change): every predicate is
     * scan-side — the pushdown/pruning showcase (two columns read, no
     * shuffle before the scalar aggregate). Revenue quantizes each
@@ -2021,6 +2040,8 @@ object SparkEntry {
     "q4_priority_exists" -> (q4PriorityExists _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q_phrase_search" -> (qPhraseSearch _),
+    "q_cms_term_counts" -> (qCmsTermCounts _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition_stats" -> (qRepetitionStats _),
@@ -3459,6 +3480,14 @@ object SparkEntry {
         |SELECT rank, term, cnt,
         |  ROUND(cum / (SELECT total FROM t), 6) AS coverage
         |FROM r""".stripMargin,
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |m AS (
+        |  SELECT doc_id, i FROM t, UNNEST(range(1, len(tk))) AS g(i)
+        |  WHERE tk[i] = 'table' AND tk[i+1] = 'hash')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(MIN(i) - 1 AS INT) AS first_pos
+        |FROM m GROUP BY 1""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         |FROM orders

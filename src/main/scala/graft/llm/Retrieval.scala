@@ -105,4 +105,41 @@ object Retrieval {
         count(lit(1)).as("n_hit"),
         round(sum(col("_s_micro")) / 1e6, 6).as("bm25"))
   }
+
+  /** Exact phrase search over the positional token stream: documents
+    * where `phrase` occurs as consecutive tokens, with match count and
+    * first match position (0-based).
+    *
+    * Shape — the positional-index intersection without a k-way
+    * self-join: posexplode to (doc, pos, term), FILTER to phrase terms
+    * immediately (the corpus-sized stream shrinks to phrase-term
+    * occurrences before anything stateful), then one window per doc
+    * ordered by pos where `lead(pos, j) = pos + j ∧ lead(term, j) =
+    * phrase(j)` for all j — the j-th next *phrase-term* occurrence must
+    * sit exactly j positions ahead, which forces consecutive original
+    * positions. Per-doc window state is bounded by the doc's
+    * phrase-term frequency, a tiny corpus fraction; one shuffle total
+    * (vs k−1 shuffles for the join-chain form).
+    */
+  def phraseSearch(
+      docs: DataFrame,
+      phrase: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(phrase.length >= 2, s"phraseSearch: need >= 2 terms, got $phrase")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val matchCond = phrase.zipWithIndex.tail.foldLeft(
+      col("term") === phrase.head) { case (acc, (t, j)) =>
+        acc && lead(col("pos"), j).over(w) === col("pos") + j &&
+          lead(col("term"), j).over(w) === t
+    }
+    docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col(textCol))))
+      .toDF("doc_id", "pos", "term")
+      .filter(col("term").isin(phrase: _*))
+      .withColumn("_hit", matchCond)
+      .filter(col("_hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("int").as("first_pos"))
+  }
 }

@@ -120,4 +120,96 @@ object Sketches {
       .select((df.select(groups: _*).columns.map(col).toSeq ++ Seq(
         col("_e.item").as("item"),
         col("_e.count").as("est_count"))): _*)
+
+  // ---- Count–Min frequency sketch -------------------------------------
+
+  /** Executor-side CMS union (typed Aggregator over the serialized
+    * form): binary sketches built with identical (eps, confidence,
+    * seed) merge associatively — counter matrices add cell-wise — so
+    * the partial/merge split runs fully distributed, never on the
+    * driver. Spark ships `count_min_sketch` as a builder but no union
+    * aggregate; this closes that gap.
+    */
+  private val cmsUnion: org.apache.spark.sql.expressions.Aggregator[
+      Array[Byte], Array[Byte], Array[Byte]] =
+    new org.apache.spark.sql.expressions.Aggregator[
+        Array[Byte], Array[Byte], Array[Byte]] {
+      private def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        if (a == null || a.isEmpty) b
+        else if (b == null || b.isEmpty) a
+        else {
+          val x = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(a))
+          x.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(b)))
+          val out = new java.io.ByteArrayOutputStream()
+          x.writeTo(out)
+          out.toByteArray
+        }
+      def zero: Array[Byte] = Array.emptyByteArray
+      def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = merge2(buf, in)
+      def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = merge2(a, b)
+      def finish(r: Array[Byte]): Array[Byte] = r
+      def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+        org.apache.spark.sql.Encoders.BINARY
+      def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+        org.apache.spark.sql.Encoders.BINARY
+    }
+
+  /** Per-group CMS partials over `target` — the mergeable frequency
+    * artifact (KB-sized; "how often did this item appear in any date
+    * range" becomes a sketch union, never a rescan). Counter matrices
+    * are addition-only, so the stored binary is independent of row
+    * order: same data ⇒ byte-identical sketch at any parallelism.
+    */
+  def cmsPartials(
+      df: DataFrame,
+      target: Column,
+      eps: Double,
+      confidence: Double,
+      seed: Int,
+      groups: Column*): DataFrame =
+    df.groupBy(groups: _*)
+      .agg(count_min_sketch(target, lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+
+  /** Union stored partials (dropping the partial-level grouping) and
+    * read estimates for a fixed probe list. Estimates are upper bounds:
+    * est ≥ true count, est ≤ true + eps·N with prob ≥ confidence.
+    */
+  def cmsMergeEstimates(
+      partials: DataFrame,
+      probes: Seq[String],
+      groups: Column*): DataFrame = {
+    require(probes.nonEmpty, "cmsMergeEstimates: probes must be non-empty")
+    val union = udaf(cmsUnion)
+    val est = udf((b: Array[Byte], item: String) =>
+      if (b == null || b.isEmpty) 0L
+      else org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)).estimateCount(item))
+    val groupCols = partials.select(groups: _*).columns.map(col).toSeq
+    partials
+      .groupBy(groups: _*)
+      .agg(union(col("cms")).as("cms"))
+      .select((groupCols :+ col("cms") :+
+        explode(array(probes.map(lit(_)): _*)).as("term")): _*)
+      .select((groupCols ++ Seq(col("term"),
+        est(col("cms"), col("term")).as("est_count"))): _*)
+  }
+
+  /** One-shot corpus-global term-frequency estimates: per-source
+    * partials unioned to one sketch, probed for `probes` — the
+    * registered partial/merge composition.
+    */
+  def cmsTermCounts(
+      docs: DataFrame,
+      probes: Seq[String],
+      textCol: String = "text",
+      groupCol: String = "source"): DataFrame =
+    cmsMergeEstimates(
+      cmsPartials(
+        docs.select(col(groupCol),
+          explode(split(col(textCol), " ")).as("term")),
+        col("term"), 0.0001, 0.99, 42, col(groupCol)),
+      probes)
 }

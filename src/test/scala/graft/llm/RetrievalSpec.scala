@@ -51,4 +51,26 @@ class RetrievalSpec extends SparkSpec {
     // tf monotonicity at equal df: tf=2/dl=3 beats tf=1/dl=4
     assert(out(2L)._2 > out(5L)._2)
   }
+
+  test("phraseSearch: consecutive-position matches only, counts and first_pos") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x table hash y table hash"), // matches at pos 1 and 4
+      (2L, "table x hash"),              // interrupted — no match
+      (3L, "hash table"),                // wrong order — no match
+      (4L, "table table hash")           // the second 'table' starts the match
+    ).toDF("doc_id", "text")
+    val out = Retrieval.phraseSearch(docs, Seq("table", "hash"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out == Map(1L -> (2L, 1), 4L -> (1L, 1)))
+  }
+
+  test("phraseSearch: 3-term phrase with overlapping occurrences") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a"), (2L, "a b b a")).toDF("doc_id", "text")
+    val out = Retrieval.phraseSearch(docs, Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // overlapping matches at pos 0 and pos 2 both count
+    assert(out == Map(1L -> (2L, 0)))
+  }
 }

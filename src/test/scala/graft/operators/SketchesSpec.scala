@@ -94,4 +94,30 @@ class SketchesSpec extends SparkSpec {
         s"$g: approx ${aMap(g)} vs exact ${eMap(g)}")
     }
   }
+
+  test("CMS: estimate >= exact, eps*N bound holds, partial/merge == one-shot") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b", "s1"), (2L, "a b c", "s2"), (3L, "c c d", "s1")
+    ).toDF("doc_id", "text", "source")
+    val exact = Map("a" -> 4L, "b" -> 2L, "c" -> 3L, "d" -> 1L, "zz" -> 0L)
+    val probes = exact.keys.toSeq.sorted
+    val est = Sketches.cmsTermCounts(docs, probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 10L // total tokens
+    probes.foreach { t =>
+      assert(est(t) >= exact(t), s"$t: CMS must never underestimate")
+      assert(est(t) <= exact(t) + (0.0001 * n).ceil.toLong + 1,
+        s"$t: est ${est(t)} breaks the eps*N bound over exact ${exact(t)}")
+    }
+    // the per-source partial/merge composition equals a single global
+    // sketch built with the same parameters
+    val tok = docs.select(lit("all").as("g"),
+      explode(split(col("text"), " ")).as("term"))
+    val oneShot = Sketches.cmsMergeEstimates(
+      Sketches.cmsPartials(tok, col("term"), 0.0001, 0.99, 42, col("g")),
+      probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oneShot == est, "union of per-source partials must equal one-shot")
+  }
 }
