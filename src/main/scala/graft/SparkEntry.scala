@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.model.Tables
 import graft.operators.{History, Incremental, Joins, Relational, Stats, WindowOps}
@@ -1090,6 +1091,192 @@ object SparkEntry {
           * 100.0 / sum(disc4), 6).as("promo_revenue_pct"))
   }
 
+  /** TPC-H Q8 shape (national market share): of the PROMO-part revenue
+    * sold into ASIA, what fraction per order year was supplied by
+    * NATION_2. The fixture has no p_mfgr, so the part cut is p_type.
+    * Scale: lineitem pre-filters through the broadcast part dim (the
+    * scan never widens); orders shuffles once on the order key; every
+    * other relation (ASIA nation keys, supplier→nation, customer)
+    * broadcasts. The share is a ratio of 1e-4-quantized integer sums,
+    * so engine summation order cannot move the percentage.
+    */
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val disc4 = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 1e4 + 0.5).cast("long")
+    val asiaKeys = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name") === lit("ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_type") === lit("PROMO")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaKeys), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === lit("NATION_2"), disc4).otherwise(0L))
+          * 100.0 / sum(disc4), 6).as("mkt_share_pct"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): two-level
+    * aggregation over a LEFT OUTER join — zero-order customers must
+    * survive with count 0, so the priority predicate lives on the
+    * orders side BEFORE the join (≡ the ON-clause placement; a WHERE
+    * after the join would silently drop them). The fixture has no
+    * o_comment, so the excluded class is '1-URGENT'. Scale: first agg
+    * shuffles on c_custkey (map-side combinable); the second input is
+    * one row per customer and the distribution fits anywhere.
+    */
+  private def q13CountDistribution(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= lit("1-URGENT"))
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): max over a revenue view, kept as
+    * a decorrelated 1-row aggregate broadcast back — never a global
+    * sort and never a single-partition window. The aggregated view is
+    * localCheckpoint'ed so the lineitem scan feeding both the view and
+    * its max runs ONCE (same discipline as Stats.madByGroup); ties all
+    * surface, as in the spec.
+    */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev_cents"))
+      .localCheckpoint()
+    rev
+      .join(broadcast(rev.agg(max(col("rev_cents")).as("_max_cents"))),
+        col("rev_cents") === col("_max_cents"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_cents") / 100.0).as("total_revenue"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * per-part AVG decorrelates to ONE grouped window carrying the
+    * partition key (l_partkey) — one scan, one shuffle, instead of the
+    * textbook self-join's two lineitem scans. The brand cut (fixture
+    * has no p_container) broadcasts before the shuffle, so window
+    * state is only the brand's lineitems. l_quantity is
+    * integer-valued, so the per-part mean is exact on both engines.
+    */
+  private def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") === lit("Brand#23")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("_avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("_avg_qty"))
+      .agg((sum(cents(col("l_extendedprice"))) / 700.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape (disjunctive predicate pushdown): an OR of
+    * brand/size/quantity conjunctions (fixture variant — no
+    * p_container/l_shipmode). What Catalyst must do, and `.explain`
+    * confirms: extract the common `l_quantity <= 30` bound into the
+    * lineitem scan's PushedFilters, push the brand/size disjunction
+    * into the part scan before it broadcasts, and evaluate the
+    * residual OR post-join inside one codegen stage.
+    */
+  private def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val disc4 = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 1e4 + 0.5).cast("long")
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === lit("Brand#12") && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === lit("Brand#23") && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === lit("Brand#15") && col("p_size").between(20, 30) &&
+          col("l_quantity").between(20, 30)))
+      .agg((sum(disc4) / 1e4).as("revenue"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    * EXISTS + NOT EXISTS self-correlation on the fact table, planned
+    * as LEFT SEMI then LEFT ANTI — lineitem is never duplicated into
+    * the aggregate. Fixture variant: "failed" = l_returnflag 'R' (no
+    * commit/receipt dates); blame attaches to a supplier with an 'R'
+    * line in a finished multi-supplier order where NO other supplier
+    * has an 'R' line. Scale: both probe sides are projected to
+    * (orderkey, suppkey) before the shuffles; supplier broadcasts.
+    */
+  private def q21BlameSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val l2 = l.select(col("l_orderkey").as("_o2"), col("l_suppkey").as("_s2"))
+    val l3 = l.filter(col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey").as("_o3"), col("l_suppkey").as("_s3"))
+    l.filter(col("l_returnflag") === lit("R"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === lit("F")).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(l2, col("l_orderkey") === col("_o2") &&
+        col("l_suppkey") =!= col("_s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("_o3") &&
+        col("l_suppkey") =!= col("_s3"), "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22 shape (global-account-balance anti-join): customers in
+    * a country-code set (fixture variant: c_nationkey — no c_phone)
+    * whose balance beats the positive-balance mean and who placed no
+    * order since 2000-01-01 (every fixture customer has SOME order, so
+    * the spec's no-orders-ever test selects nothing; the recency cut
+    * keeps the anti-join population real). The mean never becomes a
+    * double: the filter cross-multiplies integer cents (bal·n >
+    * Σcents) against the broadcast 1-row aggregate, so no
+    * FP-summation-order boundary flips; the recency test is a LEFT
+    * ANTI against the date-pruned, key-projected orders scan.
+    */
+  private def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val codes = Seq(1, 3, 5, 7, 9)
+    val scope = Tables.customer(s, dir)
+      .filter(col("c_nationkey").isin(codes: _*))
+    val stats = scope.filter(col("c_acctbal") > 0.0)
+      .agg(sum(cents(col("c_acctbal"))).as("_sum_cents"),
+        count(lit(1)).as("_n"))
+    scope
+      .crossJoin(broadcast(stats))
+      .filter(cents(col("c_acctbal")) * col("_n") > col("_sum_cents"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(cents(col("c_acctbal"))) / 100.0).as("totacctbal"))
+  }
+
   /** Subword vocabulary after k=3 BPE merges (Tokenizer.bpeVocab):
     * symbol, corpus frequency, merge-product flag — the tokenizer
     * capstone relation (merges → tokenized corpus → vocab).
@@ -2040,6 +2227,13 @@ object SparkEntry {
     "q4_priority_exists" -> (q4PriorityExists _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q13_count_distribution" -> (q13CountDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q21_blame_supplier" -> (q21BlameSupplier _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_cms_term_counts" -> (qCmsTermCounts _),
     "q_quality_filter" -> (qQualityFilter _),
@@ -2150,7 +2344,10 @@ object SparkEntry {
     "q_curriculum_order", "q_inverted_index", "q_bm25",
     "q_vocab_coverage", "q_bpe_tokenize", "q_domain_keyness",
     "q_dsir_weights", "q_ewma", "q_source_overlap",
-    "q4_priority_exists", "q6_forecast_revenue", "q14_promo_revenue")
+    "q4_priority_exists", "q6_forecast_revenue", "q14_promo_revenue",
+    "q8_market_share", "q13_count_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_disjunctive", "q21_blame_supplier",
+    "q22_idle_customers", "q_phrase_search", "q_cms_term_counts")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -3512,6 +3709,93 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, n2.n_name AS supp_nation,
+        |    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |      AS BIGINT) AS disc4
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN disc4 ELSE 0 END)
+        |    * 100.0 / SUM(disc4), 6) AS mkt_share_pct
+        |FROM v GROUP BY 1""".stripMargin,
+    "q13_count_distribution" ->
+      """WITH c AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        |  CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM c GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+        |    * 100 + 0.5) AS BIGINT)) AS rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH l AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part
+        |    ON l_partkey = p_partkey AND p_brand = 'Brand#23'),
+        |a AS (SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM l GROUP BY 1)
+        |SELECT SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 700.0
+        |  AS avg_yearly
+        |FROM l JOIN a USING (l_partkey)
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |  AS BIGINT)) / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 30
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_blame_supplier" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH scope AS (
+        |  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+        |s AS (
+        |  SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS sum_cents,
+        |    COUNT(*) AS n
+        |  FROM scope WHERE c_acctbal > 0)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+        |    AS totacctbal
+        |FROM scope, s
+        |WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * n > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey""".stripMargin,
     "q_dup_profile" ->
       """WITH f AS (
         |  SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')))
