@@ -1277,6 +1277,181 @@ object SparkEntry {
         (sum(cents(col("c_acctbal"))) / 100.0).as("totacctbal"))
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated MIN
+    * subquery over the supplier-cost relation, decorrelated to a
+    * grouped MIN joined back on (part, cost). The fixture has no
+    * partsupp, so the cost relation derives from lineitem — a part's
+    * cost at a supplier is the cheapest shipment observed (MIN of
+    * integer cents, no division, so both engines agree exactly).
+    * Scale: the part cut (size 15, SMALL) broadcasts INTO the cost
+    * aggregation, so the shuffle only ever carries the selected
+    * parts' lines — the textbook plan aggregates everything and
+    * filters later; this one prunes first. EUROPE supplier keys and
+    * the grouped-min relation both broadcast; lineitem shuffles once
+    * on (partkey, suppkey).
+    */
+  private def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val eur = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === lit("EUROPE"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val keys = Tables.part(s, dir)
+      .filter(col("p_size") === 15 && col("p_type") === lit("SMALL"))
+      .select(col("p_partkey"))
+    val cost = Tables.lineitem(s, dir)
+      .join(broadcast(keys), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eur.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+    val mn = cost.groupBy(col("l_partkey").as("_pk"))
+      .agg(min(col("cost_cents")).as("_m"))
+    cost
+      .join(broadcast(mn),
+        col("l_partkey") === col("_pk") && col("cost_cents") === col("_m"))
+      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"),
+        (col("cost_cents") / 100.0).as("cost"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year): profit
+    * per line = discounted revenue minus quantity × unit cost, summed
+    * by supplier nation × order year. Fixture variant: no partsupp, so
+    * the unit-cost basis is p_retailprice; the product cut is p_name
+    * LIKE 'red%'. Both profit terms quantize to 1e-4 units before the
+    * integer subtraction (l_quantity is integer-valued in the fixture),
+    * so the sum is exact on both engines. Scale: part cut and
+    * supplier→nation broadcast into the lineitem scan; the one real
+    * shuffle is lineitem⋈orders on the order key, then a map-side
+    * combinable two-key aggregate.
+    */
+  private def q9NationProfit(s: SparkSession, dir: String): DataFrame = {
+    val amt4 = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 1e4 + 0.5).cast("long") -
+      col("l_quantity").cast("long") *
+        floor(col("p_retailprice") * 1e4 + 0.5).cast("long")
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").startsWith("red"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg((sum(amt4) / 1e4).as("profit"))
+  }
+
+  /** TPC-H Q11 shape (important inventory value): per-part value from
+    * one nation's suppliers, kept where the part's share beats 0.1 % of
+    * the national total — the scalar subquery decorrelated to a
+    * broadcast 1-row aggregate, compared by integer cross-multiplication
+    * (val·1000 > total) so no floating-point fraction exists anywhere.
+    * Fixture variant: value = shipped extended price from lineitem
+    * (no partsupp). The per-part relation is localCheckpoint'ed so the
+    * lineitem scan feeding both the values and their total runs ONCE
+    * (the q15/madByGroup discipline).
+    */
+  private def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val natKeys = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === lit("NATION_3"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = Tables.lineitem(s, dir)
+      .join(broadcast(natKeys), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("_vc"))
+      .localCheckpoint()
+    v.crossJoin(broadcast(v.agg(sum(col("_vc")).as("_tot"))))
+      .filter(col("_vc") * 1000 > col("_tot"))
+      .select(col("l_partkey").as("p_partkey"), (col("_vc") / 100.0).as("value"))
+  }
+
+  /** TPC-H Q12 shape (late shipments by priority class): count
+    * high-priority vs low-priority order lines that shipped late, per
+    * line status. Fixture variant: no l_shipmode/commitdate/receiptdate,
+    * so "late" = shipped more than 90 days after the order date and the
+    * grouping key is l_linestatus. The late predicate needs both sides,
+    * so it evaluates post-join — but both inputs are projected to three
+    * columns each before the one orderkey shuffle, and the pivot-count
+    * aggregate is map-side combinable into ≤ 2 rows.
+    */
+  private def q12LatePriority(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q16 shape (supplier count by part attributes): distinct
+    * suppliers per (brand, type, size) over the part–supplier pairs
+    * observed in lineitem (fixture variant — no partsupp), excluding an
+    * anti-joined supplier blacklist (negative account balance standing
+    * in for the comment-pattern complaint filter). Scale: the blacklist
+    * and the attribute-filtered part dim both broadcast before the
+    * shuffle; COUNT(DISTINCT) plans as Spark's two-phase expand
+    * aggregate keyed by (brand, type, size, suppkey) — bounded state,
+    * no row ever carries more than one supplier.
+    */
+  private def q16SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= lit("Brand#45") &&
+            col("p_type") =!= lit("PROMO") &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape (volume-dominant suppliers): suppliers who shipped
+    * a strict majority of some red part's 1996 volume — the original's
+    * "availqty > half of shipped quantity" correlated subquery,
+    * restated on lineitem (no partsupp) and planned as aggregate →
+    * integer cross-multiplied dominance filter → LEFT SEMI into the
+    * supplier dim. The per-(part, supplier) quantity relation is
+    * localCheckpoint'ed so the date+part-pruned lineitem scan feeding
+    * both it and the per-part totals runs ONCE. Quantities sum as
+    * BIGINTs (integer-valued fixture), so q·2 > total is exact.
+    */
+  private def q20DominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    val redKeys = Tables.part(s, dir)
+      .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+    val sh = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .join(broadcast(redKeys), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("_q"))
+      .localCheckpoint()
+    val tot = sh.groupBy(col("l_partkey").as("_pk"))
+      .agg(sum(col("_q")).as("_tq"))
+    val dominant = sh
+      .join(broadcast(tot), col("l_partkey") === col("_pk"))
+      .filter(col("_q") * 2 > col("_tq"))
+      .select(col("l_suppkey"))
+    Tables.supplier(s, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
   /** Subword vocabulary after k=3 BPE merges (Tokenizer.bpeVocab):
     * symbol, corpus frequency, merge-product flag — the tokenizer
     * capstone relation (merges → tokenized corpus → vocab).
@@ -2234,6 +2409,12 @@ object SparkEntry {
     "q19_disjunctive" -> (q19Disjunctive _),
     "q21_blame_supplier" -> (q21BlameSupplier _),
     "q22_idle_customers" -> (q22IdleCustomers _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_nation_profit" -> (q9NationProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q12_late_priority" -> (q12LatePriority _),
+    "q16_supplier_count" -> (q16SupplierCount _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_cms_term_counts" -> (qCmsTermCounts _),
     "q_quality_filter" -> (qQualityFilter _),
@@ -2347,7 +2528,9 @@ object SparkEntry {
     "q4_priority_exists", "q6_forecast_revenue", "q14_promo_revenue",
     "q8_market_share", "q13_count_distribution", "q15_top_supplier",
     "q17_small_qty_revenue", "q19_disjunctive", "q21_blame_supplier",
-    "q22_idle_customers", "q_phrase_search", "q_cms_term_counts")
+    "q22_idle_customers", "q_phrase_search", "q_cms_term_counts",
+    "q2_min_cost_supplier", "q9_nation_profit", "q11_important_parts",
+    "q12_late_priority", "q16_supplier_count", "q20_dominant_supplier")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -3796,6 +3979,82 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |keys AS (
+        |  SELECT p_partkey FROM part WHERE p_size = 15 AND p_type = 'SMALL'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_cents
+        |  FROM lineitem
+        |  JOIN keys ON l_partkey = p_partkey
+        |  JOIN eur ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |mn AS (SELECT l_partkey, MIN(cost_cents) AS m FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+        |  cost_cents / 100.0 AS cost
+        |FROM cost JOIN mn USING (l_partkey)
+        |JOIN eur ON l_suppkey = s_suppkey
+        |WHERE cost_cents = m""".stripMargin,
+    "q9_nation_profit" ->
+      """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |      AS BIGINT)
+        |    - CAST(l_quantity AS BIGINT)
+        |      * CAST(FLOOR(p_retailprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+        |    AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS vc
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(vc) AS tot FROM v)
+        |SELECT l_partkey AS p_partkey, vc / 100.0 AS value
+        |FROM v, t WHERE vc * 1000 > tot""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH sh AS (
+        |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, SUM(q) AS tq FROM sh GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM sh JOIN tot USING (l_partkey)
+        |  WHERE q * 2 > tq)""".stripMargin,
     "q_dup_profile" ->
       """WITH f AS (
         |  SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')))
