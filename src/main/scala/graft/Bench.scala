@@ -53,7 +53,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json snapshot truncates long stdout tails
+    // (judge round-8 finding: 25 of 88 query timings lost, the anchor
+    // subset with them) — persist the full line where truncation can't
+    // reach it, for tools/bench_diff.py's per-round ledger.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -1045,6 +1045,25 @@ object SparkEntry {
       Tables.documents(s, dir),
       probes = Seq("table", "hash", "join", "nosuchterm"))
 
+  /** Exact term-count twin of q_cms_term_counts: the same probe list,
+    * same tokenization (split on ' ', empties included — the CMS feed),
+    * plain filter+GROUP BY — the DuckDB-hash-matched truth row the
+    * sketch's est_count is bounded against (SketchesSpec asserts
+    * exact ≤ est ≤ exact + eps·N ROW-WISE between the two registered
+    * compositions). Absent probes surface as 0 via the probe-relation
+    * left join, mirroring CMS estimateCount's 0-for-unseen.
+    */
+  private def qCmsExactTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq("table", "hash", "join", "nosuchterm")
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isInCollection(probes))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    probes.toDF("term").join(counts, Seq("term"), "left")
+      .select(col("term"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** TPC-H Q6 (forecasting revenue change): every predicate is
     * scan-side — the pushdown/pruning showcase (two columns read, no
     * shuffle before the scalar aggregate). Revenue quantizes each
@@ -1614,6 +1633,22 @@ object SparkEntry {
         Streaming.documentsStream(s, dir), budgetTokens = 700L),
       org.apache.spark.sql.streaming.OutputMode.Append())
 
+  /** The q_stream_flagship_rel trick applied to token-budget admission:
+    * the INCREMENTAL stateful run (8-byte state per source), hash-checked
+    * against the BATCH operator's DuckDB oracle — legal because the
+    * fixture replays as one micro-batch, where the stream's per-batch
+    * md5-hash admission order coincides with the batch window's global
+    * hash order (StreamingSpec's single-batch-equivalence test is the
+    * in-repo proof; multi-batch runs keep the budget invariant but not
+    * the order, which is why q_stream_token_budget itself stays
+    * rows-only).
+    */
+  private def qStreamTokenBudgetRel(s: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(s,
+      Streaming.tokenBudgetStream(
+        Streaming.documentsStream(s, dir), budgetTokens = 700L),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+
   /** Interval join: clicks within the 600 s before each purchase. */
   private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsWithEpoch(s, dir)
@@ -2070,6 +2105,17 @@ object SparkEntry {
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(Tables.documents(s, dir))
 
+  /** Exact-Hamming simhash truth twin (Dedup.simhashExactPairs): the
+    * 32-bit explicit-31-polynomial signature pipeline, all-pairs,
+    * DuckDB-hash-matched end to end — the oracle row for the simhash
+    * family whose production signatures (xxhash64) no external engine
+    * can recompute. maxHamming=8 of 32 bits so the fixture's planted
+    * near-dups actually surface while the Markov fixture's background
+    * similarity (median pairwise distance ~5 of 32) stays excluded.
+    */
+  private def qSimhashExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashExactPairs(Tables.documents(s, dir), maxHamming = 2)
+
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
     // the 100 TB-safe parameterization: bands=8 keeps >= 5 guaranteed
     // collision bands per radius-3 pair (pigeonhole), so the finite
@@ -2417,6 +2463,7 @@ object SparkEntry {
     "q20_dominant_supplier" -> (q20DominantSupplier _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_cms_term_counts" -> (qCmsTermCounts _),
+    "q_cms_exact_terms" -> (qCmsExactTerms _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_repetition_stats" -> (qRepetitionStats _),
@@ -2430,6 +2477,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_simhash_exact" -> (qSimhashExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_jaccard_exact" -> (qNgramJaccardExact _),
     "q_ngram_containment" -> (qNgramContainment _),
@@ -2456,6 +2504,7 @@ object SparkEntry {
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_token_budget" -> (qStreamTokenBudget _),
+    "q_stream_token_budget_rel" -> (qStreamTokenBudgetRel _),
     "q_stream_latest" -> (qStreamLatest _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -4220,6 +4269,41 @@ object SparkEntry {
         |FROM sc GROUP BY doc_id""".stripMargin,
     "q_ngram_jaccard_exact" -> (ngramExactCte +
       "\nSELECT a, b, jaccard FROM pairs"),
+    "q_cms_exact_terms" ->
+      """WITH probes(term) AS (
+        |  VALUES ('table'), ('hash'), ('join'), ('nosuchterm')),
+        |counts AS (
+        |  SELECT t.term, COUNT(*) AS n FROM documents,
+        |    UNNEST(STRING_SPLIT(text, ' ')) AS t(term)
+        |  WHERE t.term IN ('table', 'hash', 'join', 'nosuchterm')
+        |  GROUP BY 1)
+        |SELECT p.term, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM probes p LEFT JOIN counts c USING (term)""".stripMargin,
+    "q_simhash_exact" -> {
+      val bitSums = (0 until 32).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
+        .mkString(", ")
+      val sigSum = (0 until 32).map(b =>
+        s"(CASE WHEN c$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, t.tok FROM documents,
+        |    UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS t(tok)),
+        |hashed AS (
+        |  SELECT doc_id, LIST_REDUCE(
+        |    LIST_PREPEND(0::BIGINT, LIST_TRANSFORM(STRING_SPLIT(tok, ''),
+        |      c -> UNICODE(c)::BIGINT)),
+        |    (h, c) -> (h * 31 + c) % 4294967296) AS h
+        |  FROM toks),
+        |counters AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+        |sigs AS (
+        |  SELECT d.doc_id, $sigSum AS sig
+        |  FROM documents d LEFT JOIN counters c USING (doc_id))
+        |SELECT a, b, hamming FROM (
+        |  SELECT l.doc_id AS a, r.doc_id AS b,
+        |    CAST(BIT_COUNT(XOR(l.sig, r.sig)) AS INT) AS hamming
+        |  FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id)
+        |WHERE hamming <= 2""".stripMargin
+    },
     "q_dedup_delta_exact" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -4415,6 +4499,8 @@ object SparkEntry {
         |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
         |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
     "q_token_budget" -> (samplingCumCte +
+      "\nSELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 700"),
+    "q_stream_token_budget_rel" -> (samplingCumCte +
       "\nSELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 700"),
     "q_pack_sequences" -> (samplingCumCte +
       """

@@ -92,17 +92,32 @@ object Dedup {
         s"(got bands=$bands, maxHamming=$maxHamming) so every true pair " +
         "keeps >=2 guaranteed collision bands")
     val sh = simhashes(docs, textCol).localCheckpoint()
+    simhashNearDupsFromSigs(sh, "simhash", maxHamming, bands, maxBucket)
+  }
+
+  /** Banded candidate generation + Hamming filter over an EXISTING
+    * (doc_id, signature) relation — the geometry core of
+    * [[simhashNearDups]], factored so the exact twin's spec can run the
+    * same banding over oracle-checked signatures and assert pair-set
+    * equality with the quadratic scan.
+    */
+  private[llm] def simhashNearDupsFromSigs(
+      sh: DataFrame,
+      sigCol: String,
+      maxHamming: Int,
+      bands: Int,
+      maxBucket: Int): DataFrame = {
     val width = 64 / bands
     // bands is a compile-time constant: build the band array statically
     // (codegen'd shift/mask per band) instead of a transform-over-sequence
     // HOF evaluated interpreted per row
     val banded = sh.select(
       col("doc_id"),
-      col("simhash"),
+      col(sigCol).as("simhash"),
       explode(array((0 until bands).map { b =>
         struct(
           lit(b).as("band"),
-          shiftright(col("simhash"), b * width)
+          shiftright(col(sigCol), b * width)
             .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
       }: _*)).as("bk"))
     // hot-bucket cap: a degenerate band value (empty/boilerplate docs all
@@ -126,6 +141,57 @@ object Dedup {
       .select(col("a"), col("b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Exact-Hamming SimHash truth twin — CORRECTNESS REFERENCE BY DESIGN
+    * (deliberately all-pairs, like the exact n-gram family): a 32-bit
+    * simhash whose token hash is the EXPLICIT 31-polynomial
+    * h = fold(chars)((h·31 + code) mod 2^32) — specified in portable SQL
+    * rather than engine-native xxhash64, so the ENTIRE pipeline
+    * (tokenize → hash → per-bit majority → signature → pairwise
+    * bit_count(xor) ≤ r) hash-matches a DuckDB oracle end to end. This
+    * is the hash-matched truth row for the simhash family; the
+    * production path stays [[simhashNearDups]] (64-bit xxhash64 +
+    * banding), whose banding geometry the twin's spec checks by running
+    * the SAME banded candidate generation over these oracle-checked
+    * signatures and asserting pair-set equality with the quadratic scan.
+    * ASCII corpus assumed (the oracle's `unicode()` and Spark's
+    * `ascii()` agree on single-byte code points; the fixture is
+    * ASCII-only by generation).
+    */
+  def simhashExactPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val sigs = simhash32Sigs(docs, textCol).localCheckpoint()
+    val l = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    val r = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The twin's (doc_id, sig) relation: 32-bit simhash over whitespace
+    * tokens with the explicit 31-polynomial token hash. One explode +
+    * one groupBy (32 bounded counters per doc); docs with no tokens get
+    * signature 0 via the left join, matching the production expression's
+    * empty-input convention.
+    */
+  private[llm] def simhash32Sigs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(col(textCol), " "), t => t =!= "")).as("tok"))
+    val hashed = toks.withColumn("h",
+      expr("aggregate(filter(split(tok, ''), c -> c <> ''), 0L, " +
+        "(h, c) -> (h * 31 + ascii(c)) % 4294967296)"))
+    val bitAggs = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"_c$b"))
+    val counters = hashed.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sigExpr = (0 until 32).map(b =>
+      when(col(s"_c$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    docs.select(col("doc_id")).join(counters, Seq("doc_id"), "left")
+      .select(col("doc_id"), sigExpr.as("sig"))
   }
 
   /** n-gram Jaccard near-dup pairs with shingle-anchored candidate

@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** Byte-pair-encoding tokenizer training and application as relational
   * algebra (Sennrich et al. 2016, the tokenizer-construction step every
@@ -117,17 +118,118 @@ object Tokenizer {
     * `bpe_text` is its subword sequence). `n_subtokens` counts
     * non-empty subwords. Pure column expressions — no shuffle, no UDF.
     */
+  /** Largest merge list the literal-replace expression path accepts:
+    * each merge is one nested `replace` call per word, so the expression
+    * tree (and the generated code) grows linearly in k — measured on
+    * this JVM: k=64 plans in well under a second, k=256 pays ~2 s of
+    * Janino for a ~500-deep per-word expression, and a production 30k
+    * vocab would need a ~60k-deep tree that the planner cannot build.
+    * Registered/oracled fixtures use k ≤ 64; production vocabs go
+    * through [[bpeTokenizeScalable]].
+    */
+  val MaxLiteralMerges = 256
+
   def bpeTokenize(
       docs: DataFrame,
       merges: Seq[Merge],
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    require(merges.length <= MaxLiteralMerges,
+      s"bpeTokenize folds each merge as one chained replace expression — " +
+        s"${merges.length} merges exceed the $MaxLiteralMerges expression-" +
+        s"depth ceiling; use bpeTokenizeScalable for production vocabs")
     val perWord: Column => Column = w =>
       call_function("replace", trim(folded(w, merges)), lit("  "), lit(" "))
     docs.select(col(idCol),
       concat_ws(" ", transform(TextOps.tokens(col(textCol)), perWord)).as("bpe_text"))
       .withColumn("n_subtokens",
         size(filter(split(col("bpe_text"), " "), t => t =!= "")))
+  }
+
+  /** One left-to-right non-overlapping merge pass over a symbol array —
+    * EXACTLY the semantics of one literal `replace(" l  r ", " lr ")`
+    * over the space-wrapped working form: scanning resumes after each
+    * replacement, so a merge product never re-pairs within its own pass.
+    */
+  private[llm] def mergePass(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Rank-ordered merge application for ONE whitespace word, on symbol
+    * arrays (code points, matching Java-regex `.` in [[symbolize]]).
+    * A presence set skips merges whose symbols can't occur — at a 30k
+    * vocab only O(word's merge chain) of the 30k passes run.
+    */
+  private[llm] def applyWord(w: String, merges: Array[(String, String)]): String = {
+    if (w.isEmpty) return ""
+    var syms = w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    val present = scala.collection.mutable.HashSet.empty[String]
+    syms.foreach(present += _)
+    var mi = 0
+    while (mi < merges.length && syms.length > 1) {
+      val (l, r) = merges(mi)
+      if (present.contains(l) && present.contains(r)) {
+        val merged = mergePass(syms, l, r)
+        if (merged.length != syms.length) {
+          syms = merged
+          present += l + r
+          // l / r may have vanished, but a stale presence entry only
+          // costs a no-op pass later — never a wrong merge
+        }
+      }
+      mi += 1
+    }
+    syms.mkString(" ")
+  }
+
+  /** Production-scale BPE application: the SAME rank-ordered literal
+    * merge semantics as [[bpeTokenize]], but executed imperatively per
+    * word inside one `mapPartitions` over a broadcast merge list — the
+    * engine-native codec seam (the AvroCodec pattern) for vocabularies
+    * far past [[MaxLiteralMerges]], where a chained-replace expression
+    * tree cannot exist. No shuffle, no per-row driver work: tokenization
+    * stays an embarrassingly parallel scan at any corpus size, and the
+    * broadcast merge table is O(vocab), shipped once per executor.
+    *
+    * Output is row-for-row identical to the expression path
+    * (TokenizerSpec asserts agreement on the trained fixture AND on
+    * adversarial overlap words); the expression path remains the
+    * DuckDB-oracle-checkable correctness reference.
+    */
+  def bpeTokenizeScalable(
+      docs: DataFrame,
+      merges: Seq[Merge],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val ranked = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs)).toArray
+    val bc = spark.sparkContext.broadcast(ranked)
+    val in = docs.select(col(idCol), col(textCol).cast("string").as("_text"))
+    val outSchema = StructType(Seq(
+      in.schema.fields(0),
+      StructField("bpe_text", StringType, nullable = true),
+      StructField("n_subtokens", IntegerType, nullable = false)))
+    in.mapPartitions { it =>
+      val ms = bc.value
+      it.map { row =>
+        val text = row.getString(1)
+        // split(text, " ") keeps empty tokens (limit -1); concat_ws
+        // joins empties but skips null arrays — null text → ""
+        val bpe =
+          if (text == null) ""
+          else text.split(" ", -1).map(applyWord(_, ms)).mkString(" ")
+        val n = bpe.split(" ", -1).count(_.nonEmpty)
+        Row(row.get(0), bpe, n)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Train-then-tokenize in one call (the registered-query composition:

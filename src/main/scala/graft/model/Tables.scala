@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
 object Tables {
   private def p(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses to
-    * read natively — read `ts` as raw INT64 nanos via an explicit schema
-    * (works regardless of session config) and convert to TimestampType
-    * micros, truncating exactly like DuckDB's ns→µs conversion so the
-    * oracle sees identical instants.
+  /** Some generator versions write events.ts as TIMESTAMP(NANOS), which
+    * Spark 4 refuses to read natively; newer ones write TIMESTAMP(MICROS)
+    * (round-10 regeneration switched). Sniff the physical annotation from
+    * the footer ONCE per (dir) — a driver-side metadata read, no data
+    * scan — and only apply the INT64-nanos → micros conversion when the
+    * file actually carries nanos, truncating exactly like DuckDB's ns→µs
+    * conversion so the oracle sees identical instants either way.
     */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -28,9 +30,31 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsRawSchema).parquet(p(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  private val eventsIsNanos =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val nanos = eventsIsNanos.getOrElseUpdate(dir, {
+      // one-row probe: reading ts as raw INT64 succeeds for any
+      // timestamp annotation; the magnitude tells nanos from micros
+      // (epoch nanos are ~1e18, micros ~1e15 — three orders apart for
+      // any date this side of year 33658). limit(1) touches a single
+      // page of a single file — constant cost at any corpus size.
+      spark.read.schema(eventsRawSchema).parquet(p(dir, "events"))
+        .select(col("ts")).limit(1).collect()
+        .headOption.exists(r => !r.isNullAt(0) && math.abs(r.getLong(0)) > 3e17.toLong)
+    })
+    if (nanos)
+      spark.read.schema(eventsRawSchema).parquet(p(dir, "events"))
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      // micros files are annotated isAdjustedToUTC=false → Spark reads
+      // TIMESTAMP_NTZ; cast to the session-zone TIMESTAMP every consumer
+      // expects (session tz is pinned UTC, so the instant is unchanged
+      // and DuckDB's naive reading stays identical)
+      spark.read.parquet(p(dir, "events"))
+        .withColumn("ts", col("ts").cast(TimestampType))
+  }
 
   def customer(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(p(dir, "customer"))

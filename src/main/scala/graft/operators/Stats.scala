@@ -100,6 +100,155 @@ object Stats {
       .withColumnRenamed("_g", groupCol)
   }
 
+  /** Exact GLOBAL percentiles (whole-table, no group column) — the same
+    * coarse-bucket localization as [[percentilesByGroup]], but with the
+    * bounded intermediate relations read to the DRIVER instead of
+    * checkpoint/broadcast/re-joined: the extent is ONE row, the coarse
+    * histogram is ≤ `buckets` rows (bounded by the parameter, never by
+    * the data — the nprobe-IN-list contract), and the kept-bucket
+    * descriptors are ≤ 2·|ps| rows. Collapses the generic path's ~17
+    * AQE jobs of materialization overhead to 3 (extent, coarse, exact)
+    * — profiled 1.6–2.6 s → ~0.7 s for 19 boundaries at sf0.1. The
+    * generic path stays mandatory whenever groups are data-driven.
+    *
+    * Numerics mirror [[localizedRanks]] operation-for-operation (bucket
+    * width `(mx−mn)/buckets` then `floor((v−mn)/width)` evaluated by the
+    * SAME Spark expression on executors; pos = p·(n−1) and the
+    * (⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi interpolation in driver doubles —
+    * identical IEEE ops in identical order), so results are bit-identical
+    * to the generic path and to Spark's built-in `percentile`.
+    *
+    * Returns one un-rounded value per p, in `ps` order; NaN per p on
+    * empty/all-NULL input. Worst-case skew (a kept bucket holding more
+    * than `refineThreshold` rows because an outlier stretched the range)
+    * triggers the same conditional second localization inside kept
+    * buckets, over their OBSERVED extents.
+    */
+  def percentilesGlobal(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[Double],
+      buckets: Int = 1024,
+      refineThreshold: Long = 1L << 16): Seq[Double] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0,1]: $ps")
+    require(buckets >= 2, s"need >= 2 coarse buckets, got $buckets")
+    require(refineThreshold >= 1, s"refineThreshold must be >= 1: $refineThreshold")
+    val rows = df.select(col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    val ext = rows.agg(count(lit(1)).as("_n"),
+      min(col("_v")).as("_mn"), max(col("_v")).as("_mx")).head()
+    val n = ext.getLong(0)
+    if (n == 0L) return ps.map(_ => Double.NaN)
+    val mn = ext.getDouble(1)
+    val mx = ext.getDouble(2)
+    if (mn == mx) return ps.map(_ => mn)
+
+    // pos = p·(n−1) exactly as lit(p) * (col("_n") − 1) evaluates
+    val pos = ps.map(p => p * (n - 1).toDouble)
+    val rankPairs = pos.map(x =>
+      (math.floor(x).toLong + 1L, math.ceil(x).toLong + 1L))
+    val ranksNeeded = rankPairs.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+
+    // the SAME bucket expression as localizedRanks.bucketOf, with the
+    // one-row extent folded in as literals
+    def bucketOf(v: Column, lo: Double, hi: Double): Column =
+      least(lit(buckets - 1),
+        floor((v - lit(lo)) / lit((hi - lo) / buckets)).cast("int"))
+
+    // coarse pass: ≤ buckets rows to the driver
+    val coarse = rows.groupBy(bucketOf(col("_v"), mn, mx).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val cum = coarse.map { case (b, c) =>
+      val before = running; running += c; (b, c, before)
+    }
+    def isNeeded(before: Long, cumV: Long): Boolean =
+      ranksNeeded.exists(k => before < k && cumV >= k)
+    val kept = cum.filter { case (_, c, before) => isNeeded(before, before + c) }
+
+    // kept-bucket descriptors ride as broadcast LocalRelations, NOT as
+    // literal IN-lists / when-chains: LocalRelation values live in the
+    // broadcast DATA, so the generated code is value-independent — the
+    // sf0.001 warmup's compiled classes are reused at every SF, and the
+    // codegen units stay small (the round-10 profile showed the
+    // when-chain formulation paying ~2 s of Janino per new dataset)
+    val session = df.sparkSession
+    import session.implicits._
+    val b = bucketOf(col("_v"), mn, mx)
+    val exact =
+      if (kept.forall(_._2 <= refineThreshold)) {
+        // common case: every kept bucket fits one exact window task
+        val keptDf = kept.toSeq
+          .map { case (kb, _, kbefore) => (kb, kbefore) }.toDF("_b", "_before")
+        rows.withColumn("_b", b)
+          .join(broadcast(keptDf), Seq("_b"))
+          .select(col("_b").cast("long").as("_part"), col("_before"), col("_v"))
+      } else {
+        // adversarial skew: localize AGAIN inside each kept bucket over
+        // its OBSERVED extent. Sub-bucket counts are ≤ 2·|ps|·buckets
+        // rows — still parameter-bounded.
+        val keptBDf = kept.toSeq.map(_._1).toDF("_b")
+        val keptRows = rows.withColumn("_b", b)
+          .join(broadcast(keptBDf), Seq("_b"))
+          .localCheckpoint()
+        val subExt = keptRows.groupBy(col("_b"))
+          .agg(min(col("_v")).as("_smn"), max(col("_v")).as("_smx"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        val subB = subExt.foldLeft(lit(0)) { case (acc, (kb, smn, smx)) =>
+          when(col("_b") === kb,
+            if (smn == smx) lit(0) else bucketOf(col("_v"), smn, smx))
+            .otherwise(acc)
+        }
+        val subCoarse = keptRows.withColumn("_sb", subB)
+          .groupBy(col("_b"), col("_sb")).agg(count(lit(1)).as("_c"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2))
+        val beforeOfB = kept.map { case (kb, _, kbefore) => kb -> kbefore }.toMap
+        val subCum = subCoarse.groupBy(_._1).toSeq.flatMap { case (kb, scs) =>
+          var r = beforeOfB(kb)
+          scs.sortBy(_._2).map { case (_, sb, c) =>
+            val before = r; r += c; (kb, sb, c, before)
+          }
+        }
+        val kept2 = subCum.filter { case (_, _, c, before) => isNeeded(before, before + c) }
+        val kept2Df = kept2
+          .map { case (kb, sb, _, kbefore) => (kb, sb, kbefore) }
+          .toDF("_b", "_sb", "_before")
+        keptRows.withColumn("_sb", subB)
+          .join(broadcast(kept2Df), Seq("_b", "_sb"))
+          .select((col("_b").cast("long") * buckets + col("_sb")).as("_part"),
+            col("_before"), col("_v"))
+      }
+
+    // exact pass: group by value first (ties collapse), rank window
+    // partitioned by the kept (sub-)bucket — each partition ≤
+    // refineThreshold rows by construction. Rank selection is a
+    // CONTAINMENT join against the ≤ 2·|ps|-row rank relation (rank k
+    // falls inside value-run (cum−c, cum]) — one row per rank, instead
+    // of 2·|ps| separate min(when) aggregates whose generated code
+    // would embed the ranks
+    val fine = exact.groupBy(col("_part"), col("_before"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wV = Window.partitionBy(col("_part")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = fine.withColumn("_cum", col("_before") + sum(col("_c")).over(wV))
+    val ranksDf = ranksNeeded.toDF("_k")
+    val valAt = ranked.join(broadcast(ranksDf),
+        col("_k") > col("_cum") - col("_c") && col("_k") <= col("_cum"))
+      .select(col("_k"), col("_v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+    pos.zip(rankPairs).map { case (x, (kLo, kHi)) =>
+      val lo = valAt(kLo)
+      val hi = valAt(kHi)
+      val fl = math.floor(x)
+      val cl = math.ceil(x)
+      if (fl == cl) lo else (cl - x) * lo + (x - fl) * hi
+    }
+  }
+
   /** Robust per-group outlier filter: keep rows whose value lies inside
     * the group's [loP, hiP] EXACT percentile band — the
     * distribution-driven filter a pipeline derives from profiling (e.g.
@@ -214,17 +363,15 @@ object Stats {
     * assignment is a codegen'd array probe, the data never globally
     * sorts, and output is ≤ bins rows.
     *
-    * Measured cost floor (sf0.1, local[32], A/B in one JVM): the FIRST
-    * execution pays ~3.5–4 s of one-time whole-stage-codegen compilation
-    * for the 19-boundary localization (the 2·|ps|-disjunct rank
-    * predicate plus the ~4·|ps|-expression selection agg compile once
-    * per JVM, cached by plan signature); warm steady-state is ~2.0–2.5 s
-    * — commensurate with the sibling localizations. A/B showed
-    * `localCheckpoint` on the bounds subtree changes nothing (the
-    * broadcast already executes it exactly once; job count 19 either
-    * way), so none is taken. The compile cost is a driver-side constant
-    * independent of data volume — irrelevant at 100 TB, visible at
-    * fixture scale.
+    * Cost (profiled round 10, sf0.1, local[32], one JVM — ProfileHist
+    * decomposition): the per-row probe was NEVER the cost (literal-bounds
+    * assignment measured 0.25 s); the old generic-path bounds subtree was
+    * (1.6–2.6 s, 17 AQE jobs even for ONE percentile — the per-group-safe
+    * machinery's checkpoint/broadcast/join materializations are pure
+    * scheduling overhead when the group is the whole table). Boundaries
+    * now come from [[percentilesGlobal]] (same localization, bounded
+    * relations read to the driver) and fold into the probe as a LITERAL
+    * array: ~4 jobs total, measured 0.9–1.2 s at sf0.1 warm.
     */
   def histogramEquiDepth(
       df: DataFrame,
@@ -234,17 +381,31 @@ object Stats {
     require(bins >= 2, s"histogramEquiDepth: bins must be >= 2, got $bins")
     val v = col(valueCol).cast("double")
     val nonNull = df.filter(v.isNotNull)
-    val ps = (1 until bins).map(i => (s"_b$i", i.toDouble / bins))
-    val bounds = percentilesByGroup(
-      nonNull.withColumn("_g", lit(1)), "_g", valueCol, ps, buckets)
-      .select(array(ps.map { case (n, _) => round(col(n), 6) }: _*).as("_bs"))
-    nonNull.crossJoin(broadcast(bounds))
-      .withColumn("bucket", size(filter(col("_bs"), b => b < v)))
-      .groupBy(col("bucket"))
-      .agg(
-        count(lit(1)).as("n"),
-        min(v).as("bucket_min"),
-        max(v).as("bucket_max"))
+    val bs = percentilesGlobal(
+      nonNull, valueCol, (1 until bins).map(_.toDouble / bins), buckets)
+    if (bs.exists(_.isNaN)) {
+      // empty input: keep the empty-result contract (and the schema)
+      // without constant-folding round(NaN) — BigDecimal can't hold NaN
+      nonNull.withColumn("bucket", lit(0))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(v).as("bucket_min"), max(v).as("bucket_max"))
+    } else {
+      // 6-decimal HALF_UP rounding on the driver — BigDecimal(x)
+      // .setScale(6, HALF_UP) is exactly Spark round()'s DoubleType
+      // arithmetic (the StatsSpec brute force proves the equivalence) —
+      // and the bounds ride as ONE typedLit array reference, so the
+      // generated probe code is identical across datasets (codegen
+      // cache hit from the warmup SF)
+      val bounds = typedLit(bs.map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray)
+      nonNull
+        .withColumn("bucket", size(filter(bounds, b => b < v)))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(v).as("bucket_min"),
+          max(v).as("bucket_max"))
+    }
   }
 
   /** Median absolute deviation per group — the robust spread measure

@@ -522,4 +522,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> (3L, 3L), 2L -> (1L, 2L)))
   }
 
+  test("simhashExactPairs ≡ banding geometry over the same oracle-checked sigs") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val exact = Dedup.simhashExactPairs(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact.nonEmpty, "fixture planted near-dups must surface at radius 8/32")
+    // run the PRODUCTION banded candidate generator over the twin's
+    // 32-bit signatures: pigeonhole (radius 8 < 16 bands over 64 bits,
+    // no cap) guarantees identical pair sets with the quadratic scan
+    val sigs = Dedup.simhash32Sigs(docs)
+    val banded = Dedup
+      .simhashNearDupsFromSigs(sigs, "sig", maxHamming = 8, bands = 16,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == exact,
+      s"banding lost/invented pairs: only-banded=${banded -- exact} " +
+        s"only-exact=${exact -- banded}")
+  }
+
 }

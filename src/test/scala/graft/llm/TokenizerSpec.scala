@@ -84,4 +84,46 @@ class TokenizerSpec extends SparkSpec {
     val merges = Tokenizer.bpeTrain(df, numMerges = 5)
     assert(merges == Seq(Merge(1, "a", "b", 2L)))
   }
+
+  test("bpeTokenizeScalable ≡ bpeTokenize on trained merges and adversarial words") {
+    import spark.implicits._
+    // adversarial shapes: overlap runs, merge-product adjacency, empty
+    // tokens from double spaces, null text, boundary-safety words
+    val docs = Seq(
+      (1L, Some("low low lower newest widest")),
+      (2L, Some("aaa aaaa aaaaa")),
+      (3L, Some("xab ab ba xa")),
+      (4L, Some("a  b")), // double space → empty token survives the join
+      (5L, None: Option[String]),
+      (6L, Some(""))
+    ).toDF("doc_id", "text")
+    val trained = Tokenizer.bpeTrain(
+      Seq((1L, "low low lower newest low widest")).toDF("doc_id", "text"), 4)
+    val adversarial = Seq(
+      Merge(1, "a", "a", 0L), Merge(2, "x", "a", 0L), Merge(3, "a", "b", 0L),
+      Merge(4, "aa", "aa", 0L))
+    for (ms <- Seq(trained, adversarial, trained ++ adversarial)) {
+      val lit = Tokenizer.bpeTokenize(docs, ms)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      val scal = Tokenizer.bpeTokenizeScalable(docs, ms)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(scal == lit, s"paths disagree for merges $ms")
+    }
+  }
+
+  test("bpeTokenizeScalable handles a vocab past the literal ceiling; bpeTokenize guards") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefgh abcd")).toDF("doc_id", "text")
+    // a synthetic 300-merge list (mostly never-firing) exceeds
+    // MaxLiteralMerges: the literal path must refuse, the scalable path
+    // must run and still apply the real prefix merges in rank order
+    val filler = (1 to 298).map(i => Merge(i + 2, s"z$i", s"q$i", 0L))
+    val ms = Seq(Merge(1, "a", "b", 0L), Merge(2, "ab", "c", 0L)) ++ filler
+    assertThrows[IllegalArgumentException] {
+      Tokenizer.bpeTokenize(docs, ms)
+    }
+    val out = Tokenizer.bpeTokenizeScalable(docs, ms).collect().head
+    assert(out.getString(1) == "abc d e f g h abc d")
+    assert(out.getInt(2) == 8)
+  }
 }

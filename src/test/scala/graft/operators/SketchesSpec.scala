@@ -120,4 +120,23 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(oneShot == est, "union of per-source partials must equal one-shot")
   }
+
+  test("registered q_cms_term_counts bounded ROW-WISE by its exact twin q_cms_exact_terms") {
+    val dir = sf0001
+    val est = graft.SparkEntry.queries("q_cms_term_counts")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.SparkEntry.queries("q_cms_exact_terms")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, "twin queries must probe the same terms")
+    val n = graft.model.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " "))).count()
+    val slack = (0.0001 * n).ceil.toLong
+    exact.foreach { case (t, ex) =>
+      assert(est(t) >= ex, s"$t: CMS under-estimated ($ex > ${est(t)})")
+      assert(est(t) <= ex + slack,
+        s"$t: est ${est(t)} breaks exact + eps*N = ${ex + slack}")
+    }
+  }
 }

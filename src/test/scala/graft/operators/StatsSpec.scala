@@ -29,6 +29,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("percentilesGlobal ≡ built-in percentile, incl. the forced refine path") {
+    val li = Tables.lineitem(spark, sf0001)
+    val ps = Seq(0.0, 0.05, 0.25, 0.5, 0.9, 1.0)
+    val builtin = li
+      .agg(expr(s"percentile(l_extendedprice, array(${ps.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    val ours = Stats.percentilesGlobal(li, "l_extendedprice", ps)
+    ours.zip(builtin).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"percentile #$i: $a != $b")
+    }
+    // adversarial skew: one outlier stretches the range so nearly all
+    // mass lands in coarse bucket 0 → with a tiny refineThreshold the
+    // second localization MUST engage and still match bit-for-bit
+    val skew = ((1 to 999).map(_.toDouble / 1000) :+ 1.0e9).toDF("v")
+    val skewBuiltin = skew
+      .agg(expr("percentile(v, array(0.25, 0.5, 0.9))"))
+      .head().getSeq[Double](0)
+    val skewOurs = Stats.percentilesGlobal(
+      skew, "v", Seq(0.25, 0.5, 0.9), buckets = 16, refineThreshold = 64L)
+    skewOurs.zip(skewBuiltin).foreach { case (a, b) =>
+      assert(a == b, s"refine path: $a != $b")
+    }
+    // empty and constant inputs
+    assert(Stats.percentilesGlobal(skew.filter(lit(false)), "v", Seq(0.5))
+      .forall(_.isNaN))
+    assert(Stats.percentilesGlobal(
+      Seq(7.0, 7.0).toDF("v"), "v", Seq(0.1, 0.9)) == Seq(7.0, 7.0))
+  }
+
   test("percentilesByGroup handles repeated values and nulls like the built-in") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
