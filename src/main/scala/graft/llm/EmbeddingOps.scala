@@ -164,7 +164,12 @@ object EmbeddingOps {
     // the d(d+1)/2 expansion is the compute; it must not serialize
     // behind a narrow scan (a demo-sized corpus is often ONE file = ONE
     // split, and the whole 2080× blow-up would run in a single task —
-    // measured 4.3 s → 1.0 s at sf0.1 from this spread alone). A real
+    // measured 4.3 s → 1.0 s at sf0.1 from this spread alone; the
+    // sf0.1 parquet reports 1 split vs defaultParallelism 32, so the
+    // guard engages on exactly the fixture shape). Round-9 driver bench
+    // REPRODUCES the 1.0 s (BENCH_r09 q_embed_covariance 1.009 s); the
+    // round-8 15.4 s/7.6 s readings were the contended-box stretch the
+    // r8->r9 bench_diff ledger now flags as uniform-load noise. A real
     // 100 TB corpus arrives in thousands of splits and skips this.
     val spread = {
       val p = emb.sparkSession.sparkContext.defaultParallelism
