@@ -30,30 +30,54 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** micros files are annotated isAdjustedToUTC=false → TIMESTAMP_NTZ;
+    * reading with this explicit schema (instead of inference) keeps the
+    * empty-file edge off the inference path entirely.
+    */
+  private val eventsNtzSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   private val eventsIsNanos =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val nanos = eventsIsNanos.getOrElseUpdate(dir, {
-      // one-row probe: reading ts as raw INT64 succeeds for any
-      // timestamp annotation; the magnitude tells nanos from micros
-      // (epoch nanos are ~1e18, micros ~1e15 — three orders apart for
-      // any date this side of year 33658). limit(1) touches a single
-      // page of a single file — constant cost at any corpus size.
+  /** One-row probe: reading ts as raw INT64 succeeds for any timestamp
+    * annotation; the magnitude tells nanos from micros (epoch nanos are
+    * ~1e18, micros ~1e15 — three orders apart for any date this side of
+    * year 33658). Filters nulls so a null-leading file can't fall into
+    * the wrong branch; touches a single page of a single file — constant
+    * cost at any corpus size. Cached per dir (fixtures are immutable
+    * within a run).
+    */
+  def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
+    eventsIsNanos.getOrElseUpdate(dir, {
       spark.read.schema(eventsRawSchema).parquet(p(dir, "events"))
-        .select(col("ts")).limit(1).collect()
-        .headOption.exists(r => !r.isNullAt(0) && math.abs(r.getLong(0)) > 3e17.toLong)
+        .select(col("ts")).where(col("ts").isNotNull).limit(1).collect()
+        .headOption.exists(r => math.abs(r.getLong(0)) > 3e17.toLong)
     })
-    if (nanos)
-      spark.read.schema(eventsRawSchema).parquet(p(dir, "events"))
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** The (read schema, ts-normalizing projection) pair for the events
+    * fixture under the dir's actual annotation — THE single conversion
+    * used by both the batch reader below and
+    * [[graft.streaming.Streaming.eventsStream]], so a fixture-format
+    * migration can never split the two again. Nanos files truncate
+    * exactly like DuckDB's ns→µs conversion; micros files cast NTZ →
+    * session-zone TIMESTAMP (session tz is pinned UTC, so the instant is
+    * unchanged and DuckDB's naive reading stays identical).
+    */
+  def eventsReadSpec(spark: SparkSession, dir: String): (StructType, DataFrame => DataFrame) =
+    if (eventsTsIsNanos(spark, dir))
+      (eventsRawSchema, _.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
     else
-      // micros files are annotated isAdjustedToUTC=false → Spark reads
-      // TIMESTAMP_NTZ; cast to the session-zone TIMESTAMP every consumer
-      // expects (session tz is pinned UTC, so the instant is unchanged
-      // and DuckDB's naive reading stays identical)
-      spark.read.parquet(p(dir, "events"))
-        .withColumn("ts", col("ts").cast(TimestampType))
+      (eventsNtzSchema, _.withColumn("ts", col("ts").cast(TimestampType)))
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val (schema, normalizeTs) = eventsReadSpec(spark, dir)
+    normalizeTs(spark.read.schema(schema).parquet(p(dir, "events")))
   }
 
   def customer(spark: SparkSession, dir: String): DataFrame =

@@ -32,16 +32,17 @@ object Streaming {
 
   /** Streaming read of the events fixture (file source stands in for the
     * Kafka+Avro topic; one file = one replayed partition).
+    *
+    * Schema + ts conversion come from [[Tables.eventsReadSpec]] — the SAME
+    * footer-sniffed nanos/micros adaptation the batch reader uses, so
+    * `eventsStream(dir) ≡ Tables.events(dir)` holds by construction on
+    * every fixture format (the round-10 regression was exactly these two
+    * paths diverging).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val (schema, normalizeTs) = Tables.eventsReadSpec(spark, dir)
     // glob form: the file source wants a directory/glob, not a bare file
-    spark.readStream.schema(raw)
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(spark.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
   }
 
   /** Streaming read of the documents fixture — the continuously-ingesting

@@ -11,6 +11,27 @@ import graft.operators.{Relational, WindowOps}
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("eventsStream/documentsStream readers ≡ batch readers on the driver fixture layout") {
+    // The round-10 regression was exactly these two paths diverging on a
+    // fixture format migration (nanos → micros ts): the streaming reader
+    // kept the nanos conversion and every event-time window collapsed.
+    // This asserts the raw reader invariant directly, so any future
+    // fixture change fails ONE test here instead of seven oracles.
+    val batchEvents = Tables.events(spark, sf0001).collect().toSet
+    val streamedEvents = Streaming.runToMemory(
+      spark, Streaming.eventsStream(spark, sf0001), OutputMode.Append())
+      .collect().toSet
+    assert(batchEvents.nonEmpty)
+    assert(streamedEvents == batchEvents)
+
+    val batchDocs = Tables.documents(spark, sf0001).collect().toSet
+    val streamedDocs = Streaming.runToMemory(
+      spark, Streaming.documentsStream(spark, sf0001), OutputMode.Append())
+      .collect().toSet
+    assert(batchDocs.nonEmpty)
+    assert(streamedDocs == batchDocs)
+  }
+
   test("streaming hopping pivot ≡ batch hopping pivot on the same fixture") {
     val batch = WindowOps.hoppingPivot(
       Tables.events(spark, sf0001), eventTypes = Tables.EventTypes)
