@@ -34,6 +34,22 @@ object VecKernels {
     s
   }
 
+  /** 1-based index of the LAST element ≤ v in an ascending-sorted long
+    * array (equivalently: the count of elements ≤ v); 0 when none.
+    * Binary search, O(log n) — the as-of probe over a broadcast per-key
+    * version history (an interpreted filter() HOF here cost O(n) per
+    * fact row AND fell out of codegen).
+    */
+  def lastLeqIndex(ts: ArrayData, v: Long): Int = {
+    var lo = 0
+    var hi = ts.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ts.getLong(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Positions where two long arrays agree (MinHash signature-agreement
     * count; est. Jaccard = agreement / k). Length mismatch fails fast.
     */
@@ -165,6 +181,27 @@ object VecExpressions {
     override def prettyName: String = "vec_match_count"
   }
 
+  case class SortedLastLeqIdx(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), LongType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"sorted_last_leq_idx requires (array<bigint> sorted asc, bigint), got $l / $r")
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.lastLeqIndex(a.asInstanceOf[ArrayData], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.VecKernels.lastLeqIndex($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedLastLeqIdx =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "sorted_last_leq_idx"
+  }
+
   case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
       extends BinaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -214,6 +251,9 @@ object VecExpressions {
 
   def vec_match_count(a: Column, b: Column): Column =
     toCol(MatchCount(toExpr(a), toExpr(b)))
+
+  def sorted_last_leq_idx(sortedTs: Column, v: Column): Column =
+    toCol(SortedLastLeqIdx(toExpr(sortedTs), toExpr(v)))
 
   def pq_encode(vec: Column, codebook: Column, m: Int, ksub: Int): Column =
     toCol(PqEncode(toExpr(vec), toExpr(codebook), m, ksub))

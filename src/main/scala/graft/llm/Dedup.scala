@@ -427,9 +427,24 @@ object Dedup {
     * `minShared` selected k-gram hashes (MOSS-style containment
     * detection — catches a copied PARAGRAPH inside an otherwise-new doc,
     * which whole-doc fingerprints and shingle-Jaccard both dilute away).
-    * Same banded-join hygiene as the other families: fingerprints
-    * grouped, singleton and hot buckets pruned, pairs counted on 8-byte
-    * keys only.
+    *
+    * Shape (the capped-emission contract, round-11 rework): aggregate
+    * `fp → sorted doc list` and expand each bucket's pairs MAP-SIDE —
+    * never a fingerprint self-join. Hot fingerprints (> `maxBucket`
+    * docs — boilerplate, non-discriminative) are anti-joined away
+    * BEFORE the collect, so aggregation state is ≤ maxBucket·8 bytes
+    * per key by construction, and each retained bucket emits at most
+    * maxBucket²/2 pairs. Per-doc fingerprints are already distinct
+    * ([[graft.functions.TextHashExpressions.winnow]] returns a set), so
+    * shared_fps ≡ the former join-count semantics exactly. Cost vs the
+    * exact twin below: one narrow fp shuffle for counts, one for the
+    * collect, one (a,b) shuffle of 8-byte pair keys — the twin pushes
+    * the same pair multiset through a string-keyed self-join instead.
+    * At 100 TB the full pair relation is itself the scale killer (it
+    * grows quadratically with shared boilerplate); the operating mode
+    * is this capped relation → [[dedupClusters]]-style resolution, with
+    * `maxBucket` (and boilerplate stripping, see q_winnow_clean) as the
+    * knobs that keep emission linear-ish.
     */
   def winnowOverlapPairs(
       docs: DataFrame,
@@ -438,17 +453,40 @@ object Dedup {
       w: Int = 4,
       minShared: Int = 2,
       maxBucket: Int = 1024): DataFrame = {
-    val fps = docs.select(col("doc_id"),
+    // the fingerprint compute must not serialize behind a narrow scan
+    // (the demo corpus is ONE parquet split; a 100 TB corpus arrives in
+    // thousands and skips this — same guard as covarianceExact)
+    val spread = {
+      val p = docs.sparkSession.sparkContext.defaultParallelism
+      if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    }
+    val fps = spread.select(col("doc_id"),
       explode(graft.functions.TextHashExpressions
         .winnow_fingerprint(col(textCol), k, w)).as("fp"))
       .localCheckpoint()
-    val useful = fps.groupBy(col("fp")).count()
-      .filter(col("count") >= 2 && col("count") <= maxBucket)
+    // hot buckets: ≤ |fps|/maxBucket rows by pigeonhole — AQE broadcasts
+    // it when (as always in practice) it's tiny; no hint, so an
+    // adversarial corpus degrades to a shuffled anti-join, not an OOM
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxBucket)
       .select("fp")
-    val pruned = fps.join(useful, "fp")
-    pruned.select(col("fp"), col("doc_id").as("a"))
-      .join(pruned.select(col("fp").as("r_fp"), col("doc_id").as("b")),
-        col("fp") === col("r_fp") && col("a") < col("b"))
+    // pair expansion as two chained codegen'd explodes (a < b halves the
+    // c² grid) — higher-order transform() builds would fall out of
+    // whole-stage codegen and pay interpreted struct allocation per pair
+    fps.join(hot, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      // explicit numbered repartition: the bucket relation is tiny
+      // (AQE would coalesce it to one task) but the explodes below
+      // amplify it ~1000× — size the stage by its OUTPUT, which AQE's
+      // input-byte estimate cannot see. 4× parallelism keeps each
+      // task's partial-agg hash map small enough to dodge spill/GC on
+      // a cold JVM (sf0.1: 31 s single-task → 6 s at 32 → 3 s at 128)
+      .repartition(4 * docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)

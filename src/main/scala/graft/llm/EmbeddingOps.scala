@@ -142,19 +142,23 @@ object EmbeddingOps {
     * and stay spec-side).
     *
     * Exactness discipline (the integer-cents pattern): each value is
-    * first quantized to integer MICROS (`round(v·1e6)` as BIGINT), all
-    * sums run in integer space — per-pair products in DECIMAL(38,0), so
-    * a 1e12-magnitude product stream cannot overflow a 64-bit sum at any
-    * corpus size — and the single inexact step is one final
-    * double division + round, identical on any engine and any partition
-    * order.
+    * first quantized to integer MICROS (`round(v·1e6)` as BIGINT); the
+    * per-pair product is an exact 64-bit multiply (|x·y| ≤ 4e12) that
+    * widens to DECIMAL(38,0) only inside the sum, so no corpus size can
+    * overflow the running total — and the single inexact step is one
+    * final double division + round, identical on any engine and any
+    * partition order.
     *
-    * Scale: one map-side expansion of d(d+1)/2 compact structs per row
-    * (no self-join, no explode-then-join), collapsed by partial
-    * aggregation to ≤ d(d+1)/2 rows per task before the only shuffle —
-    * a d(d+1)/2-key hash aggregate. Driver/output state is d², the same
-    * bound MLlib's Gramian ships; cov = (n·Σxy − Σx·Σy) / (n·(n−1))
-    * in micros², reported in original units rounded to 9 places.
+    * Scale: one map-side expansion of d(d+1)/2 (i,j,xy) rows per input
+    * row via a literal index-pair explode (no self-join, no per-row
+    * array-of-struct allocation), collapsed by partial aggregation to
+    * ≤ d(d+1)/2 rows per task before the only shuffle — a d(d+1)/2-key
+    * hash aggregate. The per-dim sums Σx_i ride a separate narrow
+    * single-row aggregate (d-bounded driver read, like the PQ/IVF
+    * codebooks) and re-enter as literals. Driver/output state is d²,
+    * the same bound MLlib's Gramian ships;
+    * cov = (n·Σxy − Σx·Σy) / (n·(n−1)) in micros², reported in original
+    * units rounded to 9 places.
     */
   def covarianceExact(
       emb: DataFrame,
@@ -175,33 +179,52 @@ object EmbeddingOps {
       val p = emb.sparkSession.sparkContext.defaultParallelism
       if (emb.rdd.getNumPartitions < p) emb.repartition(p) else emb
     }
-    val pairs = spread
+    val m = spread
       .select(transform(slice(asDouble(col(vecCol)), 1, dims),
         x => round(x * 1e6).cast("long")).as("m"))
-      .select(explode(flatten(transform(
-        sequence(lit(0), lit(dims - 1)),
-        i => transform(sequence(i, lit(dims - 1)),
-          j => struct(i.as("i"), j.as("j"),
-            (element_at(col("m"), i + 1) * element_at(col("m"), j + 1))
-              .cast("decimal(38,0)").as("xy"),
-            element_at(col("m"), i + 1).as("x"),
-            element_at(col("m"), j + 1).as("y")))))).as("p"))
-      .select(col("p.i").cast("long").as("dim_i"),
-        col("p.j").cast("long").as("dim_j"),
-        col("p.xy"), col("p.x"), col("p.y"))
-    pairs
-      .groupBy(col("dim_i"), col("dim_j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("xy")).as("sxy"),
-        sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"))
-      .select(col("dim_i"), col("dim_j"), col("n"),
-        round(
-          (col("n").cast("decimal(38,0)") * col("sxy") -
-            col("sx").cast("decimal(38,0)") * col("sy").cast("decimal(38,0)"))
-            .cast("double")
-            / (col("n").cast("double") * (col("n") - 1).cast("double") * 1e12),
-          9).as("cov"))
+
+    // Pass 1 (narrow, d additions/row): per-dim sums Σx_i and n in ONE
+    // single-row aggregate. The d decimal sums collect to the driver —
+    // d-bounded, the same codebook-sized read the PQ/IVF paths use — and
+    // re-enter the plan as literals, so the heavy pass below carries ONE
+    // payload field instead of the former three (xy, x, y): Σx for pair
+    // (i,j) is a per-dim quantity, never needed per pair.
+    val sumCols = count(lit(1)).as("_n") +:
+      (0 until dims).map(i =>
+        sum(element_at(col("m"), i + 1).cast("decimal(38,0)")).as(s"_s$i"))
+    val sumsRow = m.agg(sumCols.head, sumCols.tail: _*).head()
+    val dimSum: Int => Column = i =>
+      lit(sumsRow.getDecimal(i + 1)).cast("decimal(38,0)")
+
+    // Pass 2 (the compute): explode one LITERAL array of the d(d+1)/2
+    // (i,j) index pairs — codegen loops it per input row with no
+    // per-row array-of-struct allocation (the former nested
+    // transform+flatten built two 2080-struct arrays per row) — and the
+    // per-row work is two O(1) element_at plus one LONG multiply
+    // (|x·y| ≤ 4e12, exact in 64 bits); the single widening to
+    // DECIMAL(38,0) happens in the sum so no corpus size can overflow
+    // the running total. Map-side partial aggregation still collapses
+    // to ≤ d(d+1)/2 rows per task before the only shuffle.
+    val pairIdx = typedLit(
+      for { i <- 0 until dims; j <- i until dims } yield (i, j))
+    val agg = m
+      .select(col("m"), explode(pairIdx).as("p"))
+      .select(col("p._1").as("i"), col("p._2").as("j"),
+        (element_at(col("m"), col("p._1") + 1) *
+          element_at(col("m"), col("p._2") + 1)).as("xy"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xy").cast("decimal(38,0)")).as("sxy"))
+
+    val n = sumsRow.getLong(0)
+    val dimSums = array((0 until dims).map(dimSum): _*)
+    val sx = element_at(dimSums, col("i") + 1)
+    val sy = element_at(dimSums, col("j") + 1)
+    agg.select(col("i").cast("long").as("dim_i"),
+      col("j").cast("long").as("dim_j"), lit(n).as("n"),
+      round(
+        (lit(n).cast("decimal(38,0)") * col("sxy") - sx * sy).cast("double")
+          / (lit(n.toDouble) * lit((n - 1).toDouble) * 1e12),
+        9).as("cov"))
   }
 
 }

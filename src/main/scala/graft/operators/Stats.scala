@@ -103,20 +103,32 @@ object Stats {
   /** Exact GLOBAL percentiles (whole-table, no group column) — the same
     * coarse-bucket localization as [[percentilesByGroup]], but with the
     * bounded intermediate relations read to the DRIVER instead of
-    * checkpoint/broadcast/re-joined: the extent is ONE row, the coarse
-    * histogram is ≤ `buckets` rows (bounded by the parameter, never by
-    * the data — the nprobe-IN-list contract), and the kept-bucket
-    * descriptors are ≤ 2·|ps| rows. Collapses the generic path's ~17
-    * AQE jobs of materialization overhead to 3 (extent, coarse, exact)
-    * — profiled 1.6–2.6 s → ~0.7 s for 19 boundaries at sf0.1. The
-    * generic path stays mandatory whenever groups are data-driven.
+    * checkpoint/broadcast/re-joined: the coarse histogram is ≤ `buckets`
+    * rows (bounded by the parameter, never by the data — the
+    * nprobe-IN-list contract), and the kept-bucket descriptors are
+    * ≤ 2·|ps| rows. The generic path stays mandatory whenever groups are
+    * data-driven.
+    *
+    * Two fresh-JVM lessons are load-bearing here (rounds 8–11 chased
+    * this operator's in-suite-fast / standalone-slow split):
+    *  1. The extent never visits the driver — it rides the plan as a
+    *     one-row broadcast relation the bucket expression cross-joins,
+    *     and n falls out of the coarse counts. Driver-blocking rounds:
+    *     coarse collect + rank collect, i.e. TWO, not the former four.
+    *  2. NO dataset-specific constant may appear in generated code —
+    *     extent, kept buckets, and ranks all enter as broadcast DATA.
+    *     A `lit(mn)` would change the generated source per dataset and
+    *     re-pay ~2 s of Janino after every warmup (the round-10
+    *     when-chain lesson, now applied to the extent too).
     *
     * Numerics mirror [[localizedRanks]] operation-for-operation (bucket
     * width `(mx−mn)/buckets` then `floor((v−mn)/width)` evaluated by the
     * SAME Spark expression on executors; pos = p·(n−1) and the
     * (⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi interpolation in driver doubles —
     * identical IEEE ops in identical order), so results are bit-identical
-    * to the generic path and to Spark's built-in `percentile`.
+    * to the generic path and to Spark's built-in `percentile`. The
+    * output is the exact value at each needed rank, so the internal
+    * bucketing scheme cannot perturb results — it only localizes.
     *
     * Returns one un-rounded value per p, in `ps` order; NaN per p on
     * empty/all-NULL input. Worst-case skew (a kept bucket holding more
@@ -136,13 +148,26 @@ object Stats {
     require(refineThreshold >= 1, s"refineThreshold must be >= 1: $refineThreshold")
     val rows = df.select(col(valueCol).cast("double").as("_v"))
       .filter(col("_v").isNotNull)
-    val ext = rows.agg(count(lit(1)).as("_n"),
-      min(col("_v")).as("_mn"), max(col("_v")).as("_mx")).head()
-    val n = ext.getLong(0)
+
+    // the SAME bucket arithmetic as localizedRanks.bucketOf, but with
+    // the one-row extent cross-joined in as broadcast columns (lesson 2
+    // above). Degenerate mn == mx collapses every row to bucket 0; the
+    // exact pass's (value-grouped) fine relation then has one row, so
+    // the long path stays cheap and returns mn at every rank.
+    val extDf = rows.agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+    val bucketed = rows.crossJoin(broadcast(extDf))
+    val bCol = when(col("_mn") === col("_mx"), lit(0)).otherwise(
+      least(lit(buckets - 1),
+        floor((col("_v") - col("_mn")) /
+          ((col("_mx") - col("_mn")) / lit(buckets))).cast("int")))
+
+    // coarse pass: ≤ buckets rows to the driver; n = Σ counts (no
+    // separate extent round — lesson 1 above)
+    val coarse = bucketed.groupBy(bCol.as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = coarse.map(_._2).sum
     if (n == 0L) return ps.map(_ => Double.NaN)
-    val mn = ext.getDouble(1)
-    val mx = ext.getDouble(2)
-    if (mn == mx) return ps.map(_ => mn)
 
     // pos = p·(n−1) exactly as lit(p) * (col("_n") − 1) evaluates
     val pos = ps.map(p => p * (n - 1).toDouble)
@@ -150,16 +175,6 @@ object Stats {
       (math.floor(x).toLong + 1L, math.ceil(x).toLong + 1L))
     val ranksNeeded = rankPairs.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
 
-    // the SAME bucket expression as localizedRanks.bucketOf, with the
-    // one-row extent folded in as literals
-    def bucketOf(v: Column, lo: Double, hi: Double): Column =
-      least(lit(buckets - 1),
-        floor((v - lit(lo)) / lit((hi - lo) / buckets)).cast("int"))
-
-    // coarse pass: ≤ buckets rows to the driver
-    val coarse = rows.groupBy(bucketOf(col("_v"), mn, mx).as("_b"))
-      .agg(count(lit(1)).as("_c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var running = 0L
     val cum = coarse.map { case (b, c) =>
       val before = running; running += c; (b, c, before)
@@ -176,13 +191,18 @@ object Stats {
     // when-chain formulation paying ~2 s of Janino per new dataset)
     val session = df.sparkSession
     import session.implicits._
-    val b = bucketOf(col("_v"), mn, mx)
+    // literal-extent bucketing, used ONLY on the rare skew branch below
+    // (it embeds per-dataset constants, so it recompiles — acceptable
+    // for an adversarial-input fallback, never on the common path)
+    def bucketOf(v: Column, lo: Double, hi: Double): Column =
+      least(lit(buckets - 1),
+        floor((v - lit(lo)) / lit((hi - lo) / buckets)).cast("int"))
     val exact =
       if (kept.forall(_._2 <= refineThreshold)) {
         // common case: every kept bucket fits one exact window task
         val keptDf = kept.toSeq
           .map { case (kb, _, kbefore) => (kb, kbefore) }.toDF("_b", "_before")
-        rows.withColumn("_b", b)
+        bucketed.withColumn("_b", bCol)
           .join(broadcast(keptDf), Seq("_b"))
           .select(col("_b").cast("long").as("_part"), col("_before"), col("_v"))
       } else {
@@ -190,7 +210,8 @@ object Stats {
         // its OBSERVED extent. Sub-bucket counts are ≤ 2·|ps|·buckets
         // rows — still parameter-bounded.
         val keptBDf = kept.toSeq.map(_._1).toDF("_b")
-        val keptRows = rows.withColumn("_b", b)
+        val keptRows = bucketed.withColumn("_b", bCol)
+          .select(col("_v"), col("_b"))
           .join(broadcast(keptBDf), Seq("_b"))
           .localCheckpoint()
         val subExt = keptRows.groupBy(col("_b"))
