@@ -2109,9 +2109,11 @@ object SparkEntry {
     * 32-bit explicit-31-polynomial signature pipeline, all-pairs,
     * DuckDB-hash-matched end to end — the oracle row for the simhash
     * family whose production signatures (xxhash64) no external engine
-    * can recompute. maxHamming=8 of 32 bits so the fixture's planted
-    * near-dups actually surface while the Markov fixture's background
-    * similarity (median pairwise distance ~5 of 32) stays excluded.
+    * can recompute. maxHamming=2 of 32 bits: tight enough that the
+    * Markov fixture's background similarity (median pairwise distance
+    * ~5 of 32) stays excluded, while exact and truncation-level
+    * near-dups still surface; the oracle SQL's `hamming <= 2` must move
+    * in lockstep with this radius.
     */
   private def qSimhashExact(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashExactPairs(Tables.documents(s, dir), maxHamming = 2)

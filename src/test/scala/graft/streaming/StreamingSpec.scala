@@ -32,6 +32,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamedDocs == batchDocs)
   }
 
+  test("stateful streaming ≡ batch under the RocksDB state-store provider (ST6 parity)") {
+    // the reference image ships RocksDB-backed ksqlDB state stores
+    // (docker-compose.yaml:70); Spark's equivalent is one conf line.
+    // Cover both state paths: windowed aggregation state (hopping pivot)
+    // and mapGroupsWithState user state (latestByKeyStream).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = WindowOps.hoppingPivot(
+        Tables.events(spark, sf0001), eventTypes = Tables.EventTypes)
+        .collect().toSet
+      val streamed = Streaming.runToMemory(
+        spark, Streaming.hoppingPivotStream(spark, sf0001))
+        .collect().toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+
+      val input = MemoryStream[(String, String, Long)](spark)
+      val df = input.toDF().toDF("id", "v", "ts")
+      val q = Streaming.latestByKeyStream(df, "id", Seq("ts"))
+        .writeStream.format("memory").queryName("latest_rocksdb")
+        .outputMode(OutputMode.Update()).start()
+      input.addData(("a", "v1", 1L), ("b", "x1", 1L))
+      q.processAllAvailable()
+      input.addData(("a", "v2", 2L))
+      q.processAllAvailable()
+      val state = spark.table("latest_rocksdb")
+        .groupBy("id").agg(max_by(col("v"), col("ts")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      q.stop()
+      assert(state == Map("a" -> "v2", "b" -> "x1"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming hopping pivot ≡ batch hopping pivot on the same fixture") {
     val batch = WindowOps.hoppingPivot(
       Tables.events(spark, sf0001), eventTypes = Tables.EventTypes)

@@ -34,8 +34,11 @@ def load_queries(path):
     # finding: the tool exited on exactly the files it was written for).
     tail = d.get("tail")
     if isinstance(tail, str):
+        # require a ',' or '}' after the number so a value whose digits
+        # were cut by stdout truncation (e.g. `"q_foo":12.3<EOF>`) is
+        # dropped instead of silently recorded as a wrong timing
         q = {m.group(1): float(m.group(2))
-             for m in re.finditer(r'"(q[^"]*)":(-?\d+(?:\.\d+)?)', tail)}
+             for m in re.finditer(r'"(q[^"]*)":(-?\d+(?:\.\d+)?)[,}]', tail)}
         if q:
             return q
     raise SystemExit(f"{path}: no queries dict found")
