@@ -454,13 +454,7 @@ object Dedup {
       minShared: Int = 2,
       maxBucket: Int = 1024): DataFrame = {
     // the fingerprint compute must not serialize behind a narrow scan
-    // (the demo corpus is ONE parquet split; a 100 TB corpus arrives in
-    // thousands and skips this — same guard as covarianceExact)
-    val spread = {
-      val p = docs.sparkSession.sparkContext.defaultParallelism
-      if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
-    }
-    val fps = spread.select(col("doc_id"),
+    val fps = graft.operators.Spread.toCores(docs).select(col("doc_id"),
       explode(graft.functions.TextHashExpressions
         .winnow_fingerprint(col(textCol), k, w)).as("fp"))
       .localCheckpoint()
@@ -763,8 +757,9 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val L = spanTokens
     require(L >= 2, s"spanTokens must be >= 2, got $L")
-    val base = docs.select(col("doc_id"),
-      split(col(textCol), " ").as("toks"))
+    // gram building is the compute; spread it off a narrow scan
+    val base = graft.operators.Spread.toCores(docs)
+      .select(col("doc_id"), split(col(textCol), " ").as("toks"))
       .withColumn("n", size(col("toks")))
     val gramStr = expr(
       s"transform(sequence(0, n - $L), i -> array_join(slice(toks, i + 1, $L), ' '))")
@@ -867,7 +862,8 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(n >= 1, s"sourceOverlap: n >= 1, got $n")
     val toks = TextOps.tokens(col(textCol))
-    val fp = docs
+    // n-gram string building is the compute; spread it off a narrow scan
+    val fp = graft.operators.Spread.toCores(docs)
       .filter(size(toks) >= n)
       .select(col(groupCol).as("grp"),
         explode(transform(sequence(lit(0), size(toks) - n),

@@ -175,11 +175,7 @@ object EmbeddingOps {
     // round-8 15.4 s/7.6 s readings were the contended-box stretch the
     // r8->r9 bench_diff ledger now flags as uniform-load noise. A real
     // 100 TB corpus arrives in thousands of splits and skips this.
-    val spread = {
-      val p = emb.sparkSession.sparkContext.defaultParallelism
-      if (emb.rdd.getNumPartitions < p) emb.repartition(p) else emb
-    }
-    val m = spread
+    val m = graft.operators.Spread.toCores(emb)
       .select(transform(slice(asDouble(col(vecCol)), 1, dims),
         x => round(x * 1e6).cast("long")).as("m"))
 
