@@ -131,7 +131,8 @@ object LangModel {
       idCol: String = "doc_id",
       addK: Double = 0.5): DataFrame = {
     require(addK > 0.0, s"addK must be positive for unseen mass, got $addK")
-    val tkd = docs
+    // bigram string building is the compute; spread it off a narrow scan
+    val tkd = graft.operators.Spread.toCores(docs)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= 2)
     def bigrams = tkd.select(col(idCol),

@@ -107,7 +107,8 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     require(n >= 1, s"need n >= 1, got n=$n")
     val toks = tokens(col(textCol))
-    docs
+    // n-gram string building is the compute; spread it off a narrow scan
+    graft.operators.Spread.toCores(docs)
       // guard: sequence(0, negative) would generate a DESCENDING range
       .filter(size(toks) >= n)
       .select(explode(transform(sequence(lit(0), size(toks) - n),
