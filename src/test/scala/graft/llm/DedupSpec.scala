@@ -293,6 +293,30 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("winnowOverlapPairs maxBucket prunes a hot fingerprint without touching cold pairs") {
+    // a boilerplate sentence shared by MORE than maxBucket docs must be
+    // dropped from candidate generation (its pairs vanish), while a
+    // paragraph shared by exactly two docs still pairs — the
+    // capped-emission contract of the grouped-list reshape
+    val boiler = (1 to 20).map(i => s"boiler$i").mkString(" ")
+    val para = (1 to 30).map(i => s"para$i").mkString(" ")
+    val hotDocs = (1L to 8L).map(i =>
+      (i, s"unique${i}a unique${i}b $boiler unique${i}c unique${i}d"))
+    val coldPair = Seq(
+      (100L, s"opener one $para closing alpha"),
+      (101L, s"different two $para closing beta"))
+    val docs = (hotDocs ++ coldPair).toDF("doc_id", "text")
+    val capped = Dedup.winnowOverlapPairs(docs, k = 25, w = 8, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)), "cold pair must survive the cap")
+    assert(!capped.exists(p => p._1 <= 8L && p._2 <= 8L),
+      s"pairs among the 8 hot-boilerplate docs must be pruned, got $capped")
+    // uncapped control: the same hot docs DO pair
+    val uncapped = Dedup.winnowOverlapPairs(docs, k = 25, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists(p => p._1 <= 8L && p._2 <= 8L))
+  }
+
   test("boilerplate-stripped winnowing: pair count collapses, true overlaps survive") {
     // the q_winnow_clean composition: the fixture's 40-word vocabulary
     // makes sub-word (k = 5) grams collide across essentially all docs,
