@@ -16,9 +16,14 @@ import org.apache.spark.sql.DataFrame
 object Spread {
 
   /** Repartition `df` up to the session's default parallelism iff it
-    * has fewer partitions; identity otherwise.
+    * has fewer partitions; identity otherwise. Streaming DataFrames
+    * pass through untouched (`.rdd` is illegal on them, and micro-batch
+    * inputs already arrive pre-partitioned by the source) — so the
+    * shared text operators stay usable on both sides of the
+    * batch ≡ streaming contract.
     */
   def toCores(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
