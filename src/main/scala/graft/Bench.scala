@@ -25,6 +25,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // collect_list/set aggs (as-of histories, winnow buckets, centroids)
+      // keep the fast object-hash path at realistic per-partition key
+      // counts; the 128-key default falls back to sort-based almost
+      // immediately (q_asof_broadcast 1.46 s -> 0.95 s at sf0.1)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1684,17 +1684,22 @@ object SparkEntry {
     * (Joins.asOfJoinBroadcast): the dim history broadcasts as per-key
     * sorted arrays and the fact side never shuffles — shares
     * q_asof_join's oracle, so the driver proves the two plans agree.
+    *
+    * No explicit latestByKey pre-pass here (q_asof_join needs it for
+    * the window variant's determinism): the broadcast history sorts by
+    * (ts, orderkey, …) and the probe takes the LAST entry ≤ ts, so
+    * same-(key, ts) duplicates resolve to the max orderkey — the
+    * identical row latestByKey would keep, without its extra
+    * shuffle+window pass over the dim.
     */
   private def qAsofBroadcast(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.eventsWithEpoch(s, dir)
       .select(col("event_id"), col("user_id"), col("ts_sec"))
-    val r0 = Relational.latestByKey(
-      Tables.orders(s, dir)
-        .withColumn("o_sec", col("o_orderdate").cast("timestamp").cast("long")),
-      key = Seq("o_custkey", "o_sec"), orderBy = Seq("o_orderkey"))
-    val r = r0.select(col("o_custkey"), col("o_sec"),
-      col("o_orderkey").as("last_order_key"),
-      col("o_totalprice").as("last_order_price"))
+    val r = Tables.orders(s, dir)
+      .withColumn("o_sec", col("o_orderdate").cast("timestamp").cast("long"))
+      .select(col("o_custkey"), col("o_sec"),
+        col("o_orderkey").as("last_order_key"),
+        col("o_totalprice").as("last_order_price"))
     Joins.asOfJoinBroadcast(l, r, "user_id", "o_custkey", "ts_sec", "o_sec",
       Seq("last_order_key", "last_order_price"))
   }

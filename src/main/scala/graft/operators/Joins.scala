@@ -130,8 +130,16 @@ object Joins {
     *
     * Same semantics as [[asOfJoin]]: ≤ on ties, NULL payloads before a
     * key's first version or for unmatched keys, the whole payload
-    * struct selected atomically (no cross-version column mixing), and
-    * the one-row-per-(key, ts) determinism precondition. The per-fact
+    * struct selected atomically (no cross-version column mixing). One
+    * semantic STRENGTHENING over [[asOfJoin]]: duplicate (key, ts)
+    * versions are allowed — the history sorts totally on
+    * (ts, payload…) and the probe picks the sort-order-LAST entry ≤ ts,
+    * so ties resolve deterministically to the max payload tuple (with a
+    * unique version id as the first payload column, that is "the
+    * latest version", exactly what a latestByKey pre-pass would keep —
+    * minus its shuffle+window). [[asOfJoin]] still REQUIRES
+    * one-row-per-(key, ts): its window tie order among duplicate right
+    * rows is unspecified. The per-fact
     * probe is a BINARY SEARCH over the key's sorted version-timestamp
     * array (native codegen'd expression) — O(log |history|); the
     * filter()-HOF formulation it replaced scanned the whole history

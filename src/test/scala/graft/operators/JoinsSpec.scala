@@ -117,6 +117,22 @@ class JoinsSpec extends SparkSpec {
     assert(out2.getAs[String]("v1") == null && out2.getAs[String]("v2") == "x10")
   }
 
+  test("asOfJoinBroadcast: duplicate (key, ts) versions resolve to the max payload tuple") {
+    // the strengthened contract the fused-dedup q_asof_broadcast relies
+    // on: no latestByKey pre-pass needed — sort-order-last among tied
+    // ts = highest version id's payload, deterministically
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 25L)).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 10L, 7L, "ver7"), (1L, 10L, 9L, "ver9"), (1L, 10L, 3L, "ver3"),
+      (1L, 20L, 11L, "ver11"))
+      .toDF("rk", "rt", "version", "v")
+    val out = Joins.asOfJoinBroadcast(
+      left, right, "k", "rk", "t", "rt", Seq("version", "v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("version"), r.getAs[String]("v")))
+    assert(out.toSeq == Seq((1L, 9L, "ver9"), (2L, 11L, "ver11")))
+  }
+
   test("asOfJoinBroadcast ≡ asOfJoin on a random frame; fact side never exchanges") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(5)
