@@ -30,6 +30,16 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet
     assert(batchDocs.nonEmpty)
     assert(streamedDocs == batchDocs)
+
+    val batchOrders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .collect().toSet
+    val streamedOrders = Streaming.runToMemory(
+      spark, Streaming.ordersStream(spark, sf0001), OutputMode.Append())
+      .collect().toSet
+    assert(batchOrders.nonEmpty)
+    assert(streamedOrders == batchOrders)
   }
 
   test("stateful streaming ≡ batch under the RocksDB state-store provider (ST6 parity)") {
