@@ -253,6 +253,23 @@ class PropertySpec extends SparkSpec {
       assert(got.head == 1 && got.max == got.distinct.size)
     }
   }
+
+  test("property: sorted_last_leq_idx == count of elements <= probe, incl. empty/boundary") {
+    // the as-of broadcast probe kernel: 1-based index of the last
+    // element <= v in an ascending array, 0 when none
+    val arrGen = Gen.listOf(Gen.choose(-1000L, 1000L)).map(_.sorted)
+    val probeGen = Gen.choose(-1100L, 1100L)
+    val cases = samples(Gen.zip(arrGen, probeGen), 64) ++
+      Seq((Nil, 0L), (List(5L), 4L), (List(5L), 5L), (List(5L), 6L),
+        (List(1L, 1L, 1L), 1L)) // ties: index of the LAST duplicate
+    for ((arr, v) <- cases) {
+      val got = Seq((arr, v)).toDF("ts", "v")
+        .select(graft.functions.VecExpressions
+          .sorted_last_leq_idx(col("ts"), col("v")))
+        .head().getInt(0)
+      assert(got == arr.count(_ <= v), s"arr=$arr v=$v")
+    }
+  }
 }
 
 /** Plain-Scala shingle reference used by the property tests. */
