@@ -254,6 +254,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: winnowOverlapPairs == driver-side reference counts on random corpora") {
+    // the round-11 grouped-list reshape must preserve the pair/count
+    // semantics exactly: shared_fps(a,b) = |winnow(a) ∩ winnow(b)|,
+    // emitted iff >= minShared (no cap engaged at these sizes)
+    val wordGen = Gen.choose(0, 7).map(i => s"w$i") // tiny vocab → collisions
+    val docGen = Gen.listOfN(30, wordGen).map(_.mkString(" "))
+    for (texts <- samples(Gen.listOfN(12, docGen), 5)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.llm.Dedup.winnowOverlapPairs(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def fpsOf(t: String): Set[Long] = {
+        val a = graft.functions.TextHashKernels
+          .winnow(org.apache.spark.unsafe.types.UTF8String.fromString(t), 5, 4)
+        (0 until a.numElements()).map(a.getLong).toSet
+      }
+      val ref = (for {
+        i <- texts.indices; j <- (i + 1) until texts.size
+        shared = (fpsOf(texts(i)) intersect fpsOf(texts(j))).size
+        if shared >= 2
+      } yield (i.toLong, j.toLong) -> shared.toLong).toMap
+      assert(got == ref, s"got=$got ref=$ref")
+    }
+  }
+
   test("property: sorted_last_leq_idx == count of elements <= probe, incl. empty/boundary") {
     // the as-of broadcast probe kernel: 1-based index of the last
     // element <= v in an ascending array, 0 when none
