@@ -9,6 +9,7 @@ object ExplainMain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false).getOrCreate()
     val dir = args(0)
