@@ -57,7 +57,7 @@ object SparkEntry {
     * principle, with the dims/nbOrders sides static (broadcast per
     * micro-batch in streaming).
     */
-  private def scoredFlagship(
+  private[graft] def scoredFlagship(
       spark: SparkSession, feats: DataFrame, dir: String): DataFrame =
     enrichedFlagship(spark, feats, dir)
       .withColumn("predicted_label",
@@ -2172,6 +2172,21 @@ object SparkEntry {
         .select(col("doc_id"), col("clean_text").as("text")),
       k = 25, w = 8)
 
+  /** Oracle twin of [[qWinnowClean]]: the SAME boilerplate-strip →
+    * winnow composition (identical k = 25 / w = 8 parameters) with
+    * lexicographic string minimization instead of seeded hashes, so the
+    * whole clean-pipeline composition — not just its two halves — gets
+    * a DuckDB hash-match (q_boilerplate oracles the strip,
+    * q_winnow_overlap_exact the selection; this row fences their
+    * composition: segment re-assembly order, empty-document survival,
+    * and the stripped corpus's fingerprint pair set).
+    */
+  private def qWinnowCleanExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairsExact(
+      TextOps.removeBoilerplate(Tables.documents(s, dir), " merge ", minDocs = 2)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      k = 25, w = 8)
+
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.1)
 
@@ -2531,6 +2546,7 @@ object SparkEntry {
     "q_winnow_overlap" -> (qWinnowOverlap _),
     "q_winnow_overlap_exact" -> (qWinnowOverlapExact _),
     "q_winnow_clean" -> (qWinnowClean _),
+    "q_winnow_clean_exact" -> (qWinnowCleanExact _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_mixture_weights" -> (qMixtureWeights _),
     "q_sample_temperature" -> (qSampleTemperature _),
@@ -2577,6 +2593,7 @@ object SparkEntry {
     "q_incr_agg", "q_winnow_overlap_exact", "q_incr_cdc",
     "q_histogram_equidepth", "q_auc", "q_bucketed_join",
     "q_asof_broadcast", "q_winnow_overlap", "q_winnow_clean",
+    "q_winnow_clean_exact",
     "q_embed_covariance", "q_corpus_order", "q_auc_daily",
     "q_curriculum_order", "q_inverted_index", "q_bm25",
     "q_vocab_coverage", "q_bpe_tokenize", "q_domain_keyness",
@@ -4535,6 +4552,35 @@ object SparkEntry {
     // winnowing with string-min selection: substring k-grams, per-window
     // MIN over a rows-following frame, distinct selection, pair counts —
     // plain relational algebra both engines evaluate identically
+    "q_winnow_clean_exact" ->
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(string_split(text, ' merge ')) AS seg FROM documents),
+        |boiler AS (
+        |  SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
+        |bl AS (SELECT COALESCE(list(seg), CAST([] AS VARCHAR[])) AS l FROM boiler),
+        |clean AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(array_to_string(list_filter(string_split(d.text, ' merge '),
+        |      x -> NOT list_contains(bl.l, x)), ' merge '), '') AS text
+        |  FROM documents d, bl),
+        |g0 AS (
+        |  SELECT doc_id, text, LENGTH(text) - 24 AS ng
+        |  FROM clean WHERE LENGTH(text) >= 32),
+        |g AS (
+        |  SELECT doc_id, ng, UNNEST(RANGE(ng)) AS pos, text FROM g0),
+        |gr AS (
+        |  SELECT doc_id, ng, pos, SUBSTR(text, CAST(pos AS INTEGER) + 1, 25) AS gram
+        |  FROM g),
+        |w AS (
+        |  SELECT doc_id, ng, pos,
+        |    MIN(gram) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM gr),
+        |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - 8)
+        |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared_fps
+        |FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id
+        |HAVING COUNT(*) >= 2""".stripMargin,
     "q_winnow_overlap_exact" ->
       """WITH g0 AS (
         |  SELECT doc_id, text, LENGTH(text) - 4 AS ng

@@ -429,7 +429,7 @@ object Dedup {
     * which whole-doc fingerprints and shingle-Jaccard both dilute away).
     *
     * Shape (the capped-emission contract, round-11 rework): aggregate
-    * `fp → sorted doc list` and expand each bucket's pairs MAP-SIDE —
+    * `fp → doc list` (collect_list — unordered; the a < b filter below needs no order) and expand each bucket's pairs MAP-SIDE —
     * never a fingerprint self-join. Hot fingerprints (> `maxBucket`
     * docs — boilerplate, non-discriminative) are anti-joined away
     * BEFORE the collect, so aggregation state is ≤ maxBucket·8 bytes

@@ -154,9 +154,9 @@ object EmbeddingOps {
     * array-of-struct allocation), collapsed by partial aggregation to
     * ≤ d(d+1)/2 rows per task before the only shuffle — a d(d+1)/2-key
     * hash aggregate. The per-dim sums Σx_i ride a separate narrow
-    * single-row aggregate (d-bounded driver read, like the PQ/IVF
-    * codebooks) and re-enter as literals. Driver/output state is d²,
-    * the same bound MLlib's Gramian ships;
+    * single-row aggregate that broadcasts back onto the d²-row result
+    * (no driver collect, no data-derived literals in codegen).
+    * Driver/output state is d², the same bound MLlib's Gramian ships;
     * cov = (n·Σxy − Σx·Σy) / (n·(n−1)) in micros², reported in original
     * units rounded to 9 places.
     */
@@ -180,17 +180,20 @@ object EmbeddingOps {
         x => round(x * 1e6).cast("long")).as("m"))
 
     // Pass 1 (narrow, d additions/row): per-dim sums Σx_i and n in ONE
-    // single-row aggregate. The d decimal sums collect to the driver —
-    // d-bounded, the same codebook-sized read the PQ/IVF paths use — and
-    // re-enter the plan as literals, so the heavy pass below carries ONE
-    // payload field instead of the former three (xy, x, y): Σx for pair
-    // (i,j) is a per-dim quantity, never needed per pair.
+    // single-row aggregate, kept as a one-row RELATION that broadcasts
+    // onto the d²-row result below — NOT collected and re-entered as
+    // literals, which would embed dataset-derived constants in generated
+    // code (the per-dataset Janino-recompile pathology SCALE.md lesson 1
+    // documents; same broadcast-extent shape as percentilesGlobal). The
+    // heavy pass carries ONE payload field instead of the former three
+    // (xy, x, y): Σx for pair (i,j) is a per-dim quantity, never needed
+    // per pair.
     val sumCols = count(lit(1)).as("_n") +:
       (0 until dims).map(i =>
         sum(element_at(col("m"), i + 1).cast("decimal(38,0)")).as(s"_s$i"))
-    val sumsRow = m.agg(sumCols.head, sumCols.tail: _*).head()
-    val dimSum: Int => Column = i =>
-      lit(sumsRow.getDecimal(i + 1)).cast("decimal(38,0)")
+    val sumsDf = m.agg(sumCols.head, sumCols.tail: _*)
+      .select(col("_n"),
+        array((0 until dims).map(i => col(s"_s$i")): _*).as("_sums"))
 
     // Pass 2 (the compute): explode one LITERAL array of the d(d+1)/2
     // (i,j) index pairs — codegen loops it per input row with no
@@ -211,16 +214,19 @@ object EmbeddingOps {
       .groupBy(col("i"), col("j"))
       .agg(sum(col("xy").cast("decimal(38,0)")).as("sxy"))
 
-    val n = sumsRow.getLong(0)
-    val dimSums = array((0 until dims).map(dimSum): _*)
-    val sx = element_at(dimSums, col("i") + 1)
-    val sy = element_at(dimSums, col("j") + 1)
-    agg.select(col("i").cast("long").as("dim_i"),
-      col("j").cast("long").as("dim_j"), lit(n).as("n"),
-      round(
-        (lit(n).cast("decimal(38,0)") * col("sxy") - sx * sy).cast("double")
-          / (lit(n.toDouble) * lit((n - 1).toDouble) * 1e12),
-        9).as("cov"))
+    // the one-row sums relation broadcasts onto the ≤ d(d+1)/2-row agg
+    // (the same tiny-stats crossJoin shape used throughout the repo)
+    val sx = element_at(col("_sums"), col("i") + 1)
+    val sy = element_at(col("_sums"), col("j") + 1)
+    val nDec = col("_n").cast("decimal(38,0)")
+    agg.crossJoin(broadcast(sumsDf))
+      .select(col("i").cast("long").as("dim_i"),
+        col("j").cast("long").as("dim_j"), col("_n").as("n"),
+        round(
+          (nDec * col("sxy") - sx * sy).cast("double")
+            / (col("_n").cast("double") * (col("_n") - 1).cast("double")
+              * 1e12),
+          9).as("cov"))
   }
 
 }

@@ -45,16 +45,36 @@ object Tables {
   private val eventsIsNanos =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Cache key = dir + the max mtime under its events.parquet — a
+    * driver-side listing of one fixture dir (constant cost), so a
+    * fixture regenerated IN PLACE mid-JVM gets a fresh probe instead of
+    * a stale conversion (local paths only; on an object store the
+    * listing finds no local files and the key degrades to the dir —
+    * i.e. the old immutable-fixture assumption, now scoped to exactly
+    * where it's unverifiable).
+    */
+  private def eventsCacheKey(dir: String): String = {
+    val root = java.nio.file.Paths.get(p(dir, "events"))
+    val mtime =
+      try {
+        val s = java.nio.file.Files.walk(root)
+        try s.mapToLong(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .max.orElse(0L)
+        finally s.close()
+      } catch { case _: java.io.IOException => 0L }
+    s"$dir@$mtime"
+  }
+
   /** One-row probe: reading ts as raw INT64 succeeds for any timestamp
     * annotation; the magnitude tells nanos from micros (epoch nanos are
     * ~1e18, micros ~1e15 — three orders apart for any date this side of
     * year 33658). Filters nulls so a null-leading file can't fall into
     * the wrong branch; touches a single page of a single file — constant
-    * cost at any corpus size. Cached per dir (fixtures are immutable
-    * within a run).
+    * cost at any corpus size. Cached per (dir, fixture mtime) so in-place
+    * regeneration invalidates the verdict.
     */
   def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean =
-    eventsIsNanos.getOrElseUpdate(dir, {
+    eventsIsNanos.getOrElseUpdate(eventsCacheKey(dir), {
       spark.read.schema(eventsRawSchema).parquet(p(dir, "events"))
         .select(col("ts")).where(col("ts").isNotNull).limit(1).collect()
         .headOption.exists(r => math.abs(r.getLong(0)) > 3e17.toLong)

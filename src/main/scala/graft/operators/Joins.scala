@@ -154,11 +154,29 @@ object Joins {
       leftTsSec: String,
       rightTsSec: String,
       rightPayload: Seq[String]): DataFrame = {
+    // The probe compares LONGS (sorted_last_leq_idx is typed
+    // array<bigint> × bigint): a fractional ts would silently truncate
+    // and could match a version whose true ts exceeds the fact ts, so
+    // reject non-integral ts types up front — asOfJoin keeps the
+    // native-type comparison for those.
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+    for ((df, c) <- Seq((left, leftTsSec), (right, rightTsSec)))
+      require(integral(df.schema(c).dataType),
+        s"asOfJoinBroadcast requires an integral ts column; '$c' is " +
+          s"${df.schema(c).dataType.simpleString} — use asOfJoin for " +
+          "fractional/timestamp types")
     val leftCols = left.columns.toSeq
     // _ts (sorted version times) is derived ONCE per dim key at
     // broadcast-build time; the per-row probe touches only it and the
-    // matched element — never walks _hist
-    val hist = right.groupBy(col(rightKey).as("_k"))
+    // matched element — never walks _hist. Null-ts versions are DROPPED
+    // here (asOfJoin's native `<=` can never match them either; left in,
+    // they'd sort first and read as 0 through ArrayData.getLong).
+    val hist = right.filter(col(rightTsSec).isNotNull)
+      .groupBy(col(rightKey).as("_k"))
       .agg(sort_array(collect_list(struct(
         (col(rightTsSec).as("_t") +: rightPayload.map(col)): _*))).as("_hist"))
       .withColumn("_ts", transform(col("_hist"), e => e("_t").cast("long")))

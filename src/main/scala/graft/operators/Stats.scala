@@ -431,19 +431,256 @@ object Stats {
 
   /** Median absolute deviation per group — the robust spread measure
     * (outlier detection that, unlike stddev, is not itself dragged by
-    * the outliers): MAD = median(|x − median(x)|), both medians EXACT
-    * via the bucket-localized percentile machinery.
+    * the outliers): MAD = median(|x − median(x)|), both medians EXACT.
     *
-    * Two [[percentilesByGroup]] passes (median, then median of absolute
-    * deviations against the broadcast per-group medians) — each is the
-    * bounded-state localization pipeline, so per-group state never
-    * exceeds one row and the value column shuffles zero times (the
-    * deviation relation re-reads the source through the same scan).
-    * Rounded to 6 decimals on both engines: DuckDB's `quantile_cont`
-    * interpolates lo + f·(hi − lo), which can differ from the weighted
-    * form in the last ulp.
+    * Strategy is picked by ONE shared profiling scan (extent, count,
+    * HLL distinct-values per group):
+    *
+    * **Quantized domains** (every group's distinct-value count ≤
+    * `refineThreshold` — quantities, scores, token counts, the common
+    * MAD inputs): MAD is pure histogram algebra. One base scan builds
+    * the per-(group, value) count histogram; the median falls out of
+    * its cumulative window, and the deviation histogram is the SAME
+    * relation re-keyed by |v − med| — no second scan, no localization,
+    * 3 Spark executions end-to-end (the round-12 rework target: the old
+    * two-pass shape spent ~3.5 s at sf0.1 almost entirely on the
+    * scheduling overhead of its ~12 executions, not on data).
+    *
+    * **High-cardinality domains** (near-unique doubles): ONE
+    * localization round serves BOTH medians (vs the two sequential
+    * [[percentilesByGroup]] passes of the old shape): the coarse
+    * x-histogram additionally records each bucket's OBSERVED [min, max],
+    * so once the median m is exact, every bucket yields a PROVABLY
+    * correct closed interval for the deviations of its rows — a bucket
+    * left of m's bucket holds devs in [m − bmax, m − bmin], right of it
+    * [bmin − m, bmax − m], m's own bucket [0, max(m − bmin, bmax − m)]
+    * (observed extents, so no edge-arithmetic ulp slop; floor-bucketing
+    * monotonicity guarantees the side split). Sweeping the ≤ 2B interval
+    * endpoints per group with two cumulative windows gives thresholds
+    * t_lo (largest endpoint whose over-count < k_lo) and t_hi (smallest
+    * whose under-count ≥ k_hi) bracketing the deviation median's ranks,
+    * and the single deviation scan classifies each row below / inside
+    * (t_lo, t_hi] in one pass — the below-class count anchors absolute
+    * ranks exactly, so the usual value-histogram window + interpolation
+    * finishes the job. 4 base scans total (extent, coarse, median-exact,
+    * deviation-exact) vs the former 6, and two fewer driver barriers —
+    * fresh-JVM 2.4 s → target ≤ 1.5 s at sf0.1.
+    *
+    * Adversarial mass concentration (a kept median bucket or the
+    * deviation band exceeding `refineThreshold` rows) falls back to
+    * [[madByGroupGeneric]], whose nested re-localization handles any
+    * distribution — decided by two tiny driver reads of
+    * parameter-bounded relations, like the generic path's own refine
+    * decision. Rounded to 6 decimals on both engines: DuckDB's
+    * `quantile_cont` interpolates lo + f·(hi−lo), which can differ from
+    * the weighted form in the last ulp.
     */
   def madByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      buckets: Int = 1024,
+      refineThreshold: Long = 1L << 16): DataFrame = {
+    require(buckets >= 2, s"need >= 2 coarse buckets, got $buckets")
+    val rows = df.select(col(groupCol).as("_g"),
+        col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    // shared by both strategies: interp is Percentile.getPercentile's
+    // arithmetic exactly; both medians bracket the same ranks because
+    // the deviation multiset has the same cardinality n as the values
+    val pos = lit(0.5) * (col("_n") - 1)
+    val kLo = floor(pos) + 1
+    val kHi = ceil(pos) + 1
+    def interp(posA: Column, lo: Column, hi: Column): Column =
+      when(floor(posA) === ceil(posA), lo)
+        .otherwise((ceil(posA) - posA) * lo + (posA - floor(posA)) * hi)
+
+    // pass 0: per-group extent + count (+ approx distinct values, which
+    // picks the strategy) — checkpointed, it feeds three downstream
+    // scans on the localization path
+    val bounds0 = rows.groupBy(col("_g")).agg(
+      count(lit(1)).as("_n"), min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
+      approx_count_distinct(col("_v")).as("_ad"))
+      .localCheckpoint()
+    val maxAd = bounds0.agg(coalesce(max(col("_ad")), lit(0L))).head().getLong(0)
+
+    // QUANTIZED-DOMAIN fast path: when every group's value domain is
+    // small (quantities, scores, token counts — the common MAD inputs),
+    // MAD is pure histogram algebra: ONE base scan builds the per-value
+    // histogram, the median falls out of its cumulative window, and the
+    // deviation histogram is the same relation re-keyed by |v − med| —
+    // no second scan, no localization, 3 executions total. The HLL
+    // estimate errs ~2%, so the in-group window sorts ≤ ~1.05·threshold
+    // distinct values — same task bound the localization path enforces.
+    if (maxAd <= refineThreshold) {
+      val hist = rows.groupBy(col("_g"), col("_v"))
+        .agg(count(lit(1)).as("_c")).localCheckpoint()
+      val wG = Window.partitionBy(col("_g"))
+      val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = hist
+        .withColumn("_n", sum(col("_c")).over(wG))
+        .withColumn("_cum", sum(col("_c")).over(wCum))
+      val med = ranked.groupBy(col("_g")).agg(
+        interp(min(pos),
+          min(when(col("_cum") >= kLo, col("_v"))),
+          min(when(col("_cum") >= kHi, col("_v")))).as("_med"))
+      // _med rides the group key through the re-key (functionally
+      // dependent on _g), so the median subtree evaluates once and the
+      // final projection needs no rejoin
+      val wCumD = Window.partitionBy(col("_g")).orderBy(col("_dv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return hist.join(broadcast(med), Seq("_g"))
+        .groupBy(col("_g"), col("_med"),
+          abs(col("_v") - col("_med")).as("_dv"))
+        .agg(sum(col("_c")).as("_c"))
+        .withColumn("_n", sum(col("_c")).over(wG))
+        .withColumn("_cum", sum(col("_c")).over(wCumD))
+        .groupBy(col("_g"), col("_med")).agg(
+          interp(min(pos),
+            min(when(col("_cum") >= kLo, col("_dv"))),
+            min(when(col("_cum") >= kHi, col("_dv")))).as("_mad"))
+        .select(col("_g").as(groupCol),
+          round(col("_med"), 6).as("median"),
+          round(col("_mad"), 6).as("mad"))
+    }
+
+    val bounds = bounds0.drop("_ad")
+    def bucketOf(v: Column): Column =
+      when(col("_mx") === col("_mn"), lit(0))
+        .otherwise(least(lit(buckets - 1),
+          floor((v - col("_mn")) / ((col("_mx") - col("_mn")) / buckets)).cast("int")))
+
+    // pass 1: ONE coarse histogram, carrying each bucket's observed
+    // extent for the deviation brackets — checkpointed (read by the
+    // median kept-selection, the skew decision, and the threshold sweep)
+    val coarse = rows.join(broadcast(bounds), Seq("_g"))
+      .groupBy(col("_g"), bucketOf(col("_v")).as("_b"))
+      .agg(count(lit(1)).as("_bc"),
+        min(col("_v")).as("_bmn"), max(col("_v")).as("_bmx"))
+      .localCheckpoint()
+    val wB = Window.partitionBy(col("_g")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumB = coarse.select(col("_g"), col("_b"), col("_bc"))
+      .withColumn("_cumb", sum(col("_bc")).over(wB))
+      .withColumn("_beforeb", col("_cumb") - col("_bc"))
+      .join(broadcast(bounds.select(col("_g"), col("_n"))), Seq("_g"))
+    val kept = cumB.filter(
+        (col("_beforeb") < kLo && col("_cumb") >= kLo) ||
+          (col("_beforeb") < kHi && col("_cumb") >= kHi))
+      .select(col("_g"), col("_b"), col("_beforeb"), col("_bc"))
+
+    // skew decision 1: a kept median bucket too big for one exact task
+    val maxBc = kept.agg(coalesce(max(col("_bc")), lit(0L))).head().getLong(0)
+    if (maxBc > refineThreshold)
+      return madByGroupGeneric(df, groupCol, valueCol, buckets)
+
+    // median-exact pass (pass 2): value histogram + rank window inside
+    // the ≤ 2 kept buckets per group, then the Percentile.getPercentile
+    // interpolation — identical arithmetic to percentilesByGroup
+    val wV = Window.partitionBy(col("_g"), col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val medFine = rows.join(broadcast(bounds), Seq("_g"))
+      .withColumn("_b", bucketOf(col("_v")))
+      .join(broadcast(kept.drop("_bc")), Seq("_g", "_b"))
+      .groupBy(col("_g"), col("_b"), col("_beforeb"), col("_v"), col("_n"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", col("_beforeb") + sum(col("_c")).over(wV))
+    // one-row-per-group medians, materialized once: iv, the threshold
+    // sweep, AND the final projection all read it — unmaterialized, each
+    // would re-run the median-exact scan
+    val med = medFine.groupBy(col("_g")).agg(
+      interp(min(pos),
+        min(when(col("_cum") >= kLo, col("_v"))),
+        min(when(col("_cum") >= kHi, col("_v")))).as("_med"))
+      .localCheckpoint()
+
+    // deviation brackets: per-bucket closed dev intervals from observed
+    // extents, swept at their ≤ 2B endpoints per group by two cumulative
+    // windows (events sort before the candidate at an equal threshold,
+    // matching the ≤ in the count definitions)
+    val iv = coarse.join(broadcast(med), Seq("_g"))
+      .join(broadcast(bounds.drop("_n")), Seq("_g"))
+      .withColumn("_bm", bucketOf(col("_med")))
+      .select(col("_g"), col("_bc"),
+        when(col("_b") < col("_bm"), col("_med") - col("_bmx"))
+          .when(col("_b") > col("_bm"), col("_bmn") - col("_med"))
+          .otherwise(lit(0.0)).as("_dlo"),
+        when(col("_b") < col("_bm"), col("_med") - col("_bmn"))
+          .when(col("_b") > col("_bm"), col("_bmx") - col("_med"))
+          .otherwise(greatest(col("_med") - col("_bmn"),
+            col("_bmx") - col("_med"))).as("_dhi"))
+    val cand = iv.select(col("_g"), col("_dlo").as("_t"))
+      .union(iv.select(col("_g"), col("_dhi").as("_t"))).distinct()
+    def sweep(endCol: String, cntName: String): DataFrame = {
+      val ev = iv.select(col("_g"), col(endCol).as("_t"),
+        col("_bc").as("_w"), lit(0).as("_o"))
+      val cd = cand.select(col("_g"), col("_t"), lit(0L).as("_w"), lit(1).as("_o"))
+      val wS = Window.partitionBy(col("_g")).orderBy(col("_t"), col("_o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.union(cd).withColumn("_cnt", sum(col("_w")).over(wS))
+        .filter(col("_o") === 1)
+        .select(col("_g"), col("_t"), col("_cnt").as(cntName))
+    }
+    // over-count(t) = Σ bc with dlo ≤ t bounds count(dev ≤ t) above;
+    // under-count(t) = Σ bc with dhi ≤ t bounds it below — so rank-k
+    // dev ∈ (t_lo, t_hi] by construction
+    val th = sweep("_dlo", "_over").join(sweep("_dhi", "_under"), Seq("_g", "_t"))
+      .join(broadcast(bounds.select(col("_g"), col("_n"))), Seq("_g"))
+      .groupBy(col("_g")).agg(
+        coalesce(max(when(col("_over") < kLo, col("_t"))), lit(-1.0)).as("_tlo"),
+        min(when(col("_under") >= kHi, col("_t"))).as("_thi"))
+    // tiny (one row per group, all parents checkpointed) — materialized
+    // so the band-bound read and the deviation scan don't re-run the
+    // endpoint sweeps
+    val loc = med.join(th, Seq("_g"))
+      .join(bounds.select(col("_g"), col("_n")), Seq("_g"))
+      .localCheckpoint()
+
+    // skew decision 2: rows the deviation band can admit, bounded by the
+    // coarse counts of intersecting buckets — one single-row driver read
+    val bandBound = iv.join(broadcast(loc.select(col("_g"), col("_tlo"), col("_thi"))), Seq("_g"))
+      .filter(col("_dhi") > col("_tlo") && col("_dlo") <= col("_thi"))
+      .groupBy(col("_g")).agg(sum(col("_bc")).as("_m"))
+      .agg(coalesce(max(col("_m")), lit(0L))).head().getLong(0)
+    if (bandBound > refineThreshold)
+      return madByGroupGeneric(df, groupCol, valueCol, buckets)
+
+    // deviation-exact pass (pass 3, the last base scan): classify each
+    // row below / inside (t_lo, t_hi] — the below-class total anchors
+    // absolute deviation ranks exactly in the same scan
+    val wD = Window.partitionBy(col("_g")).orderBy(col("_cls"), col("_dv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val devFine = rows.join(broadcast(loc), Seq("_g"))
+      .withColumn("_dev", abs(col("_v") - col("_med")))
+      .withColumn("_cls",
+        when(col("_dev") <= col("_tlo"), 0).when(col("_dev") <= col("_thi"), 1))
+      .filter(col("_cls").isNotNull)
+      .groupBy(col("_g"), col("_cls"),
+        when(col("_cls") === 1, col("_dev")).as("_dv"), col("_n"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(wD))
+      .filter(col("_cls") === 1)
+    val mad = devFine.groupBy(col("_g")).agg(
+      interp(min(pos),
+        min(when(col("_cum") >= kLo, col("_dv"))),
+        min(when(col("_cum") >= kHi, col("_dv")))).as("_mad"))
+
+    loc.select(col("_g"), col("_med")).join(mad, Seq("_g"))
+      .select(col("_g").as(groupCol),
+        round(col("_med"), 6).as("median"),
+        round(col("_mad"), 6).as("mad"))
+  }
+
+  /** The pre-round-12 two-pass formulation — two full
+    * [[percentilesByGroup]] localization pipelines (median, then median
+    * of absolute deviations against the broadcast per-group medians).
+    * Kept as [[madByGroup]]'s fallback for adversarial mass
+    * concentration: its nested re-localization bounds every window task
+    * on ANY distribution, where the one-round path's single-level
+    * deviation band could exceed `refineThreshold`.
+    */
+  private[operators] def madByGroupGeneric(
       df: DataFrame,
       groupCol: String,
       valueCol: String,

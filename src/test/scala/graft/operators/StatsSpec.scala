@@ -147,6 +147,61 @@ class StatsSpec extends SparkSpec {
           assert(x == y, s"buckets=$b group $g: $x != $y") } }
     }
   }
+  test("madByGroup histogram path ≡ two-pass generic, bit-for-bit, incl. edges") {
+    // quantized domain (≤ 50 distinct values per group → the histogram
+    // strategy) + engineered edges: single-row group, constant group,
+    // nulls, heavy ties, an outlier stretching the range
+    val rnd = new scala.util.Random(12)
+    val rows = (1 to 3000).map { _ =>
+      (s"g${rnd.nextInt(4)}", math.floor(rnd.nextDouble() * 50) + 1)
+    } ++ Seq(("solo", 42.0), ("const", 7.0), ("const", 7.0), ("const", 7.0),
+      ("out", 1.0), ("out", 2.0), ("out", 3.0), ("out", 1e9))
+    val df = rows.toDF("g", "v")
+      .union(Seq(("g0", null.asInstanceOf[java.lang.Double]))
+        .toDF("g", "v").select(col("g"), col("v").cast("double")))
+    for (b <- Seq(4, 1024)) {
+      val fast = Stats.madByGroup(df, "g", "v", buckets = b)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val slow = Stats.madByGroupGeneric(df, "g", "v", buckets = b)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(fast == slow && fast.keySet ==
+        Set("g0", "g1", "g2", "g3", "solo", "const", "out"),
+        s"buckets=$b: $fast vs $slow")
+    }
+  }
+
+  test("madByGroup localization path ≡ two-pass generic on near-unique doubles") {
+    // refineThreshold below the distinct-value count forces the
+    // one-round localization strategy (the high-cardinality path);
+    // uniform mass keeps every kept bucket and the deviation band small
+    val rnd = new scala.util.Random(34)
+    val df = ((1 to 2000).map(_ => ("a", rnd.nextDouble() * 1000)) ++
+      (1 to 1500).map(_ => ("b", 50 + rnd.nextGaussian() * 10)) :+
+      (("solo", 3.25))).toDF("g", "v")
+    for (b <- Seq(16, 1024)) {
+      val fast = Stats.madByGroup(df, "g", "v", buckets = b, refineThreshold = 300L)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val slow = Stats.madByGroupGeneric(df, "g", "v", buckets = b)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(fast == slow && fast.keySet == Set("a", "b", "solo"),
+        s"buckets=$b: $fast vs $slow")
+    }
+  }
+
+  test("madByGroup falls back to the generic path on adversarial mass concentration") {
+    // 500 near-unique values crammed into one coarse bucket (an outlier
+    // stretches the range) with refineThreshold=64: approx-distinct ≈ 501
+    // skips the histogram path, then the kept median bucket holds 500 >
+    // 64 rows → generic fallback; result must still match
+    val df = ((1 to 500).map(i => ("a", 10.0 + i * 1e-9)) :+ (("a", 1e12)))
+      .toDF("g", "v")
+    val fast = Stats.madByGroup(df, "g", "v", refineThreshold = 64L)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val slow = Stats.madByGroupGeneric(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(fast.sameElements(slow), s"${fast.toSeq} vs ${slow.toSeq}")
+  }
+
   test("histogramEquiWidth: counts total, buckets bounded, edges contain extents") {
     import spark.implicits._
     val df = (1 to 100).map(_.toDouble).toDF("v")

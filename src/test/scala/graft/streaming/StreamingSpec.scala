@@ -207,6 +207,70 @@ class StreamingSpec extends SparkSpec {
     assert(chunked == batchChunks && chunked.nonEmpty)
   }
 
+  test("operational flagship: RocksDB + single-file batches + mid-stream restart ≡ batch entry") {
+    // the reference's actual deployment loop (README.md:56-74) at
+    // operational fidelity: the SCORED flagship (pivot → enrich →
+    // predict UDF) runs incrementally under the RocksDB state-store
+    // provider, one file per micro-batch, into an Update-mode changelog
+    // sink — then the job is STOPPED mid-corpus and restarted against
+    // the same checkpoint after more data "arrives". The restart must
+    // restore window state from RocksDB (not recompute from scratch)
+    // and the final upsert view must equal the batch entry exactly.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stage = java.nio.file.Files.createTempDirectory("flag_stage").toString
+      val hold = java.nio.file.Files.createTempDirectory("flag_hold").toString
+      val ck = java.nio.file.Files.createTempDirectory("flag_ck").toString
+      val out = java.nio.file.Files.createTempDirectory("flag_out").toString + "/changelog"
+      val ev = Tables.events(spark, sf0001)
+      ev.repartition(4).write.mode("overwrite").parquet(stage)
+      val parts = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(parts.length >= 4, s"need >= 4 files, got ${parts.length}")
+      // hold back half the corpus: run 1 sees only two single-file batches
+      parts.take(2).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(hold, f.getName))
+      }
+
+      val reg = new graft.ml.Registry(
+        java.nio.file.Files.createTempDirectory("flag_reg").toString)
+      graft.ml.Trainer.trainAndRegister(spark, sf0001, reg, "Bot Detector", useCv = false)
+      graft.ml.Scorer.registerPredictUdf(spark, reg.rootDir, preload = Seq("Bot Detector"))
+
+      def runOnce(): Unit = {
+        val streamed = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$stage/*.parquet")
+        val scored = graft.SparkEntry.scoredFlagship(spark,
+          WindowOps.hoppingPivot(streamed, eventTypes = Tables.EventTypes), sf0001)
+        val q = Streaming.changelogWriter(scored, out)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      val mid = spark.read.parquet(out).agg(max("_batch_id")).head().getLong(0)
+      assert(mid >= 1, s"expected >= 2 single-file micro-batches, max id $mid")
+      // the rest of the corpus "arrives"; restart from the same checkpoint
+      new java.io.File(hold).listFiles().foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(stage, f.getName))
+      }
+      runOnce()
+      assert(spark.read.parquet(out).agg(max("_batch_id")).head().getLong(0) > mid,
+        "restart must process the late-arriving files as NEW micro-batches")
+      val state = Streaming
+        .readChangelogState(spark, out, Seq("user_id", "w_start"))
+        .collect().toSet
+      val batch = graft.SparkEntry.entry(spark).collect().toSet
+      assert(batch.nonEmpty && state == batch,
+        s"changelog state ${state.size} rows vs batch ${batch.size}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("ST7: restart against the same checkpoint replays nothing (exactly-once offsets)") {
     val ck = java.nio.file.Files.createTempDirectory("st7_ck").toString
     val out = java.nio.file.Files.createTempDirectory("st7_out").toString + "/data"

@@ -34,6 +34,9 @@ object ProfileQuery {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Same as Bench/Verify/SparkSpec — without it, collect_list-heavy
+      // profiles (as-of histories, winnow buckets) don't reproduce bench
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
