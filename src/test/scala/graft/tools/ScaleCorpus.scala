@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a larger fixture corpus from a driver-generated one by
+  * unioning it `replicas`× with domain-consistent key remapping — the
+  * VERDICT r11 "scale-curve harness" prerequisite (driver fixtures are
+  * read-only, TESTDATA.md, so growth beyond sf0.1 must be derived).
+  *
+  * Remapping: every id DOMAIN (custkey = {c_custkey, o_custkey,
+  * user_id}, orderkey = {o_orderkey, l_orderkey}, partkey, suppkey,
+  * doc_id, vec_id, event_id) gets the same per-replica offset, so each
+  * replica is a self-consistent star: joins (events.user_id →
+  * o_custkey → c_custkey, lineitem → orders/part/supplier) resolve
+  * inside their replica exactly as at the source SF, and the key space
+  * grows replicas× — aggregation/window/session key counts scale, not
+  * just per-key multiplicity. The offset stride is even, preserving
+  * doc_id-parity splits (q_dedup_delta's batch/corpus halves).
+  *
+  * Payload columns (text, embedding, ts, value, …) are copied verbatim:
+  * the generator's fixed 40-word Markov vocabulary means a REAL sf1
+  * would draw 10× more docs from the same token space, so keeping the
+  * text distribution identical — including its ubiquitous chance
+  * k-gram collisions — is faithful; it is also what makes the
+  * hot-bucket caps (winnow maxBucket, simhash/minhash band caps)
+  * finally observable at the derived SF. region/nation are genuinely
+  * fixed-cardinality dimensions and are copied once, unscaled.
+  *
+  * Usage:
+  *   sbt "Test/runMain graft.tools.ScaleCorpus [outDir] [replicas] [srcDir]"
+  * defaults: target/scaledata/sf1  10  /root/testdata/sf0.1
+  */
+object ScaleCorpus {
+
+  /** Even stride larger than any fixture key (sf0.1 max key ~600 000)
+    * yet small enough that replica 9 stays far inside int range for
+    * code that narrows ids.
+    */
+  val Stride = 100000000L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val copyOnce = Seq("region", "nation")
+
+  def replicate(df: DataFrame, keys: Seq[String], replicas: Int): DataFrame = {
+    // one scan: explode a replica index, offset every key column by it
+    val exploded = df.withColumn("_rep",
+      explode(sequence(lit(0L), lit(replicas - 1L))))
+    keys.foldLeft(exploded) { (acc, k) =>
+      acc.withColumn(k, col(k) + col("_rep") * Stride)
+    }.drop("_rep")
+  }
+
+  def build(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int): Unit = {
+    for (t <- copyOnce) {
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+      println(s"[scale] $t: copied once (fixed-cardinality dim)")
+    }
+    for ((t, keys) <- keyCols.toSeq.sortBy(_._1)) {
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      replicate(src, keys, replicas)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+      val n = spark.read.parquet(s"$outDir/$t.parquet").count()
+      println(s"[scale] $t: ${replicas}x -> $n rows (keys ${keys.mkString(",")})")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.lift(0).getOrElse("target/scaledata/sf1")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val srcDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build(spark, srcDir, outDir, replicas)
+    spark.stop()
+  }
+}

@@ -8,15 +8,28 @@ from uniform machine-load noise: per-query ratios are normalized by the
 median ratio of all common queries, so a loaded box (everything ~1.3x)
 reports nothing, while one query at 3x alone is flagged.
 
+Flagged queries feed the fresh-JVM adjudication loop the round-8/10/11
+judges ran by hand: in-suite driver numbers on a contended box routinely
+show 2-5x phantom regressions that vanish in a standalone JVM.
+`--remeasure` prints the exact ProfileQuery command for the flagged set;
+`--run` executes it (sbt Test/runMain, one JVM, per-query sf0.001 warmup,
+best-of-3 at sf0.1) and stamps TRIAGE_r{N}.json next to the new bench
+file with a per-query contention-vs-regression verdict: fresh-JVM best
+<= old driver seconds x threshold => "contention" (the box, not the
+code), else "regression" (real - go profile it).
+
 Usage:
   python3 tools/bench_diff.py BENCH_r07.json BENCH_r08.json [--threshold 1.5]
   python3 tools/bench_diff.py            # newest two BENCH_r*.json in repo root
+  python3 tools/bench_diff.py --remeasure   # also print the re-run command
+  python3 tools/bench_diff.py --run         # re-run + write TRIAGE_r{N}.json
 """
 import glob
 import json
 import os
 import re
 import statistics
+import subprocess
 import sys
 
 
@@ -83,6 +96,44 @@ def main(argv):
     for q, nr in sorted(flagged.items(), key=lambda kv: -kv[1]):
         print(f"  {q}: {old[q]:.2f}s -> {new[q]:.2f}s  "
               f"raw {ratios[q]:.2f}x, load-normalized {nr:.2f}x")
+
+    if "--remeasure" in argv or "--run" in argv:
+        names = sorted(flagged, key=lambda q: -flagged[q])
+        cmd = ["sbt", "-batch",
+               "Test/runMain graft.tools.ProfileQuery " + " ".join(names + ["3"])]
+        print("# fresh-JVM re-measure command:")
+        print("  " + " ".join(f"'{c}'" if " " in c else c for c in cmd))
+        if "--run" in argv:
+            root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            proc = subprocess.run(cmd, cwd=root, capture_output=True, text=True)
+            sys.stdout.write(proc.stdout[-2000:])
+            best = {m.group(1): float(m.group(2)) for m in re.finditer(
+                r"\[prof\] (\S+)\s+best\s+([0-9.]+) s", proc.stdout)}
+            triage = {}
+            for q in names:
+                fresh = best.get(q)
+                verdict = ("no-fresh-jvm-number" if fresh is None else
+                           "contention" if fresh <= old[q] * threshold else
+                           "regression")
+                triage[q] = {"old_driver_sec": old[q],
+                             "new_driver_sec": new[q],
+                             "fresh_jvm_best_sec": fresh,
+                             "verdict": verdict}
+            rnum = re.search(r"r(\d+)", os.path.basename(new_path))
+            out = os.path.join(os.path.dirname(os.path.abspath(new_path)),
+                               f"TRIAGE_{'r' + rnum.group(1) if rnum else 'local'}.json")
+            with open(out, "w") as f:
+                json.dump({"old": os.path.basename(old_path),
+                           "new": os.path.basename(new_path),
+                           "threshold": threshold,
+                           "queries": triage}, f, indent=2)
+            print(f"# wrote {out}")
+            for q, t in triage.items():
+                fj = t["fresh_jvm_best_sec"]
+                print(f"  {q}: driver {t['new_driver_sec']:.2f}s, fresh-JVM "
+                      f"{fj if fj is None else format(fj, '.2f')}s -> {t['verdict']}")
+            if proc.returncode != 0:
+                print(f"# WARNING: sbt exited {proc.returncode}", file=sys.stderr)
     return 1
 
 
