@@ -382,6 +382,19 @@ object Dedup {
     * into `bands` rows, join on (band, folded band hash) over the
     * persisted signature relation. Estimated Jaccard = fraction of
     * matching signature positions.
+    *
+    * `maxBucket` caps band-bucket membership like the ngram/simhash
+    * paths: a degenerate band value (thousands of empty/boilerplate
+    * docs folding to one band hash) would otherwise go quadratic in the
+    * candidate self-join. Recall trade-off: a true pair is lost only
+    * when EVERY band it collides in is hot — with rows = k/bands = 4,
+    * a pair at similarity s collides per band with probability s⁴, so
+    * high-similarity pairs collide in several independent bands and
+    * survive any single hot bucket; the r12 CapAudit measured the
+    * largest real band bucket at 4 (sf0.1) and 40 (derived sf1, 10×
+    * duplicated corpus), so the 4096 default is two orders above
+    * anything a non-adversarial corpus produces — results on the
+    * fixtures are bit-identical to the uncapped r11 shape.
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -389,7 +402,8 @@ object Dedup {
       k: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      w: Int = 3): DataFrame = {
+      w: Int = 3,
+      maxBucket: Int = 4096): DataFrame = {
     val rows = k / bands
     val sig = docs
       .select(col("doc_id"), minhashSignature(col(textCol), k, w).as("sig"))
@@ -404,8 +418,16 @@ object Dedup {
           graft.functions.TextHashExpressions
             .band_hash(col("sig"), b * rows, rows).as("bh"))
       }: _*)).as("bk"))
-    val cand = banded.select(col("bk"), col("doc_id").as("a"))
-      .join(banded.select(col("bk").as("r_bk"), col("doc_id").as("b")),
+    // bucket hygiene (same shape as ngramJaccardPairs/simhashNearDups):
+    // count >= 2 drops singleton buckets before the self-join, the cap
+    // drops degenerate ones. No broadcast hint — bucket count is
+    // data-sized, AQE broadcasts when (as always in practice) it's tiny.
+    val useful = banded.groupBy(col("bk")).count()
+      .filter(col("count") >= 2 && col("count") <= maxBucket)
+      .select("bk")
+    val filtered = banded.join(useful, Seq("bk"))
+    val cand = filtered.select(col("bk"), col("doc_id").as("a"))
+      .join(filtered.select(col("bk").as("r_bk"), col("doc_id").as("b")),
         col("bk") === col("r_bk") && col("a") < col("b"))
       .select("a", "b").dropDuplicates("a", "b")
     cand

@@ -207,6 +207,31 @@ class DedupSpec extends SparkSpec {
     assert(capped == uncapped.filterNot(p => p._1 <= 80L && p._2 <= 80L))
   }
 
+  test("minhashNearDups hot-band cap bounds a degenerate corpus, keeps distinct near-dups") {
+    // 200 identical docs: every band bucket holds all 200 → quadratic
+    // candidates unless the cap prunes them (r12: the one banded family
+    // that still lacked bucket hygiene)
+    val boiler = (1L to 200L).map(i => (i, "identical degenerate document text"))
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val corpus =
+      (boiler ++ Seq((1000L, base), (1001L, s"$base extra"))).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(Dedup.minhashNearDups(corpus, maxBucket = 50))
+    // recall: the distinct-vocabulary near-dup pair survives the cap
+    assert(capped.contains((1000L, 1001L)))
+    // bounded candidates: the 200×199/2 degenerate pairs are pruned, not joined
+    assert(!capped.exists(p => p._1 <= 200L && p._2 <= 200L),
+      "hot band buckets must be capped out")
+    // the cap loses nothing OUTSIDE hot buckets...
+    val uncapped = pairs(Dedup.minhashNearDups(corpus, maxBucket = Int.MaxValue))
+    assert(capped == uncapped.filterNot(p => p._1 <= 200L && p._2 <= 200L))
+    // ...and the registered default (4096, two orders above the largest
+    // CapAudit-measured real bucket) is inert even on this corpus: the
+    // r11 uncapped results are reproduced bit-identically
+    assert(pairs(Dedup.minhashNearDups(corpus)) == uncapped)
+  }
+
   test("minhash-driven clusters ≡ exact-jaccard clusters on the fixture corpus") {
     // the registered q_dedup_clusters / q_dedup_apply are rows-only
     // (seeded signature hashes); this pins their SEMANTICS to the

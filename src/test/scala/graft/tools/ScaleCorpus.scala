@@ -69,7 +69,14 @@ object ScaleCorpus {
     }
     for ((t, keys) <- keyCols.toSeq.sortBy(_._1)) {
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      // realistic multi-file layout: the driver fixtures are one file
+      // per table, so a plain rewrite would leave the 10× table as ONE
+      // 7–80 MB file → one scan partition → map-side work (hopping's 5×
+      // Expand, as-of probes) serializing on a single core. A real
+      // corpus at this size ships many files; 32 matches the harness's
+      // local[32] so scans parallelize like production.
       replicate(src, keys, replicas)
+        .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
       val n = spark.read.parquet(s"$outDir/$t.parquet").count()
       println(s"[scale] $t: ${replicas}x -> $n rows (keys ${keys.mkString(",")})")
