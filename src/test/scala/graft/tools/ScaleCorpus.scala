@@ -28,14 +28,17 @@ import org.apache.spark.sql.functions._
   * fixed-cardinality dimensions and are copied once, unscaled.
   *
   * Usage:
-  *   sbt "Test/runMain graft.tools.ScaleCorpus [outDir] [replicas] [srcDir]"
-  * defaults: target/scaledata/sf1  10  /root/testdata/sf0.1
+  *   sbt "Test/runMain graft.tools.ScaleCorpus [outDir] [replicas] [srcDir] [stride]"
+  * defaults: target/scaledata/sf1  10  /root/testdata/sf0.1  100000000
   */
 object ScaleCorpus {
 
-  /** Even stride larger than any fixture key (sf0.1 max key ~600 000)
+  /** Even stride larger than any fixture key (sf0.1 max key 149 999)
     * yet small enough that replica 9 stays far inside int range for
-    * code that narrows ids.
+    * code that narrows ids. For replica counts beyond ~20, pass a
+    * smaller (still even, still > max key) stride so the top replica's
+    * keys stay inside int range — e.g. 10 000 000 for 100 replicas
+    * (max derived key ≈ 0.99e9 < 2^31).
     */
   val Stride = 100000000L
 
@@ -51,17 +54,26 @@ object ScaleCorpus {
 
   private val copyOnce = Seq("region", "nation")
 
-  def replicate(df: DataFrame, keys: Seq[String], replicas: Int): DataFrame = {
+  def replicate(df: DataFrame, keys: Seq[String], replicas: Int,
+      stride: Long = Stride): DataFrame = {
     // one scan: explode a replica index, offset every key column by it
     val exploded = df.withColumn("_rep",
       explode(sequence(lit(0L), lit(replicas - 1L))))
     keys.foldLeft(exploded) { (acc, k) =>
-      acc.withColumn(k, col(k) + col("_rep") * Stride)
+      acc.withColumn(k, col(k) + col("_rep") * stride)
     }.drop("_rep")
   }
 
   def build(spark: SparkSession, srcDir: String, outDir: String,
-      replicas: Int): Unit = {
+      replicas: Int, stride: Long = Stride): Unit = {
+    require(stride % 2 == 0 && stride > 149999,
+      s"stride $stride must be even (doc_id-parity splits) and exceed the max fixture key")
+    if (replicas.toLong * stride + 149999 > Int.MaxValue)
+      // ids are Long end-to-end, so this is legal (the sf3 corpus runs
+      // this way) — but surfaced, since int-narrowing user code would
+      // corrupt keys silently at this size
+      println(s"[scale] note: top-replica ids exceed int range " +
+        s"(${replicas}x stride $stride); all engine id columns are Long")
     for (t <- copyOnce) {
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
@@ -75,7 +87,7 @@ object ScaleCorpus {
       // Expand, as-of probes) serializing on a single core. A real
       // corpus at this size ships many files; 32 matches the harness's
       // local[32] so scans parallelize like production.
-      replicate(src, keys, replicas)
+      replicate(src, keys, replicas, stride)
         .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
       val n = spark.read.parquet(s"$outDir/$t.parquet").count()
@@ -87,6 +99,7 @@ object ScaleCorpus {
     val outDir = args.lift(0).getOrElse("target/scaledata/sf1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
     val srcDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val stride = args.lift(3).map(_.toLong).getOrElse(Stride)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -95,7 +108,7 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, srcDir, outDir, replicas)
+    build(spark, srcDir, outDir, replicas, stride)
     spark.stop()
   }
 }

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.model.Tables
+import graft.operators.WindowOps
+import graft.streaming.Streaming
+
+/** Streaming growth-curve point with the PRODUCTION sink.
+  *
+  * The batch scale curve (SCALE.md) measured q_stream_hopping_pivot at
+  * sf1 through the harness MEMORY sink and saw 5.7× for 10× data — a
+  * driver-side collect of 5 M re-emitted rows, i.e. the sink's cost,
+  * not the operator's. This tool re-measures the same pipeline the way
+  * production runs it (reference infra/connect/mongo-sink.json: an
+  * Update-mode changelog consumed by an upsert store): watermarked
+  * hopping pivot → foreachBatch parquet changelog, Trigger.AvailableNow,
+  * state in the state store, nothing collected to the driver. It then
+  * recovers the upsert view with latestByKey and row-counts it, so the
+  * measurement still proves the stream produced the full result.
+  *
+  * Usage:
+  *   sbt "Test/runMain graft.tools.StreamScale [--small=DIR] [--big=DIR]
+  *        [--lateness=10 minutes]"
+  * defaults: small=/root/testdata/sf0.1  big=target/scaledata/sf1
+  * (build the big dir first with graft.tools.ScaleCorpus).
+  */
+object StreamScale {
+
+  def main(args: Array[String]): Unit = {
+    def opt(name: String): Option[String] =
+      args.collectFirst { case a if a.startsWith(s"--$name=") =>
+        a.drop(name.length + 3) }
+    val small = opt("small").getOrElse("/root/testdata/sf0.1")
+    val big = opt("big").getOrElse("target/scaledata/sf1")
+    val lateness = opt("lateness").getOrElse("10 minutes")
+
+    require(new java.io.File(big).isDirectory,
+      s"big dir $big missing — run graft.tools.ScaleCorpus first")
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(dir: String): (Double, Long) = {
+      val out = java.nio.file.Files
+        .createTempDirectory("stream_scale").toString + "/changelog"
+      val pivot = WindowOps.hoppingPivot(
+        Streaming.withLateness(Streaming.eventsStream(spark, dir), lateness),
+        eventTypes = Tables.EventTypes)
+      val t0 = System.nanoTime()
+      Streaming.sinkChangelog(pivot, out)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val state = Streaming.readChangelogState(
+        spark, out, Seq("user_id", "w_start")).count()
+      (secs, state)
+    }
+
+    // codegen warmup on the tiny fixture so neither timed run pays
+    // first-compile cost (same methodology as ScaleCurve/ProfileQuery)
+    run("/root/testdata/sf0.001")
+
+    val (tS, rS) = run(small)
+    val (tB, rB) = run(big)
+    println(f"${"sink=changelog-parquet"}%-28s ${"t(small)"}%9s ${"t(big)"}%9s ${"ratio"}%7s ${"state(small)"}%13s ${"state(big)"}%12s")
+    println(f"${"q_stream_hopping_pivot"}%-28s $tS%9.3f $tB%9.3f ${tB / tS}%7.2f $rS%13d $rB%12d")
+
+    // cross-check: the recovered upsert view must match the batch pivot
+    val batchRows = WindowOps.hoppingPivot(
+      Tables.events(spark, small), eventTypes = Tables.EventTypes).count()
+    println(s"[check] batch pivot rows at small SF = $batchRows " +
+      s"(streaming state $rS; equal => stream emitted the full result)")
+    spark.stop()
+  }
+}
