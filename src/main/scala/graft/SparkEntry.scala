@@ -642,7 +642,7 @@ object SparkEntry {
   }
 
   /** PCA reduction of the embedding corpus to 8 dims
-    * (EmbeddingOps.pcaProject) — rows-only; invariants in EmbeddingSpec.
+    * (EmbeddingOps.pcaProject) — rows-only; invariants in SimilaritySpec.
     */
   private def qEmbedPca(s: SparkSession, dir: String): DataFrame =
     graft.llm.EmbeddingOps.pcaProject(Tables.embeddings(s, dir), k = 8)
@@ -1017,6 +1017,28 @@ object SparkEntry {
     */
   private def qEmbedCovariance(s: SparkSession, dir: String): DataFrame =
     graft.llm.EmbeddingOps.covarianceExact(Tables.embeddings(s, dir), dims = 64)
+
+  /** Domain clustering for mixture balancing (EmbeddingOps
+    * .corpusClusters): seeded k-means over the embedding corpus, then
+    * per-cluster mixture stats (docs, token mass + corpus share,
+    * distinct sources). Rows-only — k-means is iterative, not ANSI-SQL;
+    * the fixed-centroid twin below hash-fences the shared
+    * assignment/stats machinery and SimilaritySpec asserts this
+    * variant's invariants.
+    */
+  private def qCorpusClusters(s: SparkSession, dir: String): DataFrame =
+    graft.llm.EmbeddingOps.corpusClusters(
+      Tables.documents(s, dir), Tables.embeddings(s, dir), k = 8)
+
+  /** Exact-oracle twin: nearest-centroid assignment to the k lowest
+    * vec_ids' embeddings (deterministic, SQL-expressible) + the same
+    * cluster stats — DuckDB replays the squared-L2 argmin (rounded
+    * before comparison, ties to the lower cell) and the k-key
+    * aggregate verbatim.
+    */
+  private def qCorpusClustersFixed(s: SparkSession, dir: String): DataFrame =
+    graft.llm.EmbeddingOps.corpusClustersFixed(
+      Tables.documents(s, dir), Tables.embeddings(s, dir), k = 8)
 
   /** Tokenizer vocab selection (TextOps.vocabCoverage): top-20 corpus
     * tokens with rank + cumulative coverage share — the "what vocab
@@ -2463,6 +2485,8 @@ object SparkEntry {
     "q_dsir_weights" -> (qDsirWeights _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_corpus_report" -> (qCorpusReport _),
+    "q_corpus_clusters" -> (qCorpusClusters _),
+    "q_corpus_clusters_fixed" -> (qCorpusClustersFixed _),
     "q_ewma" -> (qEwma _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_dup_profile" -> (qDupProfile _),
@@ -2594,7 +2618,7 @@ object SparkEntry {
     "q_histogram_equidepth", "q_auc", "q_bucketed_join",
     "q_asof_broadcast", "q_winnow_overlap", "q_winnow_clean",
     "q_winnow_clean_exact",
-    "q_embed_covariance", "q_corpus_order", "q_auc_daily",
+    "q_embed_covariance", "q_corpus_clusters", "q_corpus_order", "q_auc_daily",
     "q_curriculum_order", "q_inverted_index", "q_bm25",
     "q_vocab_coverage", "q_bpe_tokenize", "q_domain_keyness",
     "q_dsir_weights", "q_ewma", "q_source_overlap",
@@ -4171,6 +4195,36 @@ object SparkEntry {
         |    AS en_share,
         |  ROUND(SUM(n_chars) / COUNT(*), 6) AS avg_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // fixed-centroid clustering twin: same d2 algebra and op order as
+    // assignToCentroids ((vv - 2·v·c) + cc, ROUND before argmin, ties
+    // to the lower cell), same stats as clusterStats
+    "q_corpus_clusters_fixed" ->
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv,
+        |             LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+        |               CAST(embedding AS DOUBLE[])) AS cc
+        |           FROM embeddings WHERE vec_id < 8),
+        |  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |          LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+        |            CAST(embedding AS DOUBLE[])) AS vv
+        |        FROM embeddings),
+        |  d AS (SELECT e.vec_id, c.cell,
+        |          ROUND(e.vv - 2.0 * LIST_DOT_PRODUCT(e.v, c.cv) + c.cc, 6) AS d2
+        |        FROM e, c),
+        |  a AS (SELECT vec_id, cell,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |        FROM d),
+        |  j AS (SELECT a.cell AS cluster, doc.text, doc.source
+        |        FROM a JOIN documents doc ON a.vec_id = doc.doc_id
+        |        WHERE a.rn = 1),
+        |  s AS (SELECT cluster,
+        |          CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |          CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+        |          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |        FROM j GROUP BY cluster)
+        |SELECT cluster, n_docs, n_tokens,
+        |  ROUND(n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+        |  n_sources
+        |FROM s""".stripMargin,
     "q_ewma" ->
       """WITH e AS (
         |  SELECT event_id, user_id, value,

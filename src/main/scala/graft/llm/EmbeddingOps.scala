@@ -114,7 +114,7 @@ object EmbeddingOps {
     * leaves the cluster) and projects in-plan.
     *
     * Rows-only (eigenvectors are sign-indeterminate across BLAS builds);
-    * EmbeddingSpec pins the invariants that matter: exact dimension,
+    * SimilaritySpec pins the invariants that matter: exact dimension,
     * deterministic output across runs, and captured variance dominating
     * the trailing components on an anisotropic corpus.
     */
@@ -227,6 +227,125 @@ object EmbeddingOps {
             / (col("_n").cast("double") * (col("_n") - 1).cast("double")
               * 1e12),
           9).as("cov"))
+  }
+
+  /** Assign every vector to its nearest centroid (squared-L2 argmin)
+    * against a TINY broadcast centroid relation `(cell: long,
+    * centroid: array<double>)` — the shared kernel of the corpus
+    * clustering pair below. Per-vector cost is k dot products with
+    * ‖v‖² and ‖c‖² hoisted (computed once per vector / per centroid,
+    * not once per pair); the argmin is a min over `struct(dist, cell)`
+    * so ties break on the lower cell id deterministically in both
+    * engines. Distances are rounded (default 6 dp) BEFORE the argmin —
+    * the cross-engine comparison discipline q_sim_topk established.
+    * No shuffle: broadcast + per-row min via a k-row groupBy on vec_id
+    * collapses map-side (each vec_id's k candidate rows are co-located
+    * by construction, partial aggregation reduces them before any
+    * exchange).
+    */
+  private[llm] def assignToCentroids(
+      emb: DataFrame,
+      centroids: DataFrame,
+      vecCol: String = "embedding",
+      scale: Int = 6): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col("cell").cast("long").as("cell"),
+      asDouble(col("centroid")).as("_c"))
+      .withColumn("_cc", Similarity.dot(col("_c"), col("_c"))))
+    emb.select(col("vec_id"), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_vv", Similarity.dot(col("_v"), col("_v")))
+      .crossJoin(cents)
+      // same algebraic form and op order as the DuckDB oracle:
+      // (vv - 2·v·c) + cc, rounded before comparison
+      .withColumn("_d2", round(
+        col("_vv") - lit(2.0) * Similarity.dot(col("_v"), col("_c"))
+          + col("_cc"), scale))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("_d2"), col("cell"))).as("_m"))
+      .select(col("vec_id"), col("_m").getField("cell").as("cluster"))
+  }
+
+  /** Per-cluster mixture statistics over the assigned corpus: document
+    * count, whitespace-token mass and its corpus share, distinct
+    * sources. This is the table a data-mixture policy consumes (domain
+    * up/down-weighting à la DoReMi/DSIR buckets — here the buckets are
+    * embedding-space domains instead of provenance tags). One k-key
+    * aggregation; the share denominator rides a one-row broadcast
+    * relation (no data-derived literal, no global window).
+    */
+  private def clusterStats(docs: DataFrame, assigned: DataFrame): DataFrame = {
+    val stats = assigned
+      .join(docs, assigned("vec_id") === docs("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+    stats.crossJoin(broadcast(stats.agg(sum(col("n_tokens")).as("_tot"))))
+      .select(col("cluster"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("_tot"), 6).as("token_share"),
+        col("n_sources"))
+  }
+
+  /** Domain clustering for mixture balancing: k-means over the document
+    * embeddings, then [[clusterStats]] per cluster — the "cluster the
+    * corpus, rebalance the mixture" step of a large-scale training-data
+    * pipeline (reference scope: the corpus/report family; the k-means
+    * itself is MLlib's, seeded).
+    *
+    * Scale: the quantizer can be FIT on a deterministic md5-keyed
+    * sample (`fitFraction`, same portable sampling rule as
+    * Sampling.deterministicSample) while ASSIGNMENT always covers the
+    * full corpus against the broadcast k×d centroid model — the
+    * standard posture at 100 TB, where Lloyd's iterations over the full
+    * corpus would dominate the pipeline for no recall benefit. Fitting
+    * is the only iterative piece; assignment + stats are one broadcast
+    * pass + one k-key aggregate.
+    *
+    * Not SQL-expressible (iterative k-means), so the query entry is
+    * rows-only; [[corpusClustersFixed]] is the exact-oracle twin that
+    * fences the shared assignment/stats machinery, and SimilaritySpec
+    * asserts the k-means variant's invariants (argmin assignment,
+    * partition of the embedded corpus, shares summing to 1, seed
+    * determinism).
+    */
+  def corpusClusters(
+      docs: DataFrame,
+      emb: DataFrame,
+      k: Int = 8,
+      seed: Long = 42L,
+      fitFraction: Double = 1.0,
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col("vec_id"), asDouble(col(vecCol)).as("_v"))
+    val fitOn =
+      if (fitFraction >= 1.0) base
+      else Sampling.deterministicSample(base, col("vec_id"), fitFraction)
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_f")
+      .fit(fitOn.select(array_to_vector(col("_v")).as("_f")))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    clusterStats(docs, assignToCentroids(emb, centroids, vecCol))
+  }
+
+  /** Exact-oracle twin of [[corpusClusters]]: centroids are the
+    * embeddings of the k lowest vec_ids (a deterministic, SQL-
+    * expressible choice) instead of learned means, so DuckDB can
+    * replay assignment + stats verbatim and hash-match. Fences every
+    * moving part except MLlib's k-means fit itself.
+    */
+  def corpusClustersFixed(
+      docs: DataFrame,
+      emb: DataFrame,
+      k: Int = 8,
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col(vecCol).as("centroid"))
+    clusterStats(docs, assignToCentroids(emb, centroids, vecCol))
   }
 
 }

@@ -323,4 +323,61 @@ class SimilaritySpec extends SparkSpec {
         s"sqrt(cov($d,$d)) should be dimStats std")
   }
 
+  test("assignToCentroids picks the squared-L2 argmin, ties to the lower cell") {
+    val cents = Seq((0L, Array(0.0, 0.0)), (1L, Array(10.0, 0.0)))
+      .toDF("cell", "centroid")
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)),   // near centroid 0
+      (1L, Array(9.0f, -1.0f)),  // near centroid 1
+      (2L, Array(5.0f, 3.0f)))   // equidistant -> tie -> cell 0
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.assignToCentroids(vecs, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("corpusClusters: partitions the embedded corpus, shares sum to 1, seed-deterministic") {
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    def run() = EmbeddingOps.corpusClusters(docs, emb, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    val out = run()
+    assert(out.length <= 4 && out.nonEmpty)
+    // every embedded doc lands in exactly one cluster
+    val embedded = docs.join(emb, docs("doc_id") === emb("vec_id")).count()
+    assert(out.map(_._2).sum == embedded, s"n_docs must partition $embedded")
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-4, "token_share sums to 1")
+    assert(out.forall(c => c._5 >= 1 && c._3 >= c._2), // >=1 token/doc fixture
+      "every cluster has sources and token mass")
+    // same seed, same clustering — end to end
+    assert(run().toSeq == out.toSeq)
+    // sample-fit posture: quantizer fit on half the corpus still ASSIGNS
+    // the full corpus (the 100 TB operating mode)
+    val sampled = EmbeddingOps.corpusClusters(docs, emb, k = 4, fitFraction = 0.5)
+      .collect().map(_.getAs[Long]("n_docs")).sum
+    assert(sampled == embedded, "fitFraction must not shrink assignment")
+  }
+
+  test("corpusClustersFixed assignment agrees with a driver-side reference") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents = vecs.filter(_._1 < 8L)
+    def d2(v: Array[Double], c: Array[Double]): Double = {
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      BigDecimal(dot(v, v) - 2.0 * dot(v, c) + dot(c, c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = vecs.map { case (id, v) =>
+      id -> cents.minBy { case (cell, c) => (d2(v, c), cell) }._1
+    }.toMap
+    val got = EmbeddingOps.assignToCentroids(
+      emb, emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cell"), $"embedding".as("centroid")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
 }
