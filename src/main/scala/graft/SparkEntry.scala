@@ -922,8 +922,16 @@ object SparkEntry {
   private def qDistinctUsers(s: SparkSession, dir: String): DataFrame =
     WindowOps.distinctKeys(Tables.events(s, dir), "user_id")
 
+  /** Batch pivot runs the preShuffle plan: on event streams the (key,
+    * hop) multiplicity is ~1, so the default plan's partial agg reduces
+    * nothing and shuffles 5x |events| wide partial rows; pre-exchanging
+    * the compact events wins at every measured SF (SCALE.md second
+    * decade: 2x at sf10, equal-or-better below). Streaming keeps the
+    * window() plan for its event-time metadata.
+    */
   private def qHoppingPivot(s: SparkSession, dir: String): DataFrame =
-    WindowOps.hoppingPivot(Tables.events(s, dir), eventTypes = ET)
+    WindowOps.hoppingPivot(Tables.events(s, dir), eventTypes = ET,
+      preShuffle = true)
 
   private def qRolling600s(s: SparkSession, dir: String): DataFrame =
     WindowOps.rollingCounts(

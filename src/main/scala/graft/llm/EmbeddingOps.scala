@@ -238,10 +238,11 @@ object EmbeddingOps {
     * so ties break on the lower cell id deterministically in both
     * engines. Distances are rounded (default 6 dp) BEFORE the argmin —
     * the cross-engine comparison discipline q_sim_topk established.
-    * No shuffle: broadcast + per-row min via a k-row groupBy on vec_id
-    * collapses map-side (each vec_id's k candidate rows are co-located
-    * by construction, partial aggregation reduces them before any
-    * exchange).
+    * Each vector's k candidate rows are produced consecutively in its
+    * own partition (broadcast nested loop), so the vec_id groupBy's
+    * partial aggregation collapses them map-side and the one exchange
+    * carries a single compact (vec_id, cell) row per vector — corpus-
+    * linear in row count, constant in k.
     */
   private[llm] def assignToCentroids(
       emb: DataFrame,

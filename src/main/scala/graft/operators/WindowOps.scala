@@ -25,10 +25,32 @@ object WindowOps {
     * both: `w_start` (nominal, epoch seconds — the group key) and the
     * formatted observed bounds.
     *
-    * Scale: one shuffle on (window × key) with partial aggregation; the
-    * 5× row expansion from hop replication happens map-side before the
-    * partial agg, so shuffled volume is ~5 × |keys × windows|, not
-    * 5 × |events|. Whole-stage-codegen'd throughout.
+    * Scale — two plans, chosen by `preShuffle`, because the winning
+    * shape depends on KEY MULTIPLICITY (events per key per hop):
+    *
+    *  - `preShuffle = false` (Spark's default plan): expand 5× map-side,
+    *    partial-aggregate, shuffle the partials. Wins when multiplicity
+    *    is high — the partial agg collapses many events per (key,
+    *    window) before the wire.
+    *  - `preShuffle = true`: ONE exchange of the compact un-expanded
+    *    events on `keyCol` first; hop replication then runs as a
+    *    partitioning-PRESERVING Generate (explicit explode of the
+    *    epoch-aligned hop starts — see the in-body comment for why
+    *    `window()`'s Expand can't be used here) and the aggregate runs
+    *    exchange-free on top (`HashPartitioning(key)` satisfies the
+    *    agg's clustered distribution — partitioning keys are a subset
+    *    of the grouping keys). Wins when multiplicity is ~1 and the
+    *    default plan's partial agg reduces nothing, shuffling ≈
+    *    5 × |events| WIDE partial rows (measured on the derived sf10
+    *    corpus: 12+ GB of partials vs ~0.6 GB of events — see SCALE.md's
+    *    second-decade table). Partition count is pinned to the session's
+    *    shuffle parallelism so AQE cannot coalesce the exchange into few
+    *    giant agg partitions.
+    *
+    * Results are identical; both stay whole-stage-codegen'd. Batch-only:
+    * the streaming pivot keeps the default plan — `window()` carries the
+    * event-time metadata watermarking needs, and micro-batch inputs are
+    * small enough that partial aggregation is never the bottleneck.
     *
     * @param eventTypes pivot value set (fixture: click/view/purchase/…)
     */
@@ -39,7 +61,8 @@ object WindowOps {
       size: String = "10 minutes",
       slide: String = "2 minutes",
       eventCol: String = "event_type",
-      eventTypes: Seq[String]): DataFrame = {
+      eventTypes: Seq[String],
+      preShuffle: Boolean = false): DataFrame = {
     // keep the original attribute when already a timestamp: a cast
     // expression would strip event-time/watermark metadata in streaming
     val ts =
@@ -48,16 +71,48 @@ object WindowOps {
     val pivots = eventTypes.map { v =>
       sum(Relational.indicator(col(eventCol), v)).as(s"${v}_views")
     }
-    events
-      .groupBy(window(ts, size, slide).as("w"), col(keyCol))
-      .agg(
-        min(ts).as("_min_ts"),
-        (max(ts).as("_max_ts") +: pivots): _*
-      )
+    val aggCols = min(ts).as("_min_ts") +: max(ts).as("_max_ts") +: pivots
+    val grouped =
+      if (!preShuffle)
+        events
+          .groupBy(window(ts, size, slide).as("w"), col(keyCol))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .withColumn("w_start", col("w.start").cast("long"))
+      else {
+        // The exchange-free shape needs the hop replication to PRESERVE
+        // the pre-shuffle partitioning. `window()` lowers to an Expand,
+        // and ExpandExec reports UnknownPartitioning — the planner would
+        // re-shuffle the partials right back (measured; see SCALE.md).
+        // explode(sequence(...)) lowers to Generate, which preserves its
+        // child's partitioning, so the same epoch-aligned hop set keeps
+        // the agg exchange-free above the one compact-events exchange.
+        val toUs: String => Long = s => {
+          val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+            .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          require(iv.months == 0, s"calendar-month hops unsupported: $s")
+          iv.days * 86400000000L + iv.microseconds
+        }
+        val sizeUs = toUs(size)
+        val slideUs = toUs(slide)
+        require(sizeUs % slideUs == 0,
+          s"size $size must be a multiple of slide $slide")
+        val e = unix_micros(ts)
+        val aligned = e - pmod(e, lit(slideUs))
+        events
+          .repartition(
+            events.sparkSession.sessionState.conf.numShufflePartitions,
+            col(keyCol))
+          .withColumn("_ws", explode(
+            sequence(aligned - lit(sizeUs - slideUs), aligned, lit(slideUs))))
+          .groupBy(col(keyCol), col("_ws"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .withColumn("w_start", (col("_ws") / 1000000L).cast("long"))
+      }
+    grouped
       .select(
         Seq(
           col(keyCol),
-          col("w.start").cast("long").as("w_start"),
+          col("w_start"),
           Relational.timestampToString(col("_min_ts")).as("window_start"),
           Relational.timestampToString(col("_max_ts")).as("window_end")
         ) ++ eventTypes.map(v => col(s"${v}_views")): _*

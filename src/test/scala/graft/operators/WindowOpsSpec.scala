@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
+import graft.model.Tables
 
 class WindowOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -36,6 +37,26 @@ class WindowOpsSpec extends SparkSpec {
     val w0 = out.filter($"w_start" === 1704067200L).head()
     assert(w0.getAs[String]("window_start") == "00:00:30")
     assert(w0.getAs[String]("window_end") == "00:01:15")
+  }
+
+  test("hopping pivot preShuffle: identical result, exchange below the expand/agg") {
+    val df = Tables.events(spark, sf0001)
+    val base = WindowOps.hoppingPivot(df, eventTypes = Tables.EventTypes)
+    val pre = WindowOps.hoppingPivot(df, eventTypes = Tables.EventTypes,
+      preShuffle = true)
+    assert(pre.collect().toSet == base.collect().toSet)
+    // the one exchange moves the compact EVENTS (REPARTITION_BY_NUM,
+    // below the Generate); the hop replication and both agg phases run
+    // exchange-free above it - no ENSURE_REQUIREMENTS re-shuffle of
+    // partials (which is exactly what window()'s Expand would force:
+    // ExpandExec reports UnknownPartitioning). Plan inspected fresh,
+    // pre-execution, per the repo's JoinsSpec pattern.
+    val plan = WindowOps.hoppingPivot(df, eventTypes = Tables.EventTypes,
+      preShuffle = true).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      plan.take(1500))
+    assert(plan.contains("REPARTITION_BY_NUM") &&
+      !plan.contains("ENSURE_REQUIREMENTS"), plan.take(1500))
   }
 
   test("rolling counts equal brute-force over [t-600, t]") {

@@ -16,7 +16,7 @@ import graft.SparkEntry
   *
   * Usage:
   *   sbt "Test/runMain graft.tools.ScaleCurve [--small=DIR] [--big=DIR]
-  *        [--reps=N] [--no-rows] [query...]"
+  *        [--reps=N] [--shuffle=N] [--no-rows] [query...]"
   * defaults: small=/root/testdata/sf0.1  big=target/scaledata/sf1
   * (build the big dir first with graft.tools.ScaleCorpus). Output:
   * per-query table on stdout + JSON lines at target/scale_curve.jsonl.
@@ -44,6 +44,7 @@ object ScaleCurve {
     val small = opt("small").getOrElse("/root/testdata/sf0.1")
     val big = opt("big").getOrElse("target/scaledata/sf1")
     val reps = opt("reps").map(_.toInt).getOrElse(2)
+    val shuffle = opt("shuffle").getOrElse("32")
     val countRows = !args.contains("--no-rows")
     val names0 = args.filterNot(_.startsWith("--")).toSeq
     val names = if (names0.nonEmpty) names0 else DefaultQueries
@@ -53,7 +54,7 @@ object ScaleCurve {
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
