@@ -75,9 +75,9 @@ object CapAudit {
     bucketReport("simhash bands (b=8)",
       shBands.groupBy("bk").agg(count(lit(1)).as("c")), cap = 1024L)
 
-    // minhashNearDups(k=32, bands=8): band buckets (no production cap as
-    // of r12 — this row sizes the cap default so fixture-scale results
-    // stay identical when one is added)
+    // minhashNearDups(k=32, bands=8): band buckets vs the maxBucket=4096
+    // default the r12 audit sized (two orders above the largest real
+    // bucket either derived corpus produces)
     val mh = docs.select(col("doc_id"),
       graft.llm.Dedup.minhashSignature(col("text"), 32, 3).as("sig"))
     val mhRows = 32 / 8
@@ -88,7 +88,7 @@ object CapAudit {
             .band_hash(col("sig"), b * mhRows, mhRows).as("bh"))
       }: _*)).as("bk"))
     bucketReport("minhash bands (b=8)",
-      mhBands.groupBy("bk").agg(count(lit(1)).as("c")), cap = 1024L)
+      mhBands.groupBy("bk").agg(count(lit(1)).as("c")), cap = 4096L)
 
     // fuzzyBlockedPairs: distinct-name DOMAIN per brand block vs maxBlock=10000
     val part = Tables.part(spark, dir)
