@@ -77,6 +77,37 @@ object StreamScale {
       Tables.events(spark, small), eventTypes = Tables.EventTypes).count()
     println(s"[check] batch pivot rows at small SF = $batchRows " +
       s"(streaming state $rS; equal => stream emitted the full result)")
+
+    // ---- the full SCORED flagship (reference README.md:41-74 pipeline):
+    // hopping pivot -> dim/order enrichment -> predict UDF, streamed
+    // into the changelog sink. One model, trained once on the tiny
+    // fixture, scores both SFs — the measurement isolates pipeline
+    // throughput, not training.
+    val reg = new graft.ml.Registry(
+      java.nio.file.Files.createTempDirectory("ss_reg").toString)
+    graft.ml.Trainer.trainAndRegister(
+      spark, "/root/testdata/sf0.001", reg, "Bot Detector", useCv = false)
+    graft.ml.Scorer.registerPredictUdf(
+      spark, reg.rootDir, preload = Seq("Bot Detector"))
+    def runFlagship(dir: String): (Double, Long) = {
+      val out = java.nio.file.Files
+        .createTempDirectory("ss_flag").toString + "/changelog"
+      val scored = graft.SparkEntry.scoredFlagship(
+        spark,
+        WindowOps.hoppingPivot(
+          Streaming.withLateness(Streaming.eventsStream(spark, dir), lateness),
+          eventTypes = Tables.EventTypes),
+        dir)
+      val t0 = System.nanoTime()
+      Streaming.sinkChangelog(scored, out)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = spark.read.parquet(out).count()
+      (secs, rows)
+    }
+    runFlagship("/root/testdata/sf0.001") // warmup
+    val (fS, frS) = runFlagship(small)
+    val (fB, frB) = runFlagship(big)
+    println(f"${"flagship scored+sink"}%-28s $fS%9.3f $fB%9.3f ${fB / fS}%7.2f $frS%13d $frB%12d")
     spark.stop()
   }
 }
