@@ -32,6 +32,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: preShuffle hopping pivot == window() plan on random multi-user corpora") {
+    // guards the hand-rolled hop generation (explode(sequence(...)) over
+    // unix_micros alignment) against the built-in window() lowering,
+    // including slide-boundary timestamps, multiple users, and pre-1970
+    // (negative epoch) event times where pmod alignment must still
+    // floor correctly
+    val rowGen = for {
+      u <- Gen.choose(1L, 4L)
+      t <- Gen.oneOf(
+        Gen.choose(1704067200L, 1704067200L + 7200L), // in-range
+        Gen.choose(1704067200L, 1704067200L + 7200L).map(x => x - x % 120), // boundary
+        Gen.choose(-7200L, 7200L)) // around epoch 0, incl. negative
+      et <- Gen.oneOf("click", "view")
+    } yield (u, t, et)
+    for (rows <- samples(Gen.listOfN(40, rowGen), 6) if rows.nonEmpty) {
+      val df = rows.toDF("user_id", "epoch", "event_type")
+        .withColumn("ts", timestamp_seconds($"epoch"))
+      val base = WindowOps.hoppingPivot(df, eventTypes = Seq("click", "view"))
+        .collect().toSet
+      val pre = WindowOps.hoppingPivot(df, eventTypes = Seq("click", "view"),
+        preShuffle = true).collect().toSet
+      assert(pre == base,
+        s"plans disagree: only-default=${(base -- pre).take(3)} " +
+          s"only-preShuffle=${(pre -- base).take(3)}")
+    }
+  }
+
   test("property: latestByKey returns one row per key, the maximal one") {
     val rowGen = for {
       k <- Gen.choose(1, 5)
