@@ -35,6 +35,7 @@ object StreamScale {
     val small = opt("small").getOrElse("/root/testdata/sf0.1")
     val big = opt("big").getOrElse("target/scaledata/sf1")
     val lateness = opt("lateness").getOrElse("10 minutes")
+    val rocksdb = args.contains("--rocksdb")
 
     require(new java.io.File(big).isDirectory,
       s"big dir $big missing — run graft.tools.ScaleCorpus first")
@@ -48,6 +49,13 @@ object StreamScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (rocksdb) {
+      // operational posture comparison: the same pipeline under the
+      // RocksDB state-store provider (large-state production default)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      println("[stream-scale] state store: RocksDB")
+    }
 
     def run(dir: String): (Double, Long) = {
       val out = java.nio.file.Files
