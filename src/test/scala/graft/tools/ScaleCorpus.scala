@@ -56,8 +56,14 @@ object ScaleCorpus {
 
   def replicate(df: DataFrame, keys: Seq[String], replicas: Int,
       stride: Long = Stride): DataFrame = {
-    // one scan: explode a replica index, offset every key column by it
-    val exploded = df.withColumn("_rep",
+    // spread the single-file source across cores BEFORE the explode:
+    // the fixture tables are one parquet file each, i.e. ONE scan
+    // partition, so an un-spread replicas× explode plus its shuffle
+    // write serializes on a single core — the exact map-side
+    // amplification trap SCALE.md documents for winnow, measured here
+    // in the builder itself at 1000 replicas (~40 single-core minutes
+    // on lineitem; ~2 wall-clock minutes spread over 32)
+    val exploded = df.repartition(32).withColumn("_rep",
       explode(sequence(lit(0L), lit(replicas - 1L))))
     keys.foldLeft(exploded) { (acc, k) =>
       acc.withColumn(k, col(k) + col("_rep") * stride)
@@ -86,9 +92,10 @@ object ScaleCorpus {
       // 7–80 MB file → one scan partition → map-side work (hopping's 5×
       // Expand, as-of probes) serializing on a single core. A real
       // corpus at this size ships many files; 32 matches the harness's
-      // local[32] so scans parallelize like production.
+      // local[32] so scans parallelize like production. The 32-way
+      // spread inside replicate() already yields 32 balanced output
+      // files — no second full-corpus shuffle needed here.
       replicate(src, keys, replicas, stride)
-        .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
       val n = spark.read.parquet(s"$outDir/$t.parquet").count()
       println(s"[scale] $t: ${replicas}x -> $n rows (keys ${keys.mkString(",")})")
