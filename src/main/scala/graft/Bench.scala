@@ -35,6 +35,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark) // SQL surface on
+    // Scale shuffle parallelism with the corpus (DEPLOY third-decade
+    // lesson; no-op at bench SF where the byte-derived count floors at
+    // the core count)
+    Sessions.autosize(spark, sfDir)
 
     // Warm the JVM/codegen/file-listing paths once, outside timing: the
     // flagship plus one tiny-SF run of each headline query, so measured

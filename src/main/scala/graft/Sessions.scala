@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle-partition autosizing — DEPLOY.md's third-decade lesson as
+  * code instead of prose. The sf100 measurement (SCALE.md §"Third full
+  * decade") showed a fixed 32-partition setting putting ~15 M aggregate
+  * groups per task (past the spill cliff, 3.8× slower on the hopping
+  * pivot) while 256 partitions restored sub-linear scaling with no plan
+  * change; and AQE only coalesces DOWN from
+  * `coalescePartitions.initialPartitionNum`, never up, so the initial
+  * number must be sized for the data. This helper derives it from
+  * scanned input bytes so the fix happens without a hand-set knob.
+  */
+object Sessions {
+
+  /** Total regular-file bytes under `dir` (recursive — a parquet corpus
+    * directory of table subdirs). 0 for a missing path, so callers fall
+    * back to the core-count floor rather than crash on a not-yet-built
+    * fixture.
+    */
+  def inputBytes(dir: String): Long = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) 0L
+    else {
+      val stream = Files.walk(root)
+      try stream.filter(Files.isRegularFile(_: Path))
+        .mapToLong(Files.size(_: Path)).sum()
+      finally stream.close()
+    }
+  }
+
+  /** Partition count for a corpus: one shuffle task per
+    * `targetInputBytesPerTask` of ON-DISK input, floored at the core
+    * count (never undersubscribe the cluster) and capped (a runaway
+    * figure helps nobody — real clusters tune the cap to executor
+    * count). The default target is 8 MiB of compressed parquet per
+    * task: narrow event rows expand ~8–16× through snappy + dictionary
+    * decoding into shuffle rows, so 8 MiB on disk ≈ the classic
+    * 64–128 MB in-memory task — and it is the factor the sf100
+    * measurement backs out exactly (2.1 GB events → 256 partitions).
+    */
+  def shufflePartitionsFor(
+      bytes: Long,
+      cores: Int,
+      targetInputBytesPerTask: Long = 8L << 20,
+      maxPartitions: Int = 65536): Int = {
+    require(cores > 0 && targetInputBytesPerTask > 0)
+    val fromBytes =
+      ((bytes + targetInputBytesPerTask - 1) / targetInputBytesPerTask)
+        .min(maxPartitions.toLong).toInt
+    fromBytes.max(cores)
+  }
+
+  /** Size the session's shuffle parallelism for the corpus at `dir`:
+    * sets BOTH `spark.sql.shuffle.partitions` (the non-AQE path and
+    * AQE's fallback when no advisory target applies) and
+    * `spark.sql.adaptive.coalescePartitions.initialPartitionNum` (the
+    * ceiling AQE coalesces down from). Both are runtime-settable confs.
+    * Returns the derived count so mains can log it.
+    */
+  def autosize(spark: SparkSession, dir: String): Int = {
+    val n = shufflePartitionsFor(
+      inputBytes(dir), spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
+    n
+  }
+}

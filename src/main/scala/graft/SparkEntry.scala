@@ -922,16 +922,19 @@ object SparkEntry {
   private def qDistinctUsers(s: SparkSession, dir: String): DataFrame =
     WindowOps.distinctKeys(Tables.events(s, dir), "user_id")
 
-  /** Batch pivot runs the preShuffle plan: on event streams the (key,
-    * hop) multiplicity is ~1, so the default plan's partial agg reduces
-    * nothing and shuffles 5x |events| wide partial rows; pre-exchanging
-    * the compact events wins at every measured SF (SCALE.md second
-    * decade: 2x at sf10, equal-or-better below). Streaming keeps the
-    * window() plan for its event-time metadata.
+  /** Batch pivot is plan-ADAPTIVE (round-13): the measured key
+    * multiplicity picks the plan, so the regime split SCALE.md measured
+    * becomes engine behavior. On event streams (key, hop) multiplicity
+    * is ~1, so the estimator lands on the preShuffle plan — the default
+    * plan's partial agg reduces nothing there and shuffles 5x |events|
+    * wide partial rows (preShuffle 2x better at sf10, equal-or-better
+    * below); a replay-heavy corpus with real multiplicity flips back to
+    * the default two-phase agg, spec-asserted
+    * (WindowOpsSpec "auto plan pick"). Streaming keeps the window()
+    * plan for its event-time metadata.
     */
   private def qHoppingPivot(s: SparkSession, dir: String): DataFrame =
-    WindowOps.hoppingPivot(Tables.events(s, dir), eventTypes = ET,
-      preShuffle = true)
+    WindowOps.hoppingPivotAuto(Tables.events(s, dir), eventTypes = ET)
 
   private def qRolling600s(s: SparkSession, dir: String): DataFrame =
     WindowOps.rollingCounts(
@@ -1731,6 +1734,30 @@ object SparkEntry {
         col("o_orderkey").as("last_order_key"),
         col("o_totalprice").as("last_order_price"))
     Joins.asOfJoinBroadcast(l, r, "user_id", "o_custkey", "ts_sec", "o_sec",
+      Seq("last_order_key", "last_order_price"))
+  }
+
+  /** The as-of enrichment through the ADAPTIVE variant
+    * (Joins.asOfJoinAuto): one cheap dim count picks broadcast vs
+    * shuffle at the measured ~2 M-entry crossover (SCALE.md). Shares
+    * q_asof_join's oracle — at the fixture's history size it must
+    * choose broadcast AND still match, proving the pick is invisible;
+    * the shuffle-side flip is spec-asserted (JoinsSpec).
+    */
+  private def qAsofAuto(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.eventsWithEpoch(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    // latestByKey pre-pass as in qAsofJoin: the auto variant may pick
+    // EITHER path, and the shuffle path requires one row per (key, ts)
+    // for determinism — the pre-reduced dim is valid for both.
+    val r0 = Relational.latestByKey(
+      Tables.orders(s, dir)
+        .withColumn("o_sec", col("o_orderdate").cast("timestamp").cast("long")),
+      key = Seq("o_custkey", "o_sec"), orderBy = Seq("o_orderkey"))
+    val r = r0.select(col("o_custkey"), col("o_sec"),
+      col("o_orderkey").as("last_order_key"),
+      col("o_totalprice").as("last_order_price"))
+    Joins.asOfJoinAuto(l, r, "user_id", "o_custkey", "ts_sec", "o_sec",
       Seq("last_order_key", "last_order_price"))
   }
 
@@ -2564,6 +2591,7 @@ object SparkEntry {
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_broadcast" -> (qAsofBroadcast _),
+    "q_asof_auto" -> (qAsofAuto _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_apply" -> (qDedupApply _),
     "q_sample_det" -> (qSampleDet _),
@@ -2624,7 +2652,7 @@ object SparkEntry {
     "q_temporal_join", "q_asof_join", "q_markov_transitions",
     "q_incr_agg", "q_winnow_overlap_exact", "q_incr_cdc",
     "q_histogram_equidepth", "q_auc", "q_bucketed_join",
-    "q_asof_broadcast", "q_winnow_overlap", "q_winnow_clean",
+    "q_asof_broadcast", "q_asof_auto", "q_winnow_overlap", "q_winnow_clean",
     "q_winnow_clean_exact",
     "q_embed_covariance", "q_corpus_clusters", "q_corpus_order", "q_auc_daily",
     "q_curriculum_order", "q_inverted_index", "q_bm25",
@@ -3782,6 +3810,23 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.o_custkey AND l.ts_sec >= r.o_sec""".stripMargin,
     "q_asof_broadcast" ->
+      """WITH r0 AS (
+        |  SELECT o_custkey, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_sec,
+        |         o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_sec, o_orderkey AS last_order_key,
+        |             o_totalprice AS last_order_price
+        |      FROM r0 WHERE rn = 1),
+        |l AS (SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        |      FROM events)
+        |SELECT l.event_id, l.user_id, l.ts_sec, r.last_order_key, r.last_order_price
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.o_custkey AND l.ts_sec >= r.o_sec""".stripMargin,
+    // identical oracle as q_asof_join: the adaptive pick must be
+    // invisible to results regardless of which plan it lands on
+    "q_asof_auto" ->
       """WITH r0 AS (
         |  SELECT o_custkey, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_sec,
         |         o_orderkey, o_totalprice,

@@ -190,6 +190,56 @@ object Joins {
         rightPayload.map(c => col("_m")(c).as(c)): _*)
   }
 
+  /** Adaptive as-of join — picks [[asOfJoinBroadcast]] vs [[asOfJoin]]
+    * from the measured history size, so the crossover SCALE.md settled
+    * at three points (broadcast wins ≤ ~1.5 M history entries, parity
+    * ~3–4 M, shuffle decisively beyond — 15 M measured 7.17 vs 4.98 s)
+    * is engine behavior instead of a caller decision. The probe is ONE
+    * cheap count of the dim side (narrow scan + count, no shuffle; the
+    * dim is by definition the small side — the 100 TB fact side is
+    * never touched by the estimate). `historyThreshold` defaults to
+    * 2 M: inside the measured broadcast-wins region, comfortably below
+    * the parity band, and a 2 M-entry sorted-array history broadcasts
+    * in tens of MB.
+    *
+    * Non-integral ts columns always take the shuffle path —
+    * [[asOfJoinBroadcast]] rejects them (its probe compares longs).
+    * Same precondition as [[asOfJoin]] when the shuffle path can be
+    * chosen: at most one right row per (key, ts). Under that
+    * precondition the two variants are result-identical (property- and
+    * oracle-tested), so the pick is invisible to callers.
+    */
+  def asOfJoinAuto(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTsSec: String,
+      rightTsSec: String,
+      rightPayload: Seq[String],
+      historyThreshold: Long = 2000000L): DataFrame = {
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+    val bothIntegral = integral(left.schema(leftTsSec).dataType) &&
+      integral(right.schema(rightTsSec).dataType)
+    if (bothIntegral && asOfHistorySize(right, rightTsSec) <= historyThreshold)
+      asOfJoinBroadcast(left, right, leftKey, rightKey, leftTsSec, rightTsSec,
+        rightPayload)
+    else
+      asOfJoin(left, right, leftKey, rightKey, leftTsSec, rightTsSec,
+        rightPayload)
+  }
+
+  /** The size estimate [[asOfJoinAuto]] decides on: non-null-ts history
+    * entries (exactly the rows the broadcast build would collect).
+    * Public so specs can assert the decision boundary directly.
+    */
+  def asOfHistorySize(right: DataFrame, rightTsSec: String): Long =
+    right.filter(col(rightTsSec).isNotNull).count()
+
   /** Blocked fuzzy self-matching (entity resolution): candidate pairs
     * are generated within (blocking key × length bucket), scored with
     * exact Levenshtein edit distance, and kept under `maxDistance`.

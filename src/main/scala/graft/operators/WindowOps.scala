@@ -54,6 +54,90 @@ object WindowOps {
     *
     * @param eventTypes pivot value set (fixture: click/view/purchase/…)
     */
+  /** Interval string → microseconds (calendar months rejected: hop
+    * arithmetic needs a fixed-length unit).
+    */
+  private def intervalUs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"calendar-month hops unsupported: $s")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
+  /** Measured (key, hop-window) multiplicity — the default plan's
+    * partial-aggregation reduction factor — from a deterministic KEY
+    * sample. Whole keys are kept or dropped (`pmod(xxhash64(key),
+    * keySampleMod) == 0`), so group sizes are observed exactly, not
+    * thinned the way a row sample would thin them (a p-row-sample
+    * shrinks every group ~p× and reads as multiplicity ~1 regardless of
+    * the true regime). The sampled rows replay the same epoch-aligned
+    * hop expansion the default plan performs, so the ratio
+    * `expanded rows / distinct (key, hop)` IS the reduction the partial
+    * agg would achieve. Cost: one two-column scan with a 1/keySampleMod
+    * filter before the explode — vs the main query's full-width scan +
+    * shuffle, noise at any scale. Returns 1.0 (the conservative
+    * worst-case-for-default regime) on an empty sample.
+    */
+  def hoppingMultiplicity(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      size: String = "10 minutes",
+      slide: String = "2 minutes",
+      keySampleMod: Int = 64): Double = {
+    val sizeUs = intervalUs(size)
+    val slideUs = intervalUs(slide)
+    require(sizeUs % slideUs == 0, s"size $size must be a multiple of slide $slide")
+    val ts =
+      if (events.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) col(tsCol)
+      else col(tsCol).cast("timestamp")
+    val e = unix_micros(ts)
+    val aligned = e - pmod(e, lit(slideUs))
+    val row = events
+      .filter(pmod(xxhash64(col(keyCol)), lit(keySampleMod.toLong)) === 0)
+      .select(col(keyCol).as("_k"), explode(
+        sequence(aligned - lit(sizeUs - slideUs), aligned, lit(slideUs))).as("_ws"))
+      .agg(count(lit(1)).as("_n"),
+        approx_count_distinct(struct(col("_k"), col("_ws"))).as("_g"))
+      .head()
+    val n = row.getAs[Long]("_n")
+    val g = row.getAs[Long]("_g")
+    if (n == 0L || g == 0L) 1.0 else n.toDouble / g
+  }
+
+  /** Adaptive hopping pivot — picks the plan from the measured key
+    * multiplicity, so the regime split SCALE.md measured (second
+    * decade: default plan wins when the partial agg genuinely reduces,
+    * preShuffle wins at multiplicity ~1 where partials are pure
+    * overhead — ~20× the shuffle payload) is engine behavior, not a
+    * caller knob. Streaming inputs always take the default `window()`
+    * plan: preShuffle is batch-only (no event-time metadata) and an
+    * estimator job can't run on an unbounded source anyway.
+    *
+    * `multiplicityThreshold` = the reduction factor below which the
+    * partial-agg pass stops paying for itself. The measured endpoints
+    * (SCALE.md: ~1 → preShuffle 2× better; tumbling's high-multiplicity
+    * contrast flat for default) bracket the crossover loosely; 3.0 sits
+    * between them — at ≥3× reduction the default plan ships ≤⅓ the
+    * rows wide, which beats preShuffle's full-width event exchange.
+    */
+  def hoppingPivotAuto(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      size: String = "10 minutes",
+      slide: String = "2 minutes",
+      eventCol: String = "event_type",
+      eventTypes: Seq[String],
+      multiplicityThreshold: Double = 3.0,
+      keySampleMod: Int = 64): DataFrame = {
+    val pre = !events.isStreaming &&
+      hoppingMultiplicity(events, tsCol, keyCol, size, slide, keySampleMod) <
+        multiplicityThreshold
+    hoppingPivot(events, tsCol, keyCol, size, slide, eventCol, eventTypes,
+      preShuffle = pre)
+  }
+
   def hoppingPivot(
       events: DataFrame,
       tsCol: String = "ts",
@@ -79,6 +163,12 @@ object WindowOps {
           .agg(aggCols.head, aggCols.tail: _*)
           .withColumn("w_start", col("w.start").cast("long"))
       else {
+        // preShuffle drops window()'s event-time metadata and groups on
+        // a plain column — on a stream that means no watermark eviction
+        // and unbounded keyed state, failing obscurely far downstream.
+        require(!events.isStreaming,
+          "hoppingPivot(preShuffle = true) is batch-only; streaming keeps " +
+            "the window() plan for its event-time metadata")
         // The exchange-free shape needs the hop replication to PRESERVE
         // the pre-shuffle partitioning. `window()` lowers to an Expand,
         // and ExpandExec reports UnknownPartitioning — the planner would
@@ -86,14 +176,8 @@ object WindowOps {
         // explode(sequence(...)) lowers to Generate, which preserves its
         // child's partitioning, so the same epoch-aligned hop set keeps
         // the agg exchange-free above the one compact-events exchange.
-        val toUs: String => Long = s => {
-          val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-            .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-          require(iv.months == 0, s"calendar-month hops unsupported: $s")
-          iv.days * 86400000000L + iv.microseconds
-        }
-        val sizeUs = toUs(size)
-        val slideUs = toUs(slide)
+        val sizeUs = intervalUs(size)
+        val slideUs = intervalUs(slide)
         require(sizeUs % slideUs == 0,
           s"size $size must be a multiple of slide $slide")
         val e = unix_micros(ts)
@@ -106,7 +190,14 @@ object WindowOps {
             sequence(aligned - lit(sizeUs - slideUs), aligned, lit(slideUs))))
           .groupBy(col(keyCol), col("_ws"))
           .agg(aggCols.head, aggCols.tail: _*)
-          .withColumn("w_start", (col("_ws") / 1000000L).cast("long"))
+          // FLOOR division micros → seconds (pmod is non-negative even
+          // for pre-1970 _ws, so this matches the default plan's
+          // window-start floor; `/` is double true-division and would
+          // truncate toward zero instead for sub-second-aligned
+          // negative hop starts)
+          .withColumn("w_start",
+            ((col("_ws") - pmod(col("_ws"), lit(1000000L))) / 1000000L)
+              .cast("long"))
       }
     grouped
       .select(

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+class SessionsSpec extends SparkSpec {
+
+  test("shufflePartitionsFor: floors at cores, scales with bytes, caps") {
+    // small corpus → core count (never undersubscribe)
+    assert(Sessions.shufflePartitionsFor(15L << 20, cores = 32) == 32)
+    // the measured sf100 shape: 2.1 GB events / 8 MiB target → ~256 —
+    // the count the third-decade measurement showed restoring
+    // sub-linear scaling (DEPLOY.md)
+    val sf100 = Sessions.shufflePartitionsFor(2100L << 20, cores = 32)
+    assert(sf100 >= 256 && sf100 <= 272, s"got $sf100")
+    // monotone in bytes, capped at maxPartitions
+    assert(Sessions.shufflePartitionsFor(1L << 50, cores = 32) == 65536)
+    assert(Sessions.shufflePartitionsFor(0L, cores = 8) == 8)
+  }
+
+  test("inputBytes: recursive file sizes; 0 for a missing dir") {
+    val dir = Files.createTempDirectory("graft_sessions")
+    Files.write(dir.resolve("a.bin"), Array.fill[Byte](1000)(1))
+    val sub = Files.createDirectory(dir.resolve("t.parquet"))
+    Files.write(sub.resolve("part-0"), Array.fill[Byte](2345)(2))
+    assert(Sessions.inputBytes(dir.toString) == 3345L)
+    assert(Sessions.inputBytes(dir.resolve("nope").toString) == 0L)
+  }
+
+  test("autosize: both confs land on the derived count") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val dir = Files.createTempDirectory("graft_autosize")
+    Files.write(dir.resolve("x"), Array.fill[Byte](100)(3))
+    try {
+      val n = Sessions.autosize(spark, dir.toString)
+      // tiny corpus → floored at defaultParallelism
+      assert(n == spark.sparkContext.defaultParallelism)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == n.toString)
+      assert(spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum") == n.toString)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    }
+  }
+}

@@ -158,6 +158,45 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("asOfJoinAuto: history size picks the plan; both picks agree") {
+    val left = Seq(
+      (1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 15L), (4L, 1L, 25L), (5L, 2L, 100L)
+    ).toDF("id", "k", "t")
+    val right = Seq((1L, 10L, "v10"), (1L, 20L, "v20")).toDF("rk", "rt", "v")
+    assert(Joins.asOfHistorySize(right, "rt") == 2L)
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getAs[String]("v")))).toSet
+    // history (2) ≤ threshold → broadcast shape; > threshold → the
+    // shuffle merge-join shape (its carry-forward Window is the marker)
+    val bc = Joins.asOfJoinAuto(left, right, "k", "rk", "t", "rt", Seq("v"),
+      historyThreshold = 2L)
+    val sh = Joins.asOfJoinAuto(left, right, "k", "rk", "t", "rt", Seq("v"),
+      historyThreshold = 1L)
+    assert(planOf(bc).contains("BroadcastHashJoin"), planOf(bc).take(1200))
+    assert(!planOf(bc).contains("Window"), planOf(bc).take(1200))
+    assert(planOf(sh).contains("Window"), planOf(sh).take(1200))
+    assert(!planOf(sh).contains("BroadcastHashJoin"), planOf(sh).take(1200))
+    val expect = Set((1L, None), (2L, Some("v10")), (3L, Some("v10")),
+      (4L, Some("v20")), (5L, None))
+    assert(canon(bc) == expect && canon(sh) == expect)
+  }
+
+  test("asOfJoinAuto: non-integral ts always takes the shuffle path") {
+    val left = Seq((1L, 1L, 10.5), (2L, 1L, 30.0)).toDF("id", "k", "t")
+    val right = Seq((1L, 10.0, "v10"), (1L, 20.0, "v20")).toDF("rk", "rt", "v")
+    val out = Joins.asOfJoinAuto(left, right, "k", "rk", "t", "rt", Seq("v"),
+      historyThreshold = 1000000L) // would pick broadcast if types allowed
+    assert(planOf2(out).contains("Window") &&
+      !planOf2(out).contains("BroadcastHashJoin"))
+    val got = out.orderBy("id").collect().map(_.getAs[String]("v")).toSeq
+    assert(got == Seq("v10", "v20"))
+  }
+
+  private def planOf2(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+
   test("fuzzyBlockedPairs: within-block pairs only, each once, exact distance") {
     val df = Seq(
       (1L, "A", "red widget"), (2L, "A", "red widgit"), // distance 1

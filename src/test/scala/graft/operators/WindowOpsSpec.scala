@@ -59,6 +59,52 @@ class WindowOpsSpec extends SparkSpec {
       !plan.contains("ENSURE_REQUIREMENTS"), plan.take(1500))
   }
 
+  test("hopping auto: multiplicity estimate splits the two corpus regimes") {
+    val ev = Tables.events(spark, sf0001)
+    // event-stream regime: ~1 event per (key, hop) — the corpus shape
+    // SCALE.md measured preShuffle winning on
+    val mLow = WindowOps.hoppingMultiplicity(ev, keySampleMod = 1)
+    assert(mLow < 1.5, s"fixture multiplicity $mLow")
+    // replay-heavy regime: every row duplicated 8x (same key, same ts)
+    // — partial aggregation genuinely reduces 8x here
+    val dup = ev.withColumn("_r",
+      explode(sequence(lit(1L), lit(8L)))).drop("_r")
+    val mHigh = WindowOps.hoppingMultiplicity(dup, keySampleMod = 1)
+    assert(mHigh > 6.0 && mHigh < 10.0, s"duplicated multiplicity $mHigh")
+  }
+
+  test("hopping auto: plan pick flips with the regime, results identical") {
+    val ev = Tables.events(spark, sf0001)
+    val dup = ev.withColumn("_r",
+      explode(sequence(lit(1L), lit(8L)))).drop("_r")
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val autoLow = WindowOps.hoppingPivotAuto(ev,
+      eventTypes = Tables.EventTypes, keySampleMod = 1)
+    val autoHigh = WindowOps.hoppingPivotAuto(dup,
+      eventTypes = Tables.EventTypes, keySampleMod = 1)
+    // low multiplicity → the exchange-free preShuffle shape; high →
+    // the default window() plan (Expand + two-phase agg, no
+    // REPARTITION_BY_NUM hint anywhere)
+    assert(plan(autoLow).contains("REPARTITION_BY_NUM"), plan(autoLow).take(1200))
+    assert(!plan(autoHigh).contains("REPARTITION_BY_NUM"), plan(autoHigh).take(1200))
+    assert(plan(autoHigh).contains("Expand"), plan(autoHigh).take(1200))
+    // both picks produce the default plan's exact result on their corpus
+    assert(autoLow.collect().toSet ==
+      WindowOps.hoppingPivot(ev, eventTypes = Tables.EventTypes).collect().toSet)
+    assert(autoHigh.collect().toSet ==
+      WindowOps.hoppingPivot(dup, eventTypes = Tables.EventTypes).collect().toSet)
+  }
+
+  test("hopping preShuffle: rejected on a streaming input (batch-only plan)") {
+    val stream = spark.readStream.format("rate").load()
+    val e = intercept[IllegalArgumentException] {
+      WindowOps.hoppingPivot(stream, tsCol = "timestamp", keyCol = "value",
+        eventCol = "value", eventTypes = Seq("x"), preShuffle = true)
+    }
+    assert(e.getMessage.contains("batch-only"))
+  }
+
   test("rolling counts equal brute-force over [t-600, t]") {
     val events = Seq(
       (1L, 0L, "click"), (1L, 300L, "click"), (1L, 600L, "view"),

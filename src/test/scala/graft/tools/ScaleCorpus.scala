@@ -62,19 +62,41 @@ object ScaleCorpus {
     // write serializes on a single core — the exact map-side
     // amplification trap SCALE.md documents for winnow, measured here
     // in the builder itself at 1000 replicas (~40 single-core minutes
-    // on lineitem; ~2 wall-clock minutes spread over 32)
-    val exploded = df.repartition(32).withColumn("_rep",
+    // on lineitem; ~2 wall-clock minutes spread over 32). The spread
+    // width follows the session's shuffle parallelism (which the main
+    // sizes from SPARK_GRAFT_CPUS) rather than a hardcoded 32, so
+    // smaller hosts get a matching file count.
+    val exploded = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .withColumn("_rep",
       explode(sequence(lit(0L), lit(replicas - 1L))))
     keys.foldLeft(exploded) { (acc, k) =>
       acc.withColumn(k, col(k) + col("_rep") * stride)
     }.drop("_rep")
   }
 
+  /** Largest id across every remapped key column of the SOURCE corpus —
+    * the stride guard's real bound. The old hardcoded 149 999 (sf0.1's
+    * max key) would silently let a replication of an already-derived
+    * corpus (keys up to replicas×stride) produce COLLIDING replica keys
+    * instead of failing the require. Column-pruned scans, cheap at any
+    * source SF.
+    */
+  def maxSourceKey(spark: SparkSession, srcDir: String): Long =
+    keyCols.toSeq.flatMap { case (t, keys) =>
+      val row = spark.read.parquet(s"$srcDir/$t.parquet")
+        .agg(max(col(keys.head)), keys.tail.map(k => max(col(k))): _*)
+        .head()
+      keys.indices.map(i => row.getAs[Number](i).longValue)
+    }.max
+
   def build(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int, stride: Long = Stride): Unit = {
-    require(stride % 2 == 0 && stride > 149999,
-      s"stride $stride must be even (doc_id-parity splits) and exceed the max fixture key")
-    if (replicas.toLong * stride + 149999 > Int.MaxValue)
+    val maxKey = maxSourceKey(spark, srcDir)
+    require(stride % 2 == 0 && stride > maxKey,
+      s"stride $stride must be even (doc_id-parity splits) and exceed " +
+        s"the max source key ($maxKey in $srcDir)")
+    if (replicas.toLong * stride + maxKey > Int.MaxValue)
       // ids are Long end-to-end, so this is legal (the sf3 corpus runs
       // this way) — but surfaced, since int-narrowing user code would
       // corrupt keys silently at this size
