@@ -61,10 +61,21 @@ object Skew {
     *
     * This is the manual fallback for shapes AQE's skew-join splitting
     * does not cover (AQE splits oversized SMJ partitions only after
-    * materializing the map side; salting declares the spread up front
-    * and also helps the preceding exchange). Inner and left joins only:
-    * a right/full join would emit unmatched dimension rows once per
-    * replica.
+    * materializing the map side — and only past its 256 MB/5× split
+    * thresholds, leaving moderate skew untouched; salting declares the
+    * spread up front and also helps the preceding exchange). Inner and
+    * left joins only: a right/full join would emit unmatched dimension
+    * rows once per replica.
+    *
+    * Measured guidance (SCALE.md §"Join skew, measured", derived sf10,
+    * 1.5 M-row dim): salting reaches parity at a ~20 %-hot key and wins
+    * 1.6× at 50 % hot — with saltBuckets = 4, not 16. The dominant cost
+    * is replicating the dim `saltBuckets`× through the exchange, so
+    * size the bucket count to the hot key's row share over the uniform
+    * per-task share (4-way spread already took a 50 %-hot key from
+    * 16× the average partition to 4×); a generous default pays for
+    * spread the sort no longer needs. The uniform-corpus insurance
+    * price of salted(4) measured 1.30×.
     *
     * Limitation: the salt is content-derived (see [[rowSalt]]), so
     * BYTE-IDENTICAL fact rows share one salt bucket. If a hot key's rows
@@ -82,7 +93,11 @@ object Skew {
       dim: DataFrame,
       factKey: String,
       dimKey: String,
-      saltBuckets: Int = 16,
+      // 4, not 16: join salting replicates the DIM per bucket, so the
+      // default follows the measured optimum (salted(4) dominated
+      // salted(16) on every corpus incl. 50 % hot — SCALE.md round 13);
+      // saltedAgg keeps 16, its buckets cost only partial-agg rows
+      saltBuckets: Int = 4,
       joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"saltedJoin supports inner/left joins, got $joinType")

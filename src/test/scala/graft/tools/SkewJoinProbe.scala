@@ -81,12 +81,13 @@ object SkewJoinProbe {
       ("uniform", uniform), ("20% hot", skew20), ("50% hot", skew50))
     val results = rows.map { case (label, dir) =>
       val d = time(s"direct  $label", () => direct(dir))
+      val s4 = time(s"salted4  $label", () => salted(dir, 4))
       val s16 = time(s"salted16 $label", () => salted(dir, 16))
-      (label, d, s16)
+      (label, d, s4, s16)
     }
-    println(f"\n${"corpus"}%-10s ${"direct"}%8s ${"salted16"}%9s ${"salted/direct"}%14s")
-    for ((l, d, s) <- results)
-      println(f"$l%-10s $d%8.3f $s%9.3f ${s / d}%14.2f")
+    println(f"\n${"corpus"}%-10s ${"direct"}%8s ${"salted4"}%8s ${"salted16"}%9s ${"s4/d"}%6s ${"s16/d"}%6s")
+    for ((l, d, s4, s16) <- results)
+      println(f"$l%-10s $d%8.3f $s4%8.3f $s16%9.3f ${s4 / d}%6.2f ${s16 / d}%6.2f")
     spark.stop()
   }
 }
