@@ -35,10 +35,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark) // SQL surface on
-    // Scale shuffle parallelism with the corpus (DEPLOY third-decade
-    // lesson; no-op at bench SF where the byte-derived count floors at
-    // the core count)
-    Sessions.autosize(spark, sfDir)
 
     // Warm the JVM/codegen/file-listing paths once, outside timing: the
     // flagship plus one tiny-SF run of each headline query, so measured
@@ -52,7 +48,15 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok = try { force(fn(spark, sfDir)); true }
+      // per-query byte-derived shuffle width (graft.Sessions — DEPLOY's
+      // third-decade lesson as code): floors to the core count at bench
+      // SF, scales with the query's own input on derived corpora. Timed:
+      // the sizing decision is part of running the query.
+      val ok = try {
+        val df = fn(spark, sfDir)
+        Sessions.autosizeFor(df)
+        force(df); true
+      }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       // failed queries report -1 so the JSON can't mistake a crash for a

@@ -61,9 +61,33 @@ object Sessions {
     * ceiling AQE coalesces down from). Both are runtime-settable confs.
     * Returns the derived count so mains can log it.
     */
-  def autosize(spark: SparkSession, dir: String): Int = {
-    val n = shufflePartitionsFor(
-      inputBytes(dir), spark.sparkContext.defaultParallelism)
+  def autosize(spark: SparkSession, dir: String): Int =
+    applyConfs(spark, shufflePartitionsFor(
+      inputBytes(dir), spark.sparkContext.defaultParallelism))
+
+  /** Catalyst's size estimate for a plan — leaf relation file sizes
+    * scaled through projections/filters. Free (no job): exactly the
+    * number a per-query sizing decision should use, because a corpus
+    * DIRECTORY mixes tables that differ 10× in size (measured at sf100:
+    * dir-wide sizing gave the as-of join 1671 partitions where its own
+    * ~5 GB input wants ~600 — and 1671 measured 2.5× SLOWER than
+    * right-sized, worse than the 32-partition default it meant to fix).
+    */
+  def statsBytes(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+
+  /** Per-QUERY autosizing: derive the shuffle width from the query's
+    * own optimized-plan input stats and land it on the session confs
+    * (the query's physical planning is lazy, so confs set here apply
+    * when the action runs). The harness mains call this per query —
+    * the per-job sizing a real deployment does.
+    */
+  def autosizeFor(df: org.apache.spark.sql.DataFrame): Int =
+    applyConfs(df.sparkSession, shufflePartitionsFor(
+      statsBytes(df), df.sparkSession.sparkContext.defaultParallelism))
+
+  private def applyConfs(spark: SparkSession, n: Int): Int = {
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)

@@ -110,6 +110,13 @@ object Joins {
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side")) // right (0) before left (1) on ties → <= semantics
       .rowsBetween(Window.unboundedPreceding, 0)
+    // Deliberately NOT pinned to a width here (contrast hoppingPivot's
+    // preShuffle exchange): this exchange carries the full union with
+    // no post-shuffle amplification, so AQE's byte-based coalescing
+    // sizes it correctly from a well-set initialPartitionNum — which
+    // graft.Sessions provides per query (measured at sf100: a
+    // stats-pinned 165 ran 64 s while the conf-sized plan runs ~45 s;
+    // the conf path also lets deployments tune without a code change).
     lPart.unionByName(rPart)
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)

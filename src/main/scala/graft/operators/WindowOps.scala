@@ -182,10 +182,19 @@ object WindowOps {
           s"size $size must be a multiple of slide $slide")
         val e = unix_micros(ts)
         val aligned = e - pmod(e, lit(slideUs))
+        // The pinned width is derived from the EVENTS' own scan stats
+        // (8 MiB on-disk per task, floored at core count) rather than
+        // the session conf: pinning keeps AQE from coalescing the
+        // exchange into few giant agg partitions, and self-sizing keeps
+        // a session sized for a different table from mis-sizing this
+        // one (measured at sf100: the dir-wide conf said 1671 where the
+        // events-derived 257 ≈ the hand-tuned optimum 256; at bench SF
+        // both floor to the core count — identical plan).
+        val nPart = graft.Sessions.shufflePartitionsFor(
+          graft.Sessions.statsBytes(events),
+          events.sparkSession.sparkContext.defaultParallelism)
         events
-          .repartition(
-            events.sparkSession.sessionState.conf.numShufflePartitions,
-            col(keyCol))
+          .repartition(nPart, col(keyCol))
           .withColumn("_ws", explode(
             sequence(aligned - lit(sizeUs - slideUs), aligned, lit(slideUs))))
           .groupBy(col(keyCol), col("_ws"))

@@ -26,6 +26,24 @@ class SessionsSpec extends SparkSpec {
     assert(Sessions.inputBytes(dir.resolve("nope").toString) == 0L)
   }
 
+  test("statsBytes/autosizeFor: per-query sizing from plan stats") {
+    val ev = graft.model.Tables.events(spark, sf0001)
+    val b = Sessions.statsBytes(ev)
+    assert(b > 1000L && b < (64L << 20), s"stats $b") // ~tens of KB scan
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val n = Sessions.autosizeFor(ev)
+      // tiny input → floored at the core count
+      assert(n == spark.sparkContext.defaultParallelism)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == n.toString)
+      // a synthetic big input would scale: the pure function backs it
+      assert(Sessions.shufflePartitionsFor(5000L << 20, 32) == 625)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    }
+  }
+
   test("autosize: both confs land on the derived count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val dir = Files.createTempDirectory("graft_autosize")

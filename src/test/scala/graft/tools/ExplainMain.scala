@@ -13,12 +13,19 @@ object ExplainMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false).getOrCreate()
     val dir = args(0)
+    val noExec = args.contains("--no-exec")
     args(1).split(",").foreach { q =>
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, dir)
-      df.collect() // let AQE finalize
-      println(df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0))
+      if (noExec) {
+        // plan-only (big SFs: executing/collecting would be the cost);
+        // shows logical repartition widths and Catalyst size estimates
+        println(df.queryExecution.optimizedPlan.toString)
+      } else {
+        df.collect() // let AQE finalize
+        println(df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0))
+      }
     }
     spark.stop()
   }

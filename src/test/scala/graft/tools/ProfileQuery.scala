@@ -41,16 +41,20 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    // Byte-derived shuffle parallelism (graft.Sessions): identical to
-    // the fixed 32 at bench SF, scales up for derived sf10/sf100 runs
-    // so the judge's methodology needs no hand-set knob either
-    val nPart = graft.Sessions.autosize(spark, sfDir)
-    println(s"[prof] shuffle partitions autosized to $nPart for $sfDir")
 
     for (name <- names) {
       val q = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name' — see SparkEntry.queries"))
-      if (warm) force(q(spark, "/root/testdata/sf0.001"))
+      if (warm) {
+        graft.Sessions.autosizeFor(q(spark, "/root/testdata/sf0.001"))
+        force(q(spark, "/root/testdata/sf0.001"))
+      }
+      // per-QUERY byte-derived shuffle width (graft.Sessions): identical
+      // to the fixed 32 at bench SF (floors at the core count), scales
+      // with the query's own input for derived sf10/sf100 runs — the
+      // no-knob posture DEPLOY.md prescribes
+      val nPart = graft.Sessions.autosizeFor(q(spark, sfDir))
+      println(s"[prof] $name: shuffle partitions autosized to $nPart")
       val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         force(q(spark, sfDir))

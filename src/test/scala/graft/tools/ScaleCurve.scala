@@ -44,9 +44,9 @@ object ScaleCurve {
     val small = opt("small").getOrElse("/root/testdata/sf0.1")
     val big = opt("big").getOrElse("target/scaledata/sf1")
     val reps = opt("reps").map(_.toInt).getOrElse(2)
-    // --shuffle overrides; default is byte-derived per measured dir
-    // (graft.Sessions — the DEPLOY third-decade lesson, so sf10/sf100
-    // curves run the no-knob production posture)
+    // --shuffle overrides; default is byte-derived from each QUERY's
+    // own input stats (graft.Sessions — the DEPLOY third-decade lesson,
+    // so sf10/sf100 curves run the no-knob production posture)
     val shuffleOverride = opt("shuffle").map(_.toInt)
     val countRows = !args.contains("--no-rows")
     val names0 = args.filterNot(_.startsWith("--")).toSeq
@@ -67,18 +67,19 @@ object ScaleCurve {
 
     val out = new java.io.PrintWriter(
       new java.io.FileWriter("target/scale_curve.jsonl", /*append=*/ false))
-    def sizeFor(dir: String): Unit = shuffleOverride match {
-      case Some(n) =>
-        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-        spark.conf.set(
-          "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
-      case None =>
-        val n = graft.Sessions.autosize(spark, dir)
-        println(s"[curve] shuffle partitions autosized to $n for $dir")
-    }
+    def sizeFor(q: (SparkSession, String) => DataFrame, dir: String): Unit =
+      shuffleOverride match {
+        case Some(n) =>
+          spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
+        case None =>
+          val n = graft.Sessions.autosizeFor(q(spark, dir))
+          println(s"[curve] shuffle partitions autosized to $n for $dir")
+      }
     def measure(q: (SparkSession, String) => DataFrame, dir: String)
         : (Double, Long) = {
-      sizeFor(dir)
+      sizeFor(q, dir)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         force(q(spark, dir))
