@@ -1826,6 +1826,16 @@ object SparkEntry {
       Tables.events(s, dir), Tables.customer(s, dir), "user_id", "c_custkey")
       .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
 
+  /** Adaptive skew join (Skew.saltedJoinAuto): the sampled skew factor
+    * picks direct vs salted; on the uniform fixture it must land on the
+    * DIRECT join and still match the same oracle (the salted flip is
+    * spec-asserted in SkewSpec on a hot corpus).
+    */
+  private def qSkewJoinAuto(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedJoinAuto(
+      Tables.events(s, dir), Tables.customer(s, dir), "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+
   /** Salted two-stage aggregation ≡ plain GROUP BY (skew path, SCALE.md).
     * The oracle is the DIRECT aggregation — proving the rewrite exact.
     */
@@ -2621,6 +2631,7 @@ object SparkEntry {
     "q_rollup" -> (qRollup _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_skew_join_auto" -> (qSkewJoinAuto _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_kll_quantiles" -> (qKllQuantiles _),
@@ -3879,6 +3890,10 @@ object SparkEntry {
         |FROM events GROUP BY user_id""".stripMargin,
     // oracle = the DIRECT join: the salt+replicate rewrite must be exact
     "q_salted_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    // identical oracle: the adaptive pick must be invisible to results
+    "q_skew_join_auto" ->
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     // stream-stream join: the incremental two-sided join must emit

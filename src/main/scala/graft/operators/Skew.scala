@@ -110,4 +110,62 @@ object Skew {
       joinType)
       .drop("_salt")
   }
+
+  /** Skew factor of a join key: (rows of the hottest key) / (rows per
+    * task under uniform hashing) = hot-key row SHARE × shuffle width.
+    * The share comes from a seeded row sample (share estimation is
+    * unbiased under row sampling, unlike group-size estimation —
+    * contrast WindowOps.hoppingMultiplicity, which must sample whole
+    * keys); one narrow single-column scan, nothing else touched.
+    * Returns 0 on an empty sample (reads as "no skew").
+    */
+  def factSkewFactor(
+      fact: DataFrame,
+      factKey: String,
+      sampleFraction: Double = 0.01): Double = {
+    val spark = fact.sparkSession
+    val width = spark.sessionState.conf.numShufflePartitions
+      .max(spark.sparkContext.defaultParallelism)
+    val sampled =
+      if (sampleFraction >= 1.0) fact.select(col(factKey))
+      else fact.select(col(factKey)).sample(sampleFraction, 7L)
+    val row = sampled.groupBy(col(factKey)).count()
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("tot"))
+      .head()
+    if (row.isNullAt(1) || row.getAs[Long]("tot") == 0L) 0.0
+    else row.getAs[Long]("mx").toDouble / row.getAs[Long]("tot") * width
+  }
+
+  /** Adaptive skewed join — the third of the round-13 adaptive triple
+    * (with hoppingPivotAuto and asOfJoinAuto): measures the fact key's
+    * skew factor and picks the direct join below `skewThreshold`, the
+    * salted join above it, sizing `saltBuckets` from the measurement
+    * instead of a generous constant.
+    *
+    * Calibration is SkewJoinProbe's measured table (SCALE.md §"Join
+    * skew, measured"): salting reached parity at skew factor ~6.4
+    * (20 % hot × 32 tasks) and won 1.6× at 16 (50 % hot), with 4
+    * buckets dominating 16 everywhere — so the default threshold is 8
+    * (just past measured parity) and buckets = ceil(skewFactor / 4)
+    * clamped to [2, 16]: enough spread to bring the hot key within ~4×
+    * of the uniform per-task share, never paying for dim replication
+    * the sort no longer needs. Estimator cost: one sampled
+    * single-column scan of the fact side.
+    */
+  def saltedJoinAuto(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      joinType: String = "inner",
+      skewThreshold: Double = 8.0,
+      sampleFraction: Double = 0.01): DataFrame = {
+    val s = factSkewFactor(fact, factKey, sampleFraction)
+    if (s < skewThreshold)
+      fact.join(dim, fact(factKey) === dim(dimKey), joinType)
+    else {
+      val buckets = math.ceil(s / 4.0).toInt.max(2).min(16)
+      saltedJoin(fact, dim, factKey, dimKey, buckets, joinType)
+    }
+  }
 }

@@ -42,4 +42,39 @@ class SkewSpec extends SparkSpec {
       Skew.saltedJoin(ev, cust, "user_id", "c_custkey", joinType = "right")
     }
   }
+
+  test("saltedJoinAuto: skew factor flips the pick; both picks ≡ direct") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001)
+    val cust = Tables.customer(spark, sf0001)
+    // the uniform fixture reads as no-skew → direct join (no _salt
+    // machinery in the plan)
+    // width-relative: the suite runs 4-wide, so a 60 %-hot key reads as
+    // factor ~2.4 (hot task ≈ 2.4× the uniform share) and the uniform
+    // fixture's hottest of 15 keys as ~0.3 — the spec thresholds at 2.0
+    // to exercise the flip; the production default 8.0 corresponds to
+    // the same shapes at 32+ tasks (SCALE.md calibration)
+    val sUniform = Skew.factSkewFactor(ev, "user_id", sampleFraction = 1.0)
+    assert(sUniform < 2.0, s"uniform skew factor $sUniform")
+    // hot corpus: 60 % of rows remapped to one key (SkewCorpus's rule)
+    val hotKey = cust.select(col("c_custkey")).head().getLong(0)
+    val hot = ev.withColumn("user_id",
+      when(pmod(col("event_id"), lit(100)) < 60, lit(hotKey))
+        .otherwise(col("user_id")))
+    val sHot = Skew.factSkewFactor(hot, "user_id", sampleFraction = 1.0)
+    assert(sHot >= 2.0 && sHot < 8.0, s"hot skew factor $sHot")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("user_id"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    val autoU = Skew.saltedJoinAuto(ev, cust, "user_id", "c_custkey",
+      skewThreshold = 2.0, sampleFraction = 1.0)
+    val autoH = Skew.saltedJoinAuto(hot, cust, "user_id", "c_custkey",
+      skewThreshold = 2.0, sampleFraction = 1.0)
+    assert(!autoU.columns.contains("_salt") &&
+      !autoU.queryExecution.optimizedPlan.toString.contains("_salt"))
+    assert(autoH.queryExecution.optimizedPlan.toString.contains("_salt"),
+      "hot pick must be the salted rewrite")
+    assert(rows(autoU) == rows(ev.join(cust, ev("user_id") === cust("c_custkey"))))
+    assert(rows(autoH) == rows(hot.join(cust, hot("user_id") === cust("c_custkey"))))
+  }
 }
