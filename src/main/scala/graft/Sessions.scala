@@ -87,6 +87,29 @@ object Sessions {
     applyConfs(df.sparkSession, shufflePartitionsFor(
       statsBytes(df), df.sparkSession.sparkContext.defaultParallelism))
 
+  /** Memo for cheap plan-choice estimates (key multiplicity, history
+    * size, skew factor): keyed on the input plan's SEMANTIC hash plus
+    * its Catalyst size estimate, so repeated invocations over the same
+    * corpus — bench reps, a pipeline calling an adaptive operator
+    * several times — pay the sampled estimator scan once, while new
+    * data under the same paths re-estimates (file sizes move the stats
+    * component of the key). Plan-choice staleness on a byte-identical
+    * rewrite is harmless: the estimate picks a plan, it never enters a
+    * result. Bounded: cleared wholesale past 4096 entries (estimates
+    * are per-corpus, not per-row; the bound exists for pathological
+    * loops generating unique plans).
+    */
+  private val estimateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  def memoEstimate(df: org.apache.spark.sql.DataFrame, tag: String)(
+      compute: => Double): Double = {
+    val plan = df.queryExecution.optimizedPlan
+    val key = s"$tag|${plan.semanticHash()}|${statsBytes(df)}"
+    if (estimateCache.size > 4096) estimateCache.clear()
+    estimateCache.computeIfAbsent(key, _ => compute).doubleValue
+  }
+
   private def applyConfs(spark: SparkSession, n: Int): Int = {
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     spark.conf.set(

@@ -245,7 +245,10 @@ object Joins {
     * Public so specs can assert the decision boundary directly.
     */
   def asOfHistorySize(right: DataFrame, rightTsSec: String): Long =
-    right.filter(col(rightTsSec).isNotNull).count()
+    // memoized per (plan, input size) — see Sessions.memoEstimate
+    graft.Sessions.memoEstimate(right, s"asofhist|$rightTsSec") {
+      right.filter(col(rightTsSec).isNotNull).count().toDouble
+    }.toLong
 
   /** Blocked fuzzy self-matching (entity resolution): candidate pairs
     * are generated within (blocking key × length bucket), scored with

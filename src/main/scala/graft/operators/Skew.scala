@@ -126,14 +126,21 @@ object Skew {
     val spark = fact.sparkSession
     val width = spark.sessionState.conf.numShufflePartitions
       .max(spark.sparkContext.defaultParallelism)
-    val sampled =
-      if (sampleFraction >= 1.0) fact.select(col(factKey))
-      else fact.select(col(factKey)).sample(sampleFraction, 7L)
-    val row = sampled.groupBy(col(factKey)).count()
-      .agg(max(col("count")).as("mx"), sum(col("count")).as("tot"))
-      .head()
-    if (row.isNullAt(1) || row.getAs[Long]("tot") == 0L) 0.0
-    else row.getAs[Long]("mx").toDouble / row.getAs[Long]("tot") * width
+    // the memo stores the width-INDEPENDENT share (width is a session
+    // conf that may legitimately change between calls); memoized per
+    // (plan, input size) — see Sessions.memoEstimate
+    val share = graft.Sessions.memoEstimate(fact,
+      s"skewshare|$factKey|$sampleFraction") {
+      val sampled =
+        if (sampleFraction >= 1.0) fact.select(col(factKey))
+        else fact.select(col(factKey)).sample(sampleFraction, 7L)
+      val row = sampled.groupBy(col(factKey)).count()
+        .agg(max(col("count")).as("mx"), sum(col("count")).as("tot"))
+        .head()
+      if (row.isNullAt(1) || row.getAs[Long]("tot") == 0L) 0.0
+      else row.getAs[Long]("mx").toDouble / row.getAs[Long]("tot")
+    }
+    share * width
   }
 
   /** Adaptive skewed join — the third of the round-13 adaptive triple

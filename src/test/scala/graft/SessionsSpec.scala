@@ -44,6 +44,21 @@ class SessionsSpec extends SparkSpec {
     }
   }
 
+  test("memoEstimate: one compute per (tag, plan, size); tag and plan rekey") {
+    val ev = graft.model.Tables.events(spark, sf0001)
+    var n = 0
+    def est(): Double = { n += 1; 42.0 }
+    assert(Sessions.memoEstimate(ev, "t1")(est()) == 42.0)
+    assert(Sessions.memoEstimate(ev, "t1")(est()) == 42.0)
+    assert(n == 1, "second identical call must hit the memo")
+    Sessions.memoEstimate(ev, "t2")(est())
+    assert(n == 2, "a different tag must recompute")
+    // a semantically different plan over the same files must recompute
+    Sessions.memoEstimate(ev.filter(org.apache.spark.sql.functions
+      .col("user_id") > 0), "t1")(est())
+    assert(n == 3)
+  }
+
   test("autosize: both confs land on the derived count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val dir = Files.createTempDirectory("graft_autosize")
