@@ -65,16 +65,21 @@ object Sessions {
     applyConfs(spark, shufflePartitionsFor(
       inputBytes(dir), spark.sparkContext.defaultParallelism))
 
-  /** Catalyst's size estimate for a plan — leaf relation file sizes
-    * scaled through projections/filters. Free (no job): exactly the
-    * number a per-query sizing decision should use, because a corpus
-    * DIRECTORY mixes tables that differ 10× in size (measured at sf100:
-    * dir-wide sizing gave the as-of join 1671 partitions where its own
-    * ~5 GB input wants ~600 — and 1671 measured 2.5× SLOWER than
-    * right-sized, worse than the 32-partition default it meant to fix).
+  /** The query's SCANNED bytes: the sum of its leaf relations' Catalyst
+    * size estimates (file sizes for parquet scans). Free (no job), and
+    * exactly the number a per-query sizing decision should use — a
+    * corpus DIRECTORY mixes tables that differ 10× in size (measured at
+    * sf100: dir-wide sizing gave the as-of join 1671 partitions where
+    * its own ~5 GB input wants ~600, and 1671 measured 2.5× SLOWER than
+    * right-sized — worse than the 32-partition default it meant to fix).
+    * Leaf SUM, not the top-plan estimate: Catalyst propagates join
+    * stats multiplicatively, so any join-bearing plan's root estimate
+    * explodes to nonsense (measured: the ANN queries' broadcast-join
+    * plans hit the 65536 cap off a 130 MB corpus).
     */
   def statsBytes(df: org.apache.spark.sql.DataFrame): Long =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
       .min(BigInt(Long.MaxValue)).toLong
 
   /** Per-QUERY autosizing: derive the shuffle width from the query's
