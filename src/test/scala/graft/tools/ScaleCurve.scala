@@ -30,7 +30,8 @@ object ScaleCurve {
     */
   val DefaultQueries: Seq[String] = Seq(
     "q_hopping_pivot", "q_sessionize", "q_histogram_equidepth",
-    "q_mad", "q_asof_broadcast", "q_bucketed_join", "q_fuzzy_match",
+    "q_mad", "q_asof_broadcast", "q_asof_auto", "q_bucketed_join",
+    "q_fuzzy_match",
     "q_bm25", "q_embed_covariance", "q_dedup_minhash", "q_dedup_delta",
     "q_winnow_overlap")
 

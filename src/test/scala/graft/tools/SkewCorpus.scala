@@ -48,7 +48,7 @@ object SkewCorpus {
       .withColumn("user_id",
         when(pmod(col("event_id"), lit(100)) < hotPct, lit(hotUser))
           .otherwise(col("user_id")))
-      .repartition(32)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
     val out = spark.read.parquet(s"$outDir/events.parquet")
     val n = out.count()
