@@ -91,6 +91,21 @@ def main(argv):
     flagged = {q: r / med for q, r in ratios.items() if r / med >= threshold}
     if not flagged:
         print("OK: no selective regression (load-normalized)")
+        if "--run" in argv:
+            # still stamp the (empty) triage: the artifact proves the
+            # adjudication ran against THIS ledger pair, the round-12
+            # process miss (a stale TRIAGE is indistinguishable from a
+            # skipped one)
+            rnum = re.search(r"r(\d+)", os.path.basename(new_path))
+            out = os.path.join(os.path.dirname(os.path.abspath(new_path)),
+                               f"TRIAGE_{'r' + rnum.group(1) if rnum else 'local'}.json")
+            with open(out, "w") as f:
+                json.dump({"old": os.path.basename(old_path),
+                           "new": os.path.basename(new_path),
+                           "threshold": threshold,
+                           "median_ratio": med,
+                           "queries": {}}, f, indent=2)
+            print(f"# wrote {out} (no flagged queries)")
         return 0
     print(f"SELECTIVE REGRESSIONS ({len(flagged)}):")
     for q, nr in sorted(flagged.items(), key=lambda kv: -kv[1]):
