@@ -79,15 +79,21 @@ object SkewJoinProbe {
 
     val rows = Seq(
       ("uniform", uniform), ("20% hot", skew20), ("50% hot", skew50))
+    def auto(dir: String): DataFrame =
+      Skew.saltedJoinAuto(fact(dir), dim, "user_id", "c_custkey")
+
     val results = rows.map { case (label, dir) =>
       val d = time(s"direct  $label", () => direct(dir))
       val s4 = time(s"salted4  $label", () => salted(dir, 4))
       val s16 = time(s"salted16 $label", () => salted(dir, 16))
-      (label, d, s4, s16)
+      val a = time(s"auto     $label", () => auto(dir))
+      val pick = if (auto(dir).queryExecution.optimizedPlan.toString
+        .contains("_salt")) "salted" else "direct"
+      (label, d, s4, s16, a, pick)
     }
-    println(f"\n${"corpus"}%-10s ${"direct"}%8s ${"salted4"}%8s ${"salted16"}%9s ${"s4/d"}%6s ${"s16/d"}%6s")
-    for ((l, d, s4, s16) <- results)
-      println(f"$l%-10s $d%8.3f $s4%8.3f $s16%9.3f ${s4 / d}%6.2f ${s16 / d}%6.2f")
+    println(f"\n${"corpus"}%-10s ${"direct"}%8s ${"salted4"}%8s ${"salted16"}%9s ${"auto"}%8s ${"pick"}%7s")
+    for ((l, d, s4, s16, a, p) <- results)
+      println(f"$l%-10s $d%8.3f $s4%8.3f $s16%9.3f $a%8.3f $p%7s")
     spark.stop()
   }
 }
