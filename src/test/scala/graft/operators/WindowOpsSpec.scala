@@ -96,6 +96,16 @@ class WindowOpsSpec extends SparkSpec {
       WindowOps.hoppingPivot(dup, eventTypes = Tables.EventTypes).collect().toSet)
   }
 
+  test("hopping auto: streaming input skips the estimator, keeps window() plan") {
+    val stream = spark.readStream.format("rate").load()
+    // must not run an estimator job on an unbounded source and must not
+    // pick the batch-only preShuffle shape — the result is a valid
+    // streaming frame on the default window() plan
+    val out = WindowOps.hoppingPivotAuto(stream, tsCol = "timestamp",
+      keyCol = "value", eventCol = "value", eventTypes = Seq("x"))
+    assert(out.isStreaming)
+  }
+
   test("hopping preShuffle: rejected on a streaming input (batch-only plan)") {
     val stream = spark.readStream.format("rate").load()
     val e = intercept[IllegalArgumentException] {
