@@ -2651,7 +2651,8 @@ object SparkEntry {
     "q_rolling_600s", "q_latest_by_key", "q_left_enrich", "q_inner_enrich",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_token_count",
     "q_sim_topk", "q_topk_orders_per_cust", "q_tumbling_agg",
-    "q_session_window", "q_rollup", "q_salted_agg", "q_distinct_counts",
+    "q_session_window", "q_rollup", "q_salted_agg", "q_skew_join_auto",
+    "q_distinct_counts",
     "q_chunk_docs", "q_pack_sequences", "q_sample_stratified",
     "q_stats_profile", "q_lm_score", "q_top_ngrams", "q_sim_pq",
     "q18_large_orders", "q_fuzzy_match", "q_retention_cohort",
