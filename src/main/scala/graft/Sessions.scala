@@ -115,6 +115,14 @@ object Sessions {
     estimateCache.computeIfAbsent(key, _ => compute).doubleValue
   }
 
+  /** Profiling hook (ProfileQuery): drop every memoized estimate so the
+    * next adaptive-operator construction pays its estimator scan again —
+    * the cost a fresh JVM (the Bench methodology) pays. Without this,
+    * fresh-JVM re-measurements of adaptive queries exclude estimator
+    * cost after the first rep and bias contention-vs-regression triage.
+    */
+  def clearEstimates(): Unit = estimateCache.clear()
+
   private def applyConfs(spark: SparkSession, n: Int): Int = {
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     spark.conf.set(

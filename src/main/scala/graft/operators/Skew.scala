@@ -124,11 +124,20 @@ object Skew {
       factKey: String,
       sampleFraction: Double = 0.01): Double = {
     val spark = fact.sparkSession
-    val width = spark.sessionState.conf.numShufflePartitions
-      .max(spark.sparkContext.defaultParallelism)
-    // the memo stores the width-INDEPENDENT share (width is a session
-    // conf that may legitimately change between calls); memoized per
-    // (plan, input size) — see Sessions.memoEstimate
+    // Width from the FACT's own byte-derived autosize target, not the
+    // session conf: the harnesses autosize AFTER query construction, so
+    // the conf here still holds the PREVIOUS query's width — a leftover
+    // 65536 from a capped query would inflate skewFactor = share × width
+    // and flip a uniform corpus to the salted plan, making the pick
+    // query-order-dependent (r13 ADVICE). shufflePartitionsFor(statsBytes)
+    // is exactly what Sessions.autosizeFor will set for this query when
+    // the fact dominates its input — deterministic per query, no conf read.
+    val width = graft.Sessions.shufflePartitionsFor(
+      graft.Sessions.statsBytes(fact),
+      spark.sparkContext.defaultParallelism)
+    // the memo stores the width-INDEPENDENT share (width is derived,
+    // not measured — no reason to pin it into the cached value);
+    // memoized per (plan, input size) — see Sessions.memoEstimate
     val share = graft.Sessions.memoEstimate(fact,
       s"skewshare|$factKey|$sampleFraction") {
       val sampled =
@@ -167,6 +176,12 @@ object Skew {
       joinType: String = "inner",
       skewThreshold: Double = 8.0,
       sampleFraction: Double = 0.01): DataFrame = {
+    // Validate up front, not only on the salted branch: an unsupported
+    // joinType that happens to measure uniform would work today and then
+    // throw at plan time the day the data skews — a data-dependent
+    // runtime failure (r13 ADVICE). Same set saltedJoin accepts.
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoinAuto supports inner/left joins, got $joinType")
     val s = factSkewFactor(fact, factKey, sampleFraction)
     if (s < skewThreshold)
       fact.join(dim, fact(factKey) === dim(dimKey), joinType)

@@ -77,4 +77,34 @@ class SkewSpec extends SparkSpec {
     assert(rows(autoU) == rows(ev.join(cust, ev("user_id") === cust("c_custkey"))))
     assert(rows(autoH) == rows(hot.join(cust, hot("user_id") === cust("c_custkey"))))
   }
+
+  test("factSkewFactor is conf-independent: a leftover wide session width " +
+    "cannot flip the pick (r13 ADVICE)") {
+    val ev = Tables.events(spark, sf0001)
+    graft.Sessions.clearEstimates()
+    val before = Skew.factSkewFactor(ev, "user_id", sampleFraction = 1.0)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // simulate the harness shape: a previous query autosized the shared
+      // session to a huge width; the NEXT query's skew estimate must not
+      // inherit it (skewFactor = share × width would inflate 16384×/4)
+      spark.conf.set("spark.sql.shuffle.partitions", "65536")
+      graft.Sessions.clearEstimates()
+      val after = Skew.factSkewFactor(ev, "user_id", sampleFraction = 1.0)
+      assert(math.abs(after - before) < 1e-9,
+        s"width leaked from session conf: $before -> $after")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  test("saltedJoinAuto validates joinType up front, even when the data is " +
+    "uniform and the direct branch would accept it (r13 ADVICE)") {
+    val ev = Tables.events(spark, sf0001)
+    val cust = Tables.customer(spark, sf0001)
+    // uniform corpus → the old code would happily build a right join and
+    // only throw the day the data skewed; now it fails at construction
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoinAuto(ev, cust, "user_id", "c_custkey",
+        joinType = "right", sampleFraction = 1.0)
+    }
+  }
 }

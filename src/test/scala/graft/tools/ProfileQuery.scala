@@ -49,20 +49,35 @@ object ProfileQuery {
         graft.Sessions.autosizeFor(q(spark, "/root/testdata/sf0.001"))
         force(q(spark, "/root/testdata/sf0.001"))
       }
-      // per-QUERY byte-derived shuffle width (graft.Sessions): identical
-      // to the fixed 32 at bench SF (floors at the core count), scales
-      // with the query's own input for derived sf10/sf100 runs — the
-      // no-knob posture DEPLOY.md prescribes
-      val nPart = graft.Sessions.autosizeFor(q(spark, sfDir))
-      println(s"[prof] $name: shuffle partitions autosized to $nPart")
+      // Bench-equivalent reps (r13 ADVICE): Bench times construction +
+      // estimator scans + autosizing + execution in ONE measurement, so
+      // each rep here does the same — memo cleared first, so adaptive
+      // queries pay their estimator every rep instead of hiding it
+      // behind the warmup's cache fill. `best` is therefore directly
+      // comparable to the driver's per-query number.
       val times = (1 to reps).map { i =>
+        graft.Sessions.clearEstimates()
         val t0 = System.nanoTime()
-        force(q(spark, sfDir))
+        val df = q(spark, sfDir)
+        // per-QUERY byte-derived shuffle width (graft.Sessions):
+        // identical to the fixed 32 at bench SF (floors at the core
+        // count), scales with the query's own input for derived
+        // sf10/sf100 runs — the no-knob posture DEPLOY.md prescribes
+        graft.Sessions.autosizeFor(df)
+        force(df)
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[prof] $name%-32s run$i  $sec%8.3f s")
         sec
       }
-      println(f"[prof] $name%-32s best  ${times.min}%8.3f s  median ${times.sorted.apply(times.size / 2)}%8.3f s")
+      // steady-state: memo warm from the last rep — what a long-lived
+      // session pays per call after the first (adaptive queries only
+      // differ here by their estimator cost)
+      val t0 = System.nanoTime()
+      val dfSteady = q(spark, sfDir)
+      graft.Sessions.autosizeFor(dfSteady)
+      force(dfSteady)
+      val steady = (System.nanoTime() - t0) / 1e9
+      println(f"[prof] $name%-32s best  ${times.min}%8.3f s  median ${times.sorted.apply(times.size / 2)}%8.3f s  steady  $steady%8.3f s")
     }
     spark.stop()
   }

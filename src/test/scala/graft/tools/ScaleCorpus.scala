@@ -87,7 +87,13 @@ object ScaleCorpus {
       val row = spark.read.parquet(s"$srcDir/$t.parquet")
         .agg(max(col(keys.head)), keys.tail.map(k => max(col(k))): _*)
         .head()
-      keys.indices.map(i => row.getAs[Number](i).longValue)
+      keys.indices.map { i =>
+        // max() over zero rows is NULL — surface "empty source table" as
+        // a clear require instead of an opaque NPE (r13 ADVICE)
+        require(!row.isNullAt(i),
+          s"$t is empty in $srcDir (max(${keys(i)}) is null)")
+        row.getAs[Number](i).longValue
+      }
     }.max
 
   def build(spark: SparkSession, srcDir: String, outDir: String,
