@@ -4,7 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): times the headline queries at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{…},"sf":…}.
+  * {"metric":"total","value":N,"unit":"sec","queries":{…},"sf":…} —
+  * sized to survive the driver's 2000-char stdout-tail capture (heaviest
+  * queries first, sub-second tail cut under an "omitted" count); the
+  * full-precision complete ledger goes to BENCH_LOCAL.json (latest run)
+  * and BENCH_HISTORY.jsonl (append-only, timestamped — every run keeps
+  * its row, so the driver's post-round run no longer destroys the
+  * builder's committed ledger).
   *
   * Round-2 methodology change: the timed action is a `noop`-format write,
   * not `.count()` — a count lets Catalyst prune every projection and
@@ -67,14 +73,56 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // The driver's BENCH_r{N}.json snapshot truncates long stdout tails
-    // (judge round-8 finding: 25 of 88 query timings lost, the anchor
-    // subset with them) — persist the full line where truncation can't
-    // reach it, for tools/bench_diff.py's per-round ledger.
+    // The driver's BENCH_r{N}.json snapshot keeps only the last 2000
+    // chars of stdout; the full-precision 93-query line is ~5 KB, so
+    // every round's artifact carried a head-truncated tail and
+    // `parsed: null` (judge rounds 8-13: ~30 min of hand re-derivation
+    // per round). Three-part fix:
+    //  1. BENCH_LOCAL.json — the full-precision ledger, as before
+    //     (latest run wins; the builder's committed copy can be
+    //     overwritten by the driver's post-round run).
+    //  2. BENCH_HISTORY.jsonl — APPEND-ONLY, timestamped: every run
+    //     (builder's and driver's) adds a row, so no run destroys
+    //     another's ledger. tools/bench_diff.py prefers this file.
+    //  3. stdout — a summary line GUARANTEED to fit the tail capture:
+    //     entries sorted by seconds descending, added greedily under a
+    //     1800-char line budget (leaves room for sbt's ~80-char
+    //     "[success]" trailer inside the 2000), 3-decimal values. The
+    //     heavy queries — the only ones perf triage flags — always
+    //     parse; the cut sub-second tail is in the files.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
+    val historyRow =
+      s"""{"ts_ms":${System.currentTimeMillis()},"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      (historyRow + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case scala.util.control.NonFatal(_) => () }
+    // stop BEFORE the summary line prints: any executor/shutdown chatter
+    // must not land between the line and process exit, where it would
+    // eat into the tail capture's 2000-char budget
     spark.stop()
+    val lineBudget = 1800
+    // Locale.ROOT: a comma decimal separator from the platform locale
+    // would silently break every downstream JSON parse
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val bySecDesc = results.sortBy { case (_, v) => -v }
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"ledger":"BENCH_HISTORY.jsonl","""
+    // the omitted-count digits and closing braces are part of the fixed
+    // cost; reserve generously (",\"omitted\":NN,\"queries\":{}}" < 30)
+    val fixed = head.length + 30
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = fixed
+    var omitted = 0
+    bySecDesc.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + f3(v)
+      if (used + e.length + 1 <= lineBudget) { entries += e; used += e.length + 1 }
+      else omitted += 1
+    }
+    println(head + "\"omitted\":" + omitted + ",\"queries\":" +
+      entries.mkString("{", ",", "}") + "}")
   }
 }

@@ -205,14 +205,19 @@ object WindowOps {
             sequence(aligned - lit(sizeUs - slideUs), aligned, lit(slideUs))))
           .groupBy(col(keyCol), col("_ws"))
           .agg(aggCols.head, aggCols.tail: _*)
-          // FLOOR division micros → seconds (pmod is non-negative even
-          // for pre-1970 _ws, so this matches the default plan's
-          // window-start floor; `/` is double true-division and would
-          // truncate toward zero instead for sub-second-aligned
-          // negative hop starts)
+          // FLOOR division micros → seconds in pure long arithmetic:
+          // subtracting the (always non-negative) pmod makes _ws an
+          // exact multiple of 1e6, so integral `div` — which truncates
+          // toward zero — equals the floor even for pre-1970 hop
+          // starts. `div` is exact for the FULL long range with no
+          // analysis needed; the double `/` this replaces was exact
+          // only because the subtracted value is divisible by 2^6
+          // (keeping it double-representable to 2^59 µs) AND the
+          // quotient stays under 2^53 — correct, but a proof obligation
+          // every reader must re-derive. WindowOpsSpec pins a year-2500
+          // (> 2^53 µs) and a pre-1970 edge against the default plan.
           .withColumn("w_start",
-            ((col("_ws") - pmod(col("_ws"), lit(1000000L))) / 1000000L)
-              .cast("long"))
+            expr("(_ws - pmod(_ws, 1000000)) div 1000000"))
       }
     grouped
       .select(

@@ -59,6 +59,29 @@ class WindowOpsSpec extends SparkSpec {
       !plan.contains("ENSURE_REQUIREMENTS"), plan.take(1500))
   }
 
+  test("hopping preShuffle w_start: exact past 2^53 µs (year 2500) and pre-1970") {
+    // the preShuffle plan derives w_start with integral `div`; this pins
+    // it against the default plan's window() floor at both edges where
+    // naive floating-point derivations go wrong: timestamps beyond the
+    // double-exact integer range and negative (pre-epoch) hop starts
+    val df = Seq(
+      (1L, "2500-06-01 00:03:30.250", "click"),
+      (1L, "2500-06-01 00:04:10.750", "view"),
+      (2L, "1969-12-31 23:57:01.500", "click"))
+      .toDF("user_id", "t", "event_type")
+      .withColumn("ts", to_timestamp($"t"))
+    val base = WindowOps.hoppingPivot(df, eventTypes = types)
+    val pre = WindowOps.hoppingPivot(df, eventTypes = types, preShuffle = true)
+    assert(pre.collect().toSet == base.collect().toSet)
+    val starts = pre.select("w_start").as[Long].collect()
+    // slide-aligned under FLOOR semantics (floorMod, not %: a truncated
+    // toward-zero division would misalign the negative starts)
+    assert(starts.forall(s => math.floorMod(s, 120L) == 0L))
+    assert(starts.exists(_ < 0L), "pre-1970 windows present")
+    assert(starts.exists(_ > 9007199254740992L / 1000000L),
+      "year-2500 windows past 2^53 µs present")
+  }
+
   test("hopping auto: multiplicity estimate splits the two corpus regimes") {
     val ev = Tables.events(spark, sf0001)
     // event-stream regime: ~1 event per (key, hop) — the corpus shape

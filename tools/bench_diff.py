@@ -33,6 +33,37 @@ import subprocess
 import sys
 
 
+def _expand_from_history(path, partial):
+    """Match a partial (truncated or summary-line) queries dict to its
+    full-precision row in BENCH_HISTORY.jsonl (append-only, one row per
+    Bench run — the builder's AND the driver's post-round run, so no run
+    overwrites another's ledger). A history row is THE run iff every
+    query name shared with the partial agrees within 3-decimal rounding;
+    newest rows win. Returns the full dict or None."""
+    hist = os.path.join(os.path.dirname(os.path.abspath(path)),
+                        "BENCH_HISTORY.jsonl")
+    if not os.path.exists(hist) or not partial:
+        return None
+    rows = []
+    with open(hist) as f:
+        for ln in f:
+            ln = ln.strip()
+            if ln:
+                try:
+                    rows.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    pass
+    for row in reversed(rows):
+        full = row.get("queries")
+        if not isinstance(full, dict):
+            continue
+        shared = set(full) & set(partial)
+        if len(shared) >= min(5, len(partial)) and all(
+                abs(full[q] - partial[q]) <= 2e-3 for q in shared):
+            return full
+    return None
+
+
 def load_queries(path):
     with open(path) as f:
         d = json.load(f)
@@ -40,11 +71,16 @@ def load_queries(path):
         d = d["parsed"]
     q = d.get("queries")
     if isinstance(q, dict) and q:
-        return q
-    # Driver BENCH_r{N}.json files often carry parsed=null and only a
-    # (possibly truncated) "tail" string holding the JSON line — regex
-    # out every "name":seconds pair instead of failing (judge round-8
-    # finding: the tool exited on exactly the files it was written for).
+        # a round-14+ summary line marks how many sub-second entries were
+        # cut for the tail-capture budget; 0 omitted = already complete
+        if d.get("omitted", 0) == 0:
+            return q
+        return _expand_from_history(path, q) or q
+    # Driver BENCH_r{N}.json files before round 14 carry parsed=null and
+    # only a (possibly truncated) "tail" string holding the JSON line —
+    # regex out every "name":seconds pair instead of failing (judge
+    # round-8 finding: the tool exited on exactly the files it was
+    # written for), then try to recover the full set from the history.
     tail = d.get("tail")
     if isinstance(tail, str):
         # require a ',' or '}' after the number so a value whose digits
@@ -53,7 +89,7 @@ def load_queries(path):
         q = {m.group(1): float(m.group(2))
              for m in re.finditer(r'"(q[^"]*)":(-?\d+(?:\.\d+)?)[,}]', tail)}
         if q:
-            return q
+            return _expand_from_history(path, q) or q
     raise SystemExit(f"{path}: no queries dict found")
 
 
