@@ -64,19 +64,39 @@ object WindowOps {
     iv.days * 86400000000L + iv.microseconds
   }
 
-  /** Measured (key, hop-window) multiplicity — the default plan's
-    * partial-aggregation reduction factor — from a deterministic KEY
-    * sample. Whole keys are kept or dropped (`pmod(xxhash64(key),
-    * keySampleMod) == 0`), so group sizes are observed exactly, not
-    * thinned the way a row sample would thin them (a p-row-sample
-    * shrinks every group ~p× and reads as multiplicity ~1 regardless of
-    * the true regime). The sampled rows replay the same epoch-aligned
-    * hop expansion the default plan performs, so the ratio
-    * `expanded rows / distinct (key, hop)` IS the reduction the partial
-    * agg would achieve. Cost: one two-column scan with a 1/keySampleMod
-    * filter before the explode — vs the main query's full-width scan +
-    * shuffle, noise at any scale. Returns 1.0 (the conservative
-    * worst-case-for-default regime) on an empty sample.
+  /** Measured WITHIN-MAP-PARTITION (key, hop-window) multiplicity — the
+    * default plan's partial-aggregation reduction factor — from a
+    * deterministic KEY sample over a BOUNDED file subset.
+    *
+    * Two sampling rules, each load-bearing:
+    *  - Whole keys are kept or dropped (`pmod(xxhash64(key),
+    *    keySampleMod) == 0`), so group sizes are observed exactly, not
+    *    thinned the way a row sample would thin them (a p-row-sample
+    *    shrinks every group ~p× and reads as multiplicity ~1 regardless
+    *    of the true regime).
+    *  - Whole FILES are read or skipped ([[graft.Sessions.boundedFileSample]],
+    *    default ≤64 MiB), bounding estimator I/O to O(sample bytes)
+    *    instead of O(corpus) — the r13 shape pruned ROWS but still
+    *    streamed two columns of everything through the scan (~3 s at
+    *    sf100; a real 100 TB table would make the probe the bottleneck).
+    *
+    * The file bound is unbiased BECAUSE the statistic is per-partition:
+    * groups are counted per (key, hop, FILE) — `input_file_name()` — not
+    * globally. Partial aggregation runs per scan partition, so the
+    * reduction it can achieve is exactly the within-partition group
+    * size: a key with 8 rows spread across 8 files reduces NOTHING
+    * map-side (preShuffle regime) even though its global multiplicity is
+    * 8, while 8 duplicates inside one file reduce 8×. A whole-file
+    * sample observes within-file group sizes exactly, for ANY layout —
+    * clustered or row-scattered — with no correction factor; a global
+    * multiplicity over a file subset would need an unknowable
+    * spread-correction. (Files larger than
+    * `spark.sql.files.maxPartitionBytes` span a few scan partitions, so
+    * per-FILE multiplicity can read ≤~2× high near the threshold; the
+    * 3× pick margin absorbs it.) The sampled rows replay the same
+    * epoch-aligned hop expansion the default plan performs. Returns 1.0
+    * (the conservative worst-case-for-default regime) on an empty
+    * sample.
     */
   def hoppingMultiplicity(
       events: DataFrame,
@@ -84,26 +104,33 @@ object WindowOps {
       keyCol: String = "user_id",
       size: String = "10 minutes",
       slide: String = "2 minutes",
-      keySampleMod: Int = 64): Double = {
+      keySampleMod: Int = 64,
+      maxSampleBytes: Long = 64L << 20): Double = {
     val sizeUs = intervalUs(size)
     val slideUs = intervalUs(slide)
     require(sizeUs % slideUs == 0, s"size $size must be a multiple of slide $slide")
-    val ts =
-      if (events.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) col(tsCol)
-      else col(tsCol).cast("timestamp")
-    val e = unix_micros(ts)
-    val aligned = e - pmod(e, lit(slideUs))
     // memoized per (plan, input size): repeated pivots over the same
-    // corpus pay the estimator scan once (~0.3 s at sf0.1, ~3 s at
-    // sf100); changed data re-estimates via the stats key
+    // corpus pay the estimator scan once (~0.3 s at sf0.1; bounded to
+    // the file subset at derived SFs); changed data re-estimates via
+    // the stats key. Stale-estimate harmlessness is spec-pinned
+    // (WindowOpsSpec "stale memo"): a wrong estimate only picks the
+    // other plan, both of which are result-identical.
     graft.Sessions.memoEstimate(events,
-      s"hopmult|$tsCol|$keyCol|$sizeUs|$slideUs|$keySampleMod") {
-      val row = events
+      s"hopmult|$tsCol|$keyCol|$sizeUs|$slideUs|$keySampleMod|$maxSampleBytes") {
+      val (src, _, _) =
+        graft.Sessions.boundedFileSample(events, Seq(keyCol, tsCol), maxSampleBytes)
+      val ts =
+        if (src.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) col(tsCol)
+        else col(tsCol).cast("timestamp")
+      val e = unix_micros(ts)
+      val aligned = e - pmod(e, lit(slideUs))
+      val row = src
         .filter(pmod(xxhash64(col(keyCol)), lit(keySampleMod.toLong)) === 0)
         .select(col(keyCol).as("_k"), explode(
-          sequence(aligned - lit(sizeUs - slideUs), aligned, lit(slideUs))).as("_ws"))
+          sequence(aligned - lit(sizeUs - slideUs), aligned, lit(slideUs))).as("_ws"),
+          input_file_name().as("_f"))
         .agg(count(lit(1)).as("_n"),
-          approx_count_distinct(struct(col("_k"), col("_ws"))).as("_g"))
+          approx_count_distinct(struct(col("_k"), col("_ws"), col("_f"))).as("_g"))
         .head()
       val n = row.getAs[Long]("_n")
       val g = row.getAs[Long]("_g")

@@ -96,6 +96,58 @@ class WindowOpsSpec extends SparkSpec {
     assert(mHigh > 6.0 && mHigh < 10.0, s"duplicated multiplicity $mHigh")
   }
 
+  test("hopping multiplicity: bounded file subset, unchanged estimate and pick") {
+    // the estimator must not scan the corpus it is sizing: an 8-file
+    // layout with a ~2-file byte budget reads 2 files and still lands
+    // the same regime call as the full scan (per-partition multiplicity
+    // is layout-local, so a whole-file sample is unbiased by construction)
+    val dir = java.nio.file.Files.createTempDirectory("hopmult").toString
+    Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_type")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val ev = spark.read.parquet(dir)
+    val (view, total, read) =
+      graft.Sessions.boundedFileSample(ev, Seq("user_id", "ts"), maxBytes = 1L)
+    assert(total == 8 && read == 2, s"read $read of $total files")
+    assert(view.inputFiles.length == 2)
+    graft.Sessions.clearEstimates()
+    val bounded = WindowOps.hoppingMultiplicity(ev, keySampleMod = 1, maxSampleBytes = 1L)
+    graft.Sessions.clearEstimates()
+    val full = WindowOps.hoppingMultiplicity(ev, keySampleMod = 1,
+      maxSampleBytes = Long.MaxValue)
+    // event-stream regime from either view; both below the 3.0 threshold
+    assert(bounded < 1.5 && full < 1.5, s"bounded $bounded full $full")
+    assert(math.abs(bounded - full) < 0.5)
+  }
+
+  test("hopping multiplicity is WITHIN-PARTITION: spread duplicates read as ~1, " +
+    "clustered as ~8 — the partial-agg reduction the plans actually trade") {
+    val dir = java.nio.file.Files.createTempDirectory("hopspread").toString
+    val base = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_type")
+      .withColumn("copy", explode(sequence(lit(1L), lit(8L))))
+    // clustered: all 8 copies of a (key, window) in ONE file — map-side
+    // partial agg reduces 8x, the default plan's winning regime
+    base.repartition(8, $"user_id").drop("copy")
+      .write.mode("overwrite").parquet(s"$dir/clustered")
+    // spread: each copy in a DIFFERENT file (partitioned by copy id) —
+    // same global multiplicity 8, but partial agg reduces NOTHING,
+    // so the correct call is preShuffle; a global-multiplicity
+    // estimator over a file subset could never see this
+    base.repartition(8, $"copy").drop("copy")
+      .write.mode("overwrite").parquet(s"$dir/spread")
+    graft.Sessions.clearEstimates()
+    val mClustered = WindowOps.hoppingMultiplicity(
+      spark.read.parquet(s"$dir/clustered"), keySampleMod = 1)
+    val mSpread = WindowOps.hoppingMultiplicity(
+      spark.read.parquet(s"$dir/spread"), keySampleMod = 1)
+    assert(mClustered > 6.0, s"clustered $mClustered")
+    // hash collisions of the 8 copy ids over 8 partitions can co-locate
+    // a couple of copies, so "spread" reads a little above 1 — what
+    // matters is it stays on the preShuffle side of the 3.0 threshold
+    assert(mSpread < 3.0, s"spread $mSpread")
+  }
+
   test("hopping auto: plan pick flips with the regime, results identical") {
     val ev = Tables.events(spark, sf0001)
     val dup = ev.withColumn("_r",
@@ -117,6 +169,33 @@ class WindowOpsSpec extends SparkSpec {
       WindowOps.hoppingPivot(ev, eventTypes = Tables.EventTypes).collect().toSet)
     assert(autoHigh.collect().toSet ==
       WindowOps.hoppingPivot(dup, eventTypes = Tables.EventTypes).collect().toSet)
+  }
+
+  test("stale memo estimate is harmless: a wrong-regime pick still returns " +
+    "exact results") {
+    // Sessions.memoEstimate keys on (semantic hash, stats bytes), so a
+    // same-size corpus rewrite can reuse a stale estimate. Prime the
+    // cache with the WRONG regime for a high-multiplicity corpus and
+    // prove the mis-picked plan is still result-identical — the
+    // harmlessness claim in Sessions' scaladoc, as a spec: estimates
+    // pick plans, they never enter results.
+    val ev = Tables.events(spark, sf0001)
+    val dup = ev.withColumn("_r", explode(sequence(lit(1L), lit(8L)))).drop("_r")
+    graft.Sessions.clearEstimates()
+    // poison dup's own memo key with "multiplicity 1.0" (preShuffle
+    // regime) — the tag mirrors hoppingMultiplicity's defaults
+    val poisoned = graft.Sessions.memoEstimate(dup,
+      "hopmult|ts|user_id|600000000|120000000|64|67108864") { 1.0 }
+    assert(poisoned == 1.0)
+    val auto = WindowOps.hoppingPivotAuto(dup, eventTypes = Tables.EventTypes)
+    // the stale estimate steers auto to preShuffle (wrong regime here:
+    // true multiplicity is ~8)...
+    assert(auto.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM"),
+      "stale estimate should have picked the preShuffle plan")
+    // ...but the result is exactly the default plan's
+    val direct = WindowOps.hoppingPivot(dup, eventTypes = Tables.EventTypes)
+    assert(auto.collect().toSet == direct.collect().toSet)
+    graft.Sessions.clearEstimates()
   }
 
   test("hopping auto: streaming input skips the estimator, keeps window() plan") {
