@@ -59,6 +59,32 @@ class SessionsSpec extends SparkSpec {
     assert(n == 3)
   }
 
+  test("isolatedSession: concurrent per-query widths cannot cross-contaminate " +
+    "(r13 VERDICT nit #1)") {
+    import org.apache.spark.sql.functions.col
+    val parent = spark.conf.get("spark.sql.shuffle.partitions")
+    val sA = Sessions.isolatedSession(spark)
+    val sB = Sessions.isolatedSession(spark)
+    // interleaved writes — the shape that races on a shared session
+    sA.conf.set("spark.sql.shuffle.partitions", "7")
+    sB.conf.set("spark.sql.shuffle.partitions", "13")
+    assert(sA.conf.get("spark.sql.shuffle.partitions") == "7",
+      "B's width clobbered A's clone")
+    assert(sB.conf.get("spark.sql.shuffle.partitions") == "13")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parent,
+      "clone width leaked into the parent session")
+    // the width a query PLANS with is its own session's, resolved at
+    // planning time — build on A, then let B write again, then plan
+    val dfA = sA.read.parquet(s"$sf0001/customer.parquet")
+      .groupBy(col("c_nationkey")).count()
+    sB.conf.set("spark.sql.shuffle.partitions", "29")
+    val planA = dfA.queryExecution.executedPlan.toString
+    assert(planA.contains(", 7)"), s"A must plan 7-wide:\n${planA.take(800)}")
+    // the graft SQL surface survives the clone (registries are
+    // session-scoped; isolatedSession re-registers)
+    assert(!sA.sql("SELECT simhash64('a b c d e') AS s").head().isNullAt(0))
+  }
+
   test("autosize: both confs land on the derived count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val dir = Files.createTempDirectory("graft_autosize")
