@@ -1600,6 +1600,23 @@ object SparkEntry {
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
   }
 
+  /** Adaptive ANN: an IVF index IS provisioned (written first, as an
+    * ingest pipeline would), but at 10 query vectors the volume-based
+    * pick stays with the exact brute scan — so the auto hash-matches
+    * the same exact oracle as q_sim_topk while exercising the full
+    * decision path (index presence probe + memoized query count). The
+    * flip to the index at high volume is spec-asserted
+    * (SimilaritySpec) and measured (SCALE.md r14).
+    */
+  private def qSimTopkAuto(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // per-process fixed path + overwrite (same rationale as qSimIvfPq)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_auto_fixture_${ProcessHandle.current().pid()}"
+    Similarity.ivfWriteIndex(emb, idx)
+    Similarity.simTopKAuto(emb.filter(col("vec_id") < 10), emb, k = 5,
+      indexPath = Some(idx))
+  }
+
   private def qMlFeatures(s: SparkSession, dir: String): DataFrame =
     Trainer.trainingFrame(s, dir)
 
@@ -2565,6 +2582,7 @@ object SparkEntry {
     "q_embed_dim_stats" -> (qEmbedDimStats _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_sim_topk" -> (qSimTopk _),
+    "q_sim_topk_auto" -> (qSimTopkAuto _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -2650,7 +2668,7 @@ object SparkEntry {
     "q_hopping_pivot",
     "q_rolling_600s", "q_latest_by_key", "q_left_enrich", "q_inner_enrich",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_token_count",
-    "q_sim_topk", "q_topk_orders_per_cust", "q_tumbling_agg",
+    "q_sim_topk", "q_sim_topk_auto", "q_topk_orders_per_cust", "q_tumbling_agg",
     "q_session_window", "q_rollup", "q_salted_agg", "q_skew_join_auto",
     "q_distinct_counts",
     "q_chunk_docs", "q_pack_sequences", "q_sample_stratified",
@@ -2879,7 +2897,7 @@ object SparkEntry {
       |      ), '  ', ' ')), ' ') AS bpe_text
       |  FROM documents, mm)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -4735,4 +4753,11 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin
   )
+
+  /** Oracle table: the base map plus alias rows — adaptive operators
+    * hash-matched verbatim against the exact plan they must reproduce
+    * at fixture volume.
+    */
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q_sim_topk_auto" -> oracleSqlBase("q_sim_topk"))
 }

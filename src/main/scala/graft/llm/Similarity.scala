@@ -633,6 +633,63 @@ object Similarity {
     }
   }
 
+  /** Adaptive ANN top-k — the fourth adaptive operator (after
+    * hoppingPivotAuto / asOfJoinAuto / saltedJoinAuto): picks the exact
+    * brute-force scan vs the materialized IVF index from the measured
+    * QUERY VOLUME, the regime split SCALE.md's third decade measured but
+    * r13 left as caller knowledge ("brute still wins at 10 queries ×
+    * 2 M vectors — the index pays with query VOLUME").
+    *
+    * Why volume is the axis: brute cost grows ≈ |queries| × |corpus|
+    * dot products (the corpus scan amortizes across queries inside one
+    * pass, but the compute doesn't), while the index path pays a fixed
+    * setup (centroid read + probe ranking + driver IN-list) plus a scan
+    * of the probed-cell UNION — which saturates at nprobe/nlist of the
+    * corpus as queries grow. Low volume: setup dominates, brute wins.
+    * High volume: per-query compute dominates, the ~nlist/nprobe-fold
+    * work reduction wins. The crossover is measured, not asserted —
+    * SCALE.md r14 "ANN: when does the index pay?" (sf10, 2 M vectors:
+    * brute degrades linearly with volume, the index stays flat; the
+    * measured crossover sits well under `queryThreshold`'s default on
+    * every corpus tried, so the default is conservative toward brute,
+    * the exact answer).
+    *
+    * Decision inputs, both O(small): |queries| (exact count of the
+    * query relation — small by the operator's own contract, it gets
+    * broadcast either way; memoized per plan+size) and index presence
+    * (one FS existence probe). No index on disk → brute at ANY volume:
+    * fitting KMeans + writing the layout for a single call never
+    * amortizes — build it at ingest with [[ivfWriteIndex]]. Approximate
+    * answers are only ever returned when the caller provisioned an
+    * index, so the auto can't silently trade exactness for speed.
+    */
+  def simTopKAuto(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      indexPath: Option[String] = None,
+      queryThreshold: Long = 64L,
+      nprobe: Int = 4,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val indexReady = indexPath.exists { p =>
+      try {
+        val cp = new org.apache.hadoop.fs.Path(s"$p/centroids")
+        cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp)
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+    val nQueries =
+      if (!indexReady) 0L // decision short-circuits to brute; skip the job
+      else graft.Sessions.memoEstimate(queries, "querycount") {
+        queries.count().toDouble
+      }.toLong
+    if (indexReady && nQueries >= queryThreshold)
+      ivfQueryIndex(queries, indexPath.get, k, nprobe, vecCol, idCol)
+    else
+      bruteForceTopK(queries, corpus, k, vecCol, idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
     * cosine ≥ threshold, candidates from SRP buckets (same machinery as
     * lshTopK but corpus-vs-corpus).

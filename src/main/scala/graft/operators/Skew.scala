@@ -116,13 +116,24 @@ object Skew {
     * The share comes from a seeded row sample (share estimation is
     * unbiased under row sampling, unlike group-size estimation —
     * contrast WindowOps.hoppingMultiplicity, which must sample whole
-    * keys); one narrow single-column scan, nothing else touched.
-    * Returns 0 on an empty sample (reads as "no skew").
+    * keys) over a BOUNDED file subset (`Sessions.boundedFileSample`,
+    * default ≤128 MiB): `sample()` prunes rows after the scan, so
+    * without the file bound the probe still streams one column of the
+    * entire fact — the same O(corpus) estimator I/O r14 removed from
+    * the hopping estimator. A hash-spread file subset estimates the
+    * share unbiasedly for row-scattered and time-partitioned layouts
+    * (the normal fact/event shapes); a fact CLUSTERED by the join key
+    * confines hot keys to few files and the subset can miss them —
+    * raise `maxSampleBytes` (or pass Long.MaxValue) for key-clustered
+    * layouts. Mis-estimation is performance-only either way: both picks
+    * are result-identical (SkewSpec). Returns 0 on an empty sample
+    * (reads as "no skew").
     */
   def factSkewFactor(
       fact: DataFrame,
       factKey: String,
-      sampleFraction: Double = 0.01): Double = {
+      sampleFraction: Double = 0.01,
+      maxSampleBytes: Long = 128L << 20): Double = {
     val spark = fact.sparkSession
     // Width from the FACT's own byte-derived autosize target, not the
     // session conf: the harnesses autosize AFTER query construction, so
@@ -139,10 +150,12 @@ object Skew {
     // not measured — no reason to pin it into the cached value);
     // memoized per (plan, input size) — see Sessions.memoEstimate
     val share = graft.Sessions.memoEstimate(fact,
-      s"skewshare|$factKey|$sampleFraction") {
+      s"skewshare|$factKey|$sampleFraction|$maxSampleBytes") {
+      val (src, _, _) =
+        graft.Sessions.boundedFileSample(fact, Seq(factKey), maxSampleBytes)
       val sampled =
-        if (sampleFraction >= 1.0) fact.select(col(factKey))
-        else fact.select(col(factKey)).sample(sampleFraction, 7L)
+        if (sampleFraction >= 1.0) src.select(col(factKey))
+        else src.select(col(factKey)).sample(sampleFraction, 7L)
       val row = sampled.groupBy(col(factKey)).count()
         .agg(max(col("count")).as("mx"), sum(col("count")).as("tot"))
         .head()

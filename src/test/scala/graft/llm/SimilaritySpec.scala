@@ -86,6 +86,39 @@ class SimilaritySpec extends SparkSpec {
       s"expected cell IN (...) partition pruning in:\n${plan.take(3000)}")
   }
 
+  test("simTopKAuto: query volume + index presence flip the pick; low volume " +
+    "stays exact") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val path = java.nio.file.Files.createTempDirectory("ivf_auto").toString
+    val few = emb.filter(col("vec_id") < 10)
+    // 1) no index on disk → brute at ANY volume (never silently
+    // approximate; never pay a KMeans fit for one call)
+    graft.Sessions.clearEstimates()
+    val noIdx = Similarity.simTopKAuto(emb, emb, k = 5,
+      indexPath = Some(s"$path/absent"), queryThreshold = 1L)
+    assert(!noIdx.queryExecution.optimizedPlan.toString.contains("cell"),
+      "missing index must fall back to brute force (no probed-cell machinery)")
+    // 2) index present, low volume → still brute (= exact; the operator
+    // only trades exactness when the caller provisioned an index AND
+    // the volume pays for it)
+    Similarity.ivfWriteIndex(emb, path)
+    graft.Sessions.clearEstimates()
+    val low = Similarity.simTopKAuto(few, emb, k = 5, indexPath = Some(path))
+    assert(!low.queryExecution.optimizedPlan.toString.contains("cell"),
+      "10 queries < threshold must stay brute")
+    assert(low.collect().toSet ==
+      Similarity.bruteForceTopK(few, emb, k = 5).collect().toSet)
+    // 3) index present, high volume → the index path, result ≡ a direct
+    // ivfQueryIndex call
+    graft.Sessions.clearEstimates()
+    val high = Similarity.simTopKAuto(few, emb, k = 5, indexPath = Some(path),
+      queryThreshold = 10L)
+    assert(high.queryExecution.optimizedPlan.toString.contains("cell"),
+      "at/above threshold the auto must route through the probed-cell index")
+    assert(high.collect().toSet ==
+      Similarity.ivfQueryIndex(few, path, k = 5).collect().toSet)
+  }
+
   test("embeddingNearDups hot-bucket cap bounds a degenerate vector cluster") {
     val rnd = new java.util.Random(11)
     def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)

@@ -96,6 +96,31 @@ class SkewSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  test("factSkewFactor: bounded file subset agrees with the full scan on a " +
+    "spread (row-scattered) layout") {
+    val dir = java.nio.file.Files.createTempDirectory("skewbound").toString
+    val ev = Tables.events(spark, sf0001)
+    val hotKey = Tables.customer(spark, sf0001)
+      .select(col("c_custkey")).head().getLong(0)
+    // 60 %-hot corpus, round-robin spread over 8 files — the normal
+    // fact/event layout the bounded estimator must stay unbiased on
+    ev.withColumn("user_id",
+      when(pmod(col("event_id"), lit(100)) < 60, lit(hotKey))
+        .otherwise(col("user_id")))
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val hot = spark.read.parquet(dir)
+    graft.Sessions.clearEstimates()
+    val bounded = Skew.factSkewFactor(hot, "user_id",
+      sampleFraction = 1.0, maxSampleBytes = 1L)
+    graft.Sessions.clearEstimates()
+    val full = Skew.factSkewFactor(hot, "user_id",
+      sampleFraction = 1.0, maxSampleBytes = Long.MaxValue)
+    // same side of every sensible threshold, and close in value
+    assert(bounded >= 2.0 && full >= 2.0, s"bounded $bounded full $full")
+    assert(math.abs(bounded - full) / full < 0.25,
+      s"bounded $bounded deviates from full $full")
+  }
+
   test("saltedJoinAuto validates joinType up front, even when the data is " +
     "uniform and the direct branch would accept it (r13 ADVICE)") {
     val ev = Tables.events(spark, sf0001)
