@@ -109,7 +109,10 @@ object Bench {
     // would silently break every downstream JSON parse
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val bySecDesc = results.sortBy { case (_, v) => -v }
+    // failures (-1) sort FIRST — a crashed query must never be cut from
+    // the summary line by the omission budget
+    val bySecDesc = results.sortBy { case (_, v) =>
+      if (v < 0) Double.NegativeInfinity else -v }
     val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"ledger":"BENCH_HISTORY.jsonl","""
     // the omitted-count digits and closing braces are part of the fixed
     // cost; reserve generously (",\"omitted\":NN,\"queries\":{}}" < 30)

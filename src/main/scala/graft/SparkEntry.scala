@@ -849,6 +849,24 @@ object SparkEntry {
       .select(col("event_id"), col("value"), col("tier"))
   }
 
+  /** Adaptive range lookup: the bucket width is DERIVED from the dim's
+    * measured median interval length (here 75: lengths 50/50/100/300)
+    * instead of the hand-picked 50 — result identical by construction
+    * (the residual filter is exact), hash-matched against the same
+    * BETWEEN-join oracle as q_range_lookup.
+    */
+  private def qRangeLookupAuto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq(
+      (0.0, 50.0, "low"), (50.0, 100.0, "mid"),
+      (100.0, 200.0, "high"), (200.0, 500.0, "peak"))
+      .toDF("lo", "hi", "tier")
+    Joins.rangeLookupJoinAuto(
+      Tables.events(s, dir).select(col("event_id"), col("value")),
+      "value", tiers, "lo", "hi")
+      .select(col("event_id"), col("value"), col("tier"))
+  }
+
   /** CUBE over (status, priority) with ALL-coalesced subtotal rows —
     * the grouping-sets companion of q_rollup.
     */
@@ -2513,6 +2531,7 @@ object SparkEntry {
     "q_resample" -> (qResample _),
     "q_unpivot" -> (qUnpivot _),
     "q_range_lookup" -> (qRangeLookup _),
+    "q_range_lookup_auto" -> (qRangeLookupAuto _),
     "q_cube" -> (qCube _),
     "q_full_outer" -> (qFullOuter _),
     "q_pseudonymize" -> (qPseudonymize _),
@@ -4759,5 +4778,6 @@ object SparkEntry {
     * at fixture volume.
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
-    "q_sim_topk_auto" -> oracleSqlBase("q_sim_topk"))
+    "q_sim_topk_auto" -> oracleSqlBase("q_sim_topk"),
+    "q_range_lookup_auto" -> oracleSqlBase("q_range_lookup"))
 }

@@ -366,7 +366,8 @@ object Joins {
       dim: DataFrame,
       loCol: String,
       hiCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val exploded = dim.withColumn("_bucket",
       explode(sequence(
         floor(col(loCol) / bucketWidth).cast("long"),
@@ -377,6 +378,51 @@ object Joins {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("_bucket")
   }
+
+  /** The width [[rangeLookupJoinAuto]] decides on: the dim's MEDIAN
+    * interval length (exact percentile — the dim is broadcast-sized by
+    * the operator's own contract, so the probe is a tiny local job;
+    * memoized per plan+size). Public so specs can pin the decision.
+    * Floors at a tiny epsilon for degenerate all-point-interval dims.
+    */
+  def rangeBucketWidth(dim: DataFrame, loCol: String, hiCol: String): Double =
+    math.max(graft.Sessions.memoEstimate(dim, s"rangewidth|$loCol|$hiCol") {
+      // exact interpolating median, not percentile_approx: the dim is
+      // tiny by contract, and approx returns a lower-neighbor DATA value
+      // at even counts where the interpolated midpoint is the honest
+      // "typical length"
+      val r = dim.agg(median((col(hiCol) - col(loCol)).cast("double")).as("m"))
+        .head()
+      if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+    }, 1e-9)
+
+  /** Adaptive range-lookup join — the fifth adaptive operator (after
+    * hoppingPivotAuto / asOfJoinAuto / saltedJoinAuto / simTopKAuto):
+    * derives `bucketWidth` from the dim's measured interval-length
+    * median instead of the caller guess [[rangeLookupJoin]]'s scaladoc
+    * asks for ("pick bucketWidth near the typical interval length").
+    *
+    * The width trades two costs that move in opposite directions:
+    * NARROW buckets replicate each dim interval len/width times through
+    * the broadcast (a 16× under-sized width = 16× broadcast rows and
+    * build-side hash entries); WIDE buckets keep the dim compact but
+    * hand every fact row all intervals sharing its bucket as
+    * candidates, multiplying residual-filter evaluations. At the
+    * median length, replication is ~2 rows per interval while a fact's
+    * candidate set stays proportional to its LOCAL interval density —
+    * both within a small constant of their floors (RangeWidthProbe
+    * measures the sweep; SCALE.md r14). Result is width-invariant
+    * (the residual filter is exact), so mis-estimation is
+    * performance-only — spec-asserted across a 256× width sweep.
+    */
+  def rangeLookupJoinAuto(
+      facts: DataFrame,
+      valueCol: String,
+      dim: DataFrame,
+      loCol: String,
+      hiCol: String): DataFrame =
+    rangeLookupJoin(facts, valueCol, dim, loCol, hiCol,
+      rangeBucketWidth(dim, loCol, hiCol))
 
   /** Key-coercion helper for the reference's string/int key wrinkle
     * (SURVEY.md §2.3: events.user_id STRING vs users.id INTEGER — the

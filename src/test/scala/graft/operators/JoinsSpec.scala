@@ -330,6 +330,36 @@ class JoinsSpec extends SparkSpec {
     assert(tiers == Set("a", "b"))
   }
 
+  test("rangeLookupJoinAuto: width = dim's median interval length; result " +
+    "width-invariant across a 256x sweep") {
+    val facts = Seq((1L, 5.0), (2L, 49.9), (3L, 50.0), (4L, 175.0), (5L, 320.0))
+      .toDF("id", "v")
+    val dim = Seq((0.0, 50.0, "low"), (50.0, 100.0, "mid"),
+      (100.0, 200.0, "high"), (200.0, 500.0, "peak")).toDF("lo", "hi", "tier")
+    // decision pinned: median of lengths {50, 50, 100, 300} = 75
+    graft.Sessions.clearEstimates()
+    val w = Joins.rangeBucketWidth(dim, "lo", "hi")
+    assert(w == 75.0, s"width $w")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("tier"))).toSet
+    val auto = rows(Joins.rangeLookupJoinAuto(facts, "v", dim, "lo", "hi"))
+    // the residual filter makes the result exact at ANY width —
+    // mis-estimation can only cost time, never rows
+    for (width <- Seq(0.5, 8.0, 75.0, 128.0)) {
+      assert(rows(Joins.rangeLookupJoin(facts, "v", dim, "lo", "hi", width)) == auto,
+        s"width $width diverged")
+    }
+    assert(auto == Set((1L, "low"), (2L, "low"), (3L, "mid"), (4L, "high"),
+      (5L, "peak")))
+    // degenerate dim (all point intervals) still yields a positive width
+    val pts = Seq((1.0, 1.0, "p")).toDF("lo", "hi", "tier")
+    graft.Sessions.clearEstimates()
+    assert(Joins.rangeBucketWidth(pts, "lo", "hi") > 0.0)
+    intercept[IllegalArgumentException] {
+      Joins.rangeLookupJoin(facts, "v", dim, "lo", "hi", 0.0)
+    }
+  }
+
   test("coerceKey normalizes string/int key wrinkle before join") {
     val facts = Seq(("1", 10.0), ("2", 20.0)).toDF("user_id", "v")
     val dim = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
