@@ -119,6 +119,37 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfQueryIndex(few, path, k = 5).collect().toSet)
   }
 
+  test("IVF coarse quantizer: bounded sample-fit keeps recall parity with " +
+    "full fit (r14 — Lloyd's must not iterate a 100 TB corpus)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(maxFit: Long): Double = {
+      graft.Sessions.clearEstimates()
+      val (assigned, centroids) =
+        Similarity.fitQuantizer(emb, 16, 42L, "embedding", "vec_id", maxFit)
+      val probed = Similarity.probeCells(q, centroids, 4, "embedding", "vec_id")
+      val approx = Similarity.rankTopK(
+        assigned.join(broadcast(probed),
+            assigned("cell") === probed("cell") &&
+              col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+              .as("cos_sim")), 5)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val rFull = recallOf(Long.MaxValue)
+    // cap of 50 on the 200-vector fixture forces mod=4 (~50 fit vectors)
+    val rSample = recallOf(50L)
+    assert(rSample >= rFull - 0.2,
+      s"sample-fit recall $rSample vs full-fit $rFull")
+    // deterministic: same cap → same centroids → same recall
+    assert(recallOf(50L) == rSample)
+  }
+
   test("embeddingNearDups hot-bucket cap bounds a degenerate vector cluster") {
     val rnd = new java.util.Random(11)
     def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
