@@ -322,6 +322,52 @@ class PropertySpec extends SparkSpec {
       assert(got == arr.count(_ <= v), s"arr=$arr v=$v")
     }
   }
+
+  test("property: rangeLookupJoinAuto == brute BETWEEN join on random dims, " +
+    "negative domains and overlaps included") {
+    // guards the bucket machinery (floor division of NEGATIVE values,
+    // sequence bounds, residual filter, auto width derivation) against
+    // the semantic definition: fact matches interval iff lo <= v < hi
+    val ivGen = for {
+      lo <- Gen.choose(-500.0, 450.0)
+      len <- Gen.oneOf(Gen.choose(0.5, 5.0), Gen.choose(20.0, 200.0))
+    } yield (lo, lo + len)
+    val vGen = Gen.choose(-520.0, 700.0)
+    for (i <- 0 until 4) {
+      val ivs = samples(Gen.listOfN(12, ivGen), 1).head
+        .zipWithIndex.map { case ((lo, hi), j) => (lo, hi, s"t$j") }
+      val vs = samples(Gen.listOfN(40, vGen), 1).head
+        .zipWithIndex.map { case (v, j) => (j.toLong + i * 1000, v) }
+      val dim = ivs.toDF("lo", "hi", "tier")
+      val facts = vs.toDF("id", "v")
+      graft.Sessions.clearEstimates()
+      val got = Joins.rangeLookupJoinAuto(facts, "v", dim, "lo", "hi")
+        .select("id", "tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = (for {
+        (id, v) <- vs
+        (lo, hi, t) <- ivs if v >= lo && v < hi
+      } yield (id, t)).toSet
+      assert(got == want, s"round $i: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("rangeBucketWidth: a catch-all wide interval is replication-clamped, " +
+    "result unchanged") {
+    val dim = (Seq((0.0, 1e9, "all")) ++
+      (0 until 9).map(j => (j * 10.0, j * 10.0 + 5.0, s"t$j")))
+      .toDF("lo", "hi", "tier")
+    graft.Sessions.clearEstimates()
+    val w = Joins.rangeBucketWidth(dim, "lo", "hi")
+    // median length 5 would replicate the [0, 1e9) row 2e8 times; the
+    // clamp keeps the widest interval at <= 4096 buckets
+    assert(w >= 1e9 / 4096 - 1e-6, s"width $w")
+    val facts = Seq((1L, 3.0), (2L, 47.0), (3L, 5e8)).toDF("id", "v")
+    val got = Joins.rangeLookupJoinAuto(facts, "v", dim, "lo", "hi")
+      .select("id", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "all"), (1L, "t0"), (2L, "all"), (3L, "all")))
+  }
 }
 
 /** Plain-Scala shingle reference used by the property tests. */
