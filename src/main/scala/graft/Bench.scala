@@ -104,13 +104,25 @@ object Bench {
     // must not land between the line and process exit, where it would
     // eat into the tail capture's 2000-char budget
     spark.stop()
-    val lineBudget = 1800
+    println(summaryLine(results, sfDir))
+  }
+
+  /** The tail-capture-safe stdout ledger line: entries sorted by seconds
+    * descending (failures, -1, always FIRST — a crashed query must never
+    * be cut by the omission budget), added greedily while the line stays
+    * under `lineBudget` chars, the rest counted under "omitted". Pure —
+    * BenchSpec pins the budget, ordering, failure-visibility and
+    * JSON-validity invariants the driver's 2000-char capture relies on.
+    */
+  private[graft] def summaryLine(
+      results: Seq[(String, Double)],
+      sfDir: String,
+      lineBudget: Int = 1800): String = {
     // Locale.ROOT: a comma decimal separator from the platform locale
     // would silently break every downstream JSON parse
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    // failures (-1) sort FIRST — a crashed query must never be cut from
-    // the summary line by the omission budget
+    val total = results.map(_._2).filter(_ >= 0).sum
     val bySecDesc = results.sortBy { case (_, v) =>
       if (v < 0) Double.NegativeInfinity else -v }
     val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"ledger":"BENCH_HISTORY.jsonl","""
@@ -125,7 +137,7 @@ object Bench {
       if (used + e.length + 1 <= lineBudget) { entries += e; used += e.length + 1 }
       else omitted += 1
     }
-    println(head + "\"omitted\":" + omitted + ",\"queries\":" +
-      entries.mkString("{", ",", "}") + "}")
+    head + "\"omitted\":" + omitted + ",\"queries\":" +
+      entries.mkString("{", ",", "}") + "}"
   }
 }
