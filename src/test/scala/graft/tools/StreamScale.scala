@@ -36,6 +36,9 @@ object StreamScale {
     val big = opt("big").getOrElse("target/scaledata/sf1")
     val lateness = opt("lateness").getOrElse("10 minutes")
     val rocksdb = args.contains("--rocksdb")
+    // third-decade runs (sf100: ~500 M state entries, state ≫ heap) are
+    // RocksDB-only territory and long — skip the scored flagship leg
+    val pivotOnly = args.contains("--pivot-only")
 
     require(new java.io.File(big).isDirectory,
       s"big dir $big missing — run graft.tools.ScaleCorpus first")
@@ -85,6 +88,8 @@ object StreamScale {
       Tables.events(spark, small), eventTypes = Tables.EventTypes).count()
     println(s"[check] batch pivot rows at small SF = $batchRows " +
       s"(streaming state $rS; equal => stream emitted the full result)")
+
+    if (pivotOnly) { spark.stop(); return }
 
     // ---- the full SCORED flagship (reference README.md:41-74 pipeline):
     // hopping pivot -> dim/order enrichment -> predict UDF, streamed
