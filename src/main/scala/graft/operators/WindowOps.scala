@@ -138,6 +138,63 @@ object WindowOps {
     }
   }
 
+  /** Estimated UPPER BOUND on the hopping pivot's live state rows —
+    * distinct (key, hop-window) groups — from the same bounded file
+    * sample the multiplicity estimator reads. The STREAMING sizing
+    * input: the state-store provider choice
+    * ([[graft.streaming.Streaming.stateProviderFor]]) needs the live
+    * entry count BEFORE the query starts, and over-estimating is the
+    * safe direction there (pay the measured RocksDB tax) while
+    * under-estimating is an OOM, so this deliberately estimates a
+    * bound, not the expectation.
+    *
+    * Two components, take the smaller:
+    *  - `rows × hops` — every expanded (event, hop) pair its own group;
+    *    exact worst case, O(footers) to compute (parquet count).
+    *  - per-file distinct (key, hop, file) scaled from the bounded
+    *    sample by file count — Σ over files of within-file groups
+    *    counts a globally-shared group once per file it touches, so the
+    *    full-corpus statistic is ≥ the true group count; much tighter
+    *    than `rows × hops` whenever duplicates cluster. File-sampling
+    *    variance and `approx_count_distinct`'s ±few-% can wobble the
+    *    scaled figure either way; the decision's heap-fraction margin
+    *    (not this estimator) absorbs that, same division of labor as
+    *    the multiplicity estimator's 3× pick margin.
+    *
+    * Memoized like every plan-choice estimate (stale values pick a
+    * provider, never enter a result).
+    */
+  def hoppingStateUpperBound(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      size: String = "10 minutes",
+      slide: String = "2 minutes",
+      maxSampleBytes: Long = 64L << 20): Long = {
+    val sizeUs = intervalUs(size)
+    val slideUs = intervalUs(slide)
+    require(sizeUs % slideUs == 0, s"size $size must be a multiple of slide $slide")
+    val hops = sizeUs / slideUs
+    graft.Sessions.memoEstimate(events,
+      s"hopstate|$tsCol|$keyCol|$sizeUs|$slideUs|$maxSampleBytes") {
+      val trivial = events.count().toDouble * hops
+      val (src, total, read) =
+        graft.Sessions.boundedFileSample(events, Seq(keyCol, tsCol), maxSampleBytes)
+      val ts =
+        if (src.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) col(tsCol)
+        else col(tsCol).cast("timestamp")
+      val e = unix_micros(ts)
+      val aligned = e - pmod(e, lit(slideUs))
+      val perFile = src
+        .select(col(keyCol).as("_k"), explode(
+          sequence(aligned - lit(sizeUs - slideUs), aligned, lit(slideUs))).as("_ws"),
+          input_file_name().as("_f"))
+        .agg(approx_count_distinct(struct(col("_k"), col("_ws"), col("_f"))).as("_g"))
+        .head().getAs[Long]("_g")
+      math.min(trivial, perFile.toDouble * total / read).max(1.0)
+    }.toLong
+  }
+
   /** Adaptive hopping pivot — picks the plan from the measured key
     * multiplicity, so the regime split SCALE.md measured (second
     * decade: default plan wins when the partial agg genuinely reduces,

@@ -39,10 +39,23 @@ object Streaming {
     * every fixture format (the round-10 regression was exactly these two
     * paths diverging).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val (schema, normalizeTs) = Tables.eventsReadSpec(spark, dir)
+    // maxFilesPerTrigger bounds each micro-batch: without it,
+    // AvailableNow replays the WHOLE backlog as one batch, whose live
+    // shuffle footprint scales with the corpus (measured: ≥28 GB at
+    // sf100 — a single-batch replay of 1 B events is a disk-capacity
+    // bug, not a throughput feature; production streams see bounded
+    // batches by arrival anyway)
+    val reader = spark.readStream.schema(schema)
+    val bounded = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n.toString))
+      .getOrElse(reader)
     // glob form: the file source wants a directory/glob, not a bare file
-    normalizeTs(spark.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
+    normalizeTs(bounded.parquet(s"$dir/events*.parquet"))
   }
 
   /** Streaming read of the documents fixture — the continuously-ingesting
@@ -120,9 +133,133 @@ object Streaming {
 
   /** ST3 production posture: bound state with a watermark (documented
     * deviation from ksql 5.4's unbounded-retention default).
+    *
+    * REPLAY caveat: a watermark assumes arrival order ≈ event-time
+    * order. Replaying a hash-partitioned corpus in bounded micro-batches
+    * violates that — batch 1 spans the whole time range, the watermark
+    * jumps to global-max − delay, and every later batch's rows are
+    * "late" and silently dropped (measured at sf10: 2/3 of the corpus
+    * gone, caught by StreamScale's state≡batch check). Multi-batch
+    * replays of unordered files must pass an effectively-infinite
+    * delay ([[ReplayLateness]]); a live stream keeps the real one.
     */
   def withLateness(df: DataFrame, delay: String = "10 minutes"): DataFrame =
     df.withWatermark("ts", delay)
+
+  /** Effectively-infinite watermark delay for bounded-batch replays of
+    * non-time-ordered files (see [[withLateness]]'s replay caveat):
+    * late-drop never fires, state is never early-evicted — the same
+    * end-state a single-batch AvailableNow replay produces.
+    */
+  val ReplayLateness = "36500 days"
+
+  val DefaultStateProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  val RocksDbStateProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** In-heap bytes per live state entry for the hopping-pivot shape
+    * (key struct + windowed counts + min/max ts), as REPORTED by the
+    * default provider's `stateOperators.memoryUsedBytes` at the sf1
+    * decade point: 1.61 GB peak across progresses ÷ 4.96 M peak rows =
+    * 324.8 B (StateHeapProbe; SCALE.md §"Round 14: state-store
+    * provider"). A sizing constant, not a physics one: wider
+    * aggregation values scale it linearly, and the decision's
+    * heap-fraction margin covers the shape variation the probe
+    * measured.
+    */
+  val MeasuredStateBytesPerEntry = 325L
+
+  /** ST6 sizing decision: which state-store provider can hold
+    * `estStateRows` live entries. The default provider keeps every
+    * loaded version's map ON HEAP (`numVersionsToRetainInMemory` = 2
+    * in-flight copies while a new version commits) and wins the
+    * measured 1.7–1.9× RocksDB tax while that fits
+    * (SCALE.md: 5 M and 50 M entries); RocksDB keeps state in native
+    * memory + local SST files and is the only provider that survives
+    * state ≫ heap — the third streaming decade's territory. The flip
+    * is the conservative inequality: estimated live bytes × retained
+    * versions must fit in `heapFraction` of the heap (the rest is the
+    * query's own working set: shuffle, sink batches, codegen). Wrong
+    * in the safe direction by construction when fed
+    * [[graft.operators.WindowOps.hoppingStateUpperBound]] — an
+    * over-estimate pays the documented tax, never an OOM.
+    */
+  def stateProviderFor(
+      estStateRows: Long,
+      heapBytes: Long = Runtime.getRuntime.maxMemory,
+      bytesPerEntry: Long = MeasuredStateBytesPerEntry,
+      retainedVersions: Int = 2,
+      heapFraction: Double = 0.5): String = {
+    require(estStateRows >= 0 && heapBytes > 0 && bytesPerEntry > 0 &&
+      retainedVersions > 0 && heapFraction > 0)
+    val need = BigInt(estStateRows) * bytesPerEntry * retainedVersions
+    if (need <= BigInt((heapBytes * heapFraction).toLong)) DefaultStateProvider
+    else RocksDbStateProvider
+  }
+
+  /** No-knob provider choice for a file-backed event stream over `dir`:
+    * estimate the pivot's live state from the stream's BATCH twin (an
+    * unbounded source can't be sampled, but a file stream's directory
+    * can — a Kafka deployment would sample a bounded offset range the
+    * same way), pick the provider, and return an isolated session
+    * (private SQLConf — [[graft.Sessions.isolatedSession]]) carrying
+    * it. BUILD the streaming query on the returned session: provider
+    * class resolves from the constructing session's conf, and the
+    * isolation means concurrent queries with different state scales
+    * cannot cross-contaminate, the same contract as per-query
+    * shuffle-width autosizing. `heapBytes` is the state-holding JVM's
+    * heap: this process in local mode (the default), the per-executor
+    * heap on a cluster.
+    */
+  def autoStateSession(
+      spark: SparkSession,
+      dir: String,
+      size: String = "10 minutes",
+      slide: String = "2 minutes",
+      heapBytes: Long = Runtime.getRuntime.maxMemory): (SparkSession, String) = {
+    val est = WindowOps.hoppingStateUpperBound(
+      Tables.events(spark, dir), size = size, slide = slide)
+    val provider = stateProviderFor(est, heapBytes = heapBytes)
+    val s2 = graft.Sessions.isolatedSession(spark)
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    // a RocksDB pick means the state-≫-heap regime — its checkpoint
+    // posture is part of the same decision (measured: the defaults
+    // killed the sf100 pivot on DISK, not heap)
+    if (provider == RocksDbStateProvider) applyBigStateConfs(s2)
+    (s2, provider)
+  }
+
+  /** Checkpoint posture for state ≫ heap streaming jobs. Two confs,
+    * both disk-side — at large state the checkpoint, not the heap, is
+    * what fails first (measured, third streaming decade: with the
+    * defaults the sf100 pivot's ~500 M-entry state accumulated a full
+    * SST snapshot per micro-batch under `minBatchesToRetain`'s
+    * 100-batch retention, passed 19 GB of checkpoint plus 30 GB of
+    * working SSTs, and died on ENOSPC mid-run):
+    *  - RocksDB changelog checkpointing uploads per-batch DELTAS and
+    *    snapshots only periodically, so checkpoint growth tracks
+    *    CHANGE volume, not state volume × batches;
+    *  - retaining 2 committed batches (the minimum that keeps
+    *    last-batch recovery) caps what maintenance must keep.
+    * Recovery semantics are unchanged — StreamingSpec's mid-stream
+    * restart test passes under this posture. Returns the session for
+    * chaining.
+    *
+    * Builder-side companion (context-level, so it cannot be set here):
+    * long replay jobs also want `spark.cleaner.periodicGC.interval`
+    * lowered (e.g. 60s) — shuffle-file cleanup is GC-driven, and a
+    * large heap under no allocation pressure never GCs, so finished
+    * micro-batches' shuffle files accumulate unboundedly (measured:
+    * 29 GB of stale blocks in 9 min at sf100; StreamScale sets it).
+    */
+  def applyBigStateConfs(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    spark
+  }
 
   /** Run a streaming DataFrame to completion over the finite fixture
     * (Trigger.AvailableNow) into a memory sink; return the materialized

@@ -218,6 +218,10 @@ class StreamingSpec extends SparkSpec {
     // and the final upsert view must equal the batch entry exactly.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // run the restart under the big-state checkpoint posture too:
+    // changelog checkpointing + 2-batch retention must RESTORE state,
+    // not just write less of it (the posture's whole recovery claim)
+    Streaming.applyBigStateConfs(spark)
     try {
       val stage = java.nio.file.Files.createTempDirectory("flag_stage").toString
       val hold = java.nio.file.Files.createTempDirectory("flag_hold").toString
@@ -267,8 +271,12 @@ class StreamingSpec extends SparkSpec {
       val batch = graft.SparkEntry.entry(spark).collect().toSet
       assert(batch.nonEmpty && state == batch,
         s"changelog state ${state.size} rows vs batch ${batch.size}")
-    } finally
+    } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
   }
 
   test("ST7: restart against the same checkpoint replays nothing (exactly-once offsets)") {
@@ -573,6 +581,53 @@ class StreamingSpec extends SparkSpec {
       val b2 = rs.filter(_._1 > 10L).map(_._4)
       if (b1.nonEmpty && b2.nonEmpty) assert(b2.min > b1.max)
     }
+  }
+
+  test("state-store provider auto-choice: threshold flip, bound estimator, isolated session") {
+    import Streaming._
+    // the flip, pinned with explicit parameters so recalibrating the
+    // measured bytes/entry constant can't silently move this test:
+    // need = rows × bytesPerEntry × versions vs heapFraction × heap
+    assert(stateProviderFor(100L, heapBytes = 800L, bytesPerEntry = 2L,
+      retainedVersions = 2, heapFraction = 0.5) == DefaultStateProvider)
+    assert(stateProviderFor(101L, heapBytes = 800L, bytesPerEntry = 2L,
+      retainedVersions = 2, heapFraction = 0.5) == RocksDbStateProvider)
+    // and the decade anchors under the measured default constants
+    // (SCALE.md: 5 M entries in-heap wins, ~500 M is RocksDB territory)
+    assert(stateProviderFor(5000000L, heapBytes = 32L << 30) == DefaultStateProvider)
+    assert(stateProviderFor(500000000L, heapBytes = 32L << 30) == RocksDbStateProvider)
+
+    // the estimator is a (decision-grade) upper bound: ≥ the true group
+    // count up to approx_count_distinct's few-% wobble, ≤ the exact
+    // rows × hops worst case
+    val events = Tables.events(spark, sf0001)
+    val exact = WindowOps.hoppingPivot(
+      events, eventTypes = Tables.EventTypes).count()
+    val est = WindowOps.hoppingStateUpperBound(events)
+    assert(est >= (exact * 0.9).toLong,
+      s"estimated bound $est fell below the true group count $exact")
+    assert(est <= events.count() * 5)
+
+    // auto: fixture-scale state picks the in-heap provider, the conf
+    // lands on the RETURNED isolated session only, and the stream built
+    // there still matches batch
+    val (s2, p) = autoStateSession(spark, sf0001)
+    assert(p == DefaultStateProvider)
+    assert(s2.conf.get("spark.sql.streaming.stateStore.providerClass") == p)
+    // isolation, proven on the flip side: a heap the fixture's state
+    // does NOT fit forces RocksDB onto a clone, while the parent
+    // session's conf still resolves to the in-heap default
+    val (s3, p3) = autoStateSession(spark, sf0001, heapBytes = 1L << 10)
+    assert(p3 == RocksDbStateProvider)
+    assert(s3.conf.get("spark.sql.streaming.stateStore.providerClass") == p3)
+    assert(spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass") == DefaultStateProvider)
+    val streamed = Streaming.runToMemory(
+      s2, Streaming.hoppingPivotStream(s2, sf0001)).collect().toSet
+    val batch = WindowOps.hoppingPivot(
+      events, eventTypes = Tables.EventTypes).collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
   }
 
   test("streaming exact distinct (stateful dedup) ≡ batch DISTINCT") {

@@ -39,18 +39,41 @@ object StreamScale {
     // third-decade runs (sf100: ~500 M state entries, state ≫ heap) are
     // RocksDB-only territory and long — skip the scored flagship leg
     val pivotOnly = args.contains("--pivot-only")
+    // ... and need the big-state checkpoint posture: with the defaults
+    // (full snapshot per batch × 100-batch retention) the sf100 leg
+    // filled the disk and died on ENOSPC before finishing
+    val bigstate = args.contains("--bigstate")
+    // bound each micro-batch (both legs, so the ratio compares like
+    // shapes): a whole-backlog AvailableNow batch's LIVE shuffle scales
+    // with the corpus — periodic GC can only reclaim FINISHED batches.
+    // Bounded batches over hash-partitioned (non-time-ordered) files
+    // REQUIRE the replay watermark (withLateness's replay caveat):
+    // with the real lateness, every post-first batch is below the
+    // watermark and silently dropped — measured before the state≡batch
+    // check failed, 185 MB changelog vs 579 MB.
+    val maxFiles = opt("max-files").map(_.toInt)
+    val effLateness =
+      if (maxFiles.isDefined) Streaming.ReplayLateness else lateness
 
     require(new java.io.File(big).isDirectory,
       s"big dir $big missing — run graft.tools.ScaleCorpus first")
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Shuffle-file cleanup is GC-driven (ContextCleaner collects
+    // ShuffleDependency refs): a big heap under no allocation pressure
+    // never GCs during a long replay, so every finished micro-batch's
+    // shuffle files linger — measured 29 GB of stale blocks in 9 min at
+    // sf100, ENOSPC before half the leg. Context-level conf, so it must
+    // be set HERE, not in applyBigStateConfs (whose scaladoc documents
+    // this builder-side companion).
+    if (bigstate) builder.config("spark.cleaner.periodicGC.interval", "60s")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (rocksdb) {
       // operational posture comparison: the same pipeline under the
@@ -59,12 +82,18 @@ object StreamScale {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       println("[stream-scale] state store: RocksDB")
     }
+    if (bigstate) {
+      Streaming.applyBigStateConfs(spark)
+      println("[stream-scale] big-state checkpoint posture: " +
+        "changelog checkpointing + minBatchesToRetain=2")
+    }
 
     def run(dir: String): (Double, Long) = {
       val out = java.nio.file.Files
         .createTempDirectory("stream_scale").toString + "/changelog"
       val pivot = WindowOps.hoppingPivot(
-        Streaming.withLateness(Streaming.eventsStream(spark, dir), lateness),
+        Streaming.withLateness(
+          Streaming.eventsStream(spark, dir, maxFiles), effLateness),
         eventTypes = Tables.EventTypes)
       val t0 = System.nanoTime()
       Streaming.sinkChangelog(pivot, out)
