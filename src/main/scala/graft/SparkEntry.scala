@@ -2348,6 +2348,22 @@ object SparkEntry {
   private def qStreamHoppingPivot(s: SparkSession, dir: String): DataFrame =
     Streaming.runToMemory(s, Streaming.hoppingPivotStream(s, dir))
 
+  /** The hopping pivot executed incrementally on the session
+    * [[Streaming.autoStateSession]] returns — the sixth adaptive
+    * element (state-store provider sized from the bounded live-state
+    * bound) run through the full estimate → pick → isolated-session →
+    * execute path, hash-checked against the same batch oracle as
+    * q_stream_hopping_pivot: the provider choice may move cost, never
+    * results. At fixture volume the estimate fits the heap so the pick
+    * is the in-heap default; the RocksDB side of the flip is pinned in
+    * StreamingSpec (forced-small heap) and measured at scale in
+    * SCALE.md's third streaming decade.
+    */
+  private def qStreamAutoState(s: SparkSession, dir: String): DataFrame = {
+    val (s2, _) = Streaming.autoStateSession(s, dir)
+    Streaming.runToMemory(s2, Streaming.hoppingPivotStream(s2, dir))
+  }
+
   /** Stream-STREAM interval join executed incrementally: both sides are
     * watermarked streams with two-sided join state (ksql `JOIN … WITHIN`),
     * not a stream-static enrich. Shares a plain-SQL oracle: the finite
@@ -2620,6 +2636,7 @@ object SparkEntry {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_stream_hopping_pivot" -> (qStreamHoppingPivot _),
+    "q_stream_auto_state" -> (qStreamAutoState _),
     "q_stream_interval_join" -> (qStreamIntervalJoin _),
     "q_stream_changelog_pivot" -> (qStreamChangelogPivot _),
     "q_stream_flagship" -> (qStreamFlagship _),
@@ -4779,5 +4796,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "q_sim_topk_auto" -> oracleSqlBase("q_sim_topk"),
-    "q_range_lookup_auto" -> oracleSqlBase("q_range_lookup"))
+    "q_range_lookup_auto" -> oracleSqlBase("q_range_lookup"),
+    "q_stream_auto_state" -> oracleSqlBase("q_stream_hopping_pivot"))
 }
