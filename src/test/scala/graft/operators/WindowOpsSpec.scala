@@ -148,6 +148,46 @@ class WindowOpsSpec extends SparkSpec {
     assert(mSpread < 3.0, s"spread $mSpread")
   }
 
+  test("hopping state bound: safe across layouts — tight when duplicates cluster, " +
+    "over-estimating (never under) when they spread") {
+    // the provider decision's failure asymmetry (over-estimate = pay the
+    // RocksDB tax, under-estimate = OOM) means the ONE property the
+    // estimator must hold on ANY file layout is bound ≥ truth; tightness
+    // is only required where the sample can actually see the duplicates
+    val dir = java.nio.file.Files.createTempDirectory("hopstate").toString
+    val base = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_type")
+      .withColumn("copy", explode(sequence(lit(1L), lit(8L))))
+    // clustered: all copies of a (key, window) in one file — the sample
+    // sees the duplication, so the per-file statistic is ≈ the truth
+    base.repartition(8, $"user_id").drop("copy")
+      .write.mode("overwrite").parquet(s"$dir/clustered")
+    // spread: each copy in a different file — within a file every group
+    // looks unique, so the scaled statistic over-counts shared groups
+    // (once per file they touch), landing ABOVE the truth: safe
+    base.repartition(8, $"copy").drop("copy")
+      .write.mode("overwrite").parquet(s"$dir/spread")
+    val clustered = spark.read.parquet(s"$dir/clustered")
+    val spreadDf = spark.read.parquet(s"$dir/spread")
+    val truth = WindowOps.hoppingPivot(clustered, eventTypes = types).count()
+    val rowsTimesHops = clustered.count() * 5 // 10 min size / 2 min slide
+    graft.Sessions.clearEstimates()
+    val bClustered = WindowOps.hoppingStateUpperBound(clustered, maxSampleBytes = 1L)
+    graft.Sessions.clearEstimates()
+    val bSpread = WindowOps.hoppingStateUpperBound(spreadDf, maxSampleBytes = 1L)
+    assert(bClustered >= (truth * 0.9).toLong,
+      s"clustered bound $bClustered under-estimates truth $truth")
+    assert(bSpread >= (truth * 0.9).toLong,
+      s"spread bound $bSpread under-estimates truth $truth")
+    // neither escapes the exact rows × hops worst case (the min arm)
+    assert(bClustered <= rowsTimesHops && bSpread <= rowsTimesHops)
+    // layout sensitivity, both directions: visible duplicates keep the
+    // bound tight; invisible (spread) ones push it toward the worst case
+    assert(bClustered <= truth * 2, s"clustered bound $bClustered vs truth $truth")
+    assert(bSpread >= bClustered,
+      s"spread $bSpread should over-count vs clustered $bClustered")
+  }
+
   test("hopping auto: plan pick flips with the regime, results identical") {
     val ev = Tables.events(spark, sf0001)
     val dup = ev.withColumn("_r",
