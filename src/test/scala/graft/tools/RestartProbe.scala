@@ -1,0 +1,148 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+import graft.model.Tables
+import graft.operators.WindowOps
+import graft.streaming.Streaming
+
+/** Crash-recovery (RTO) probe for the big-state streaming posture
+  * (SCALE.md §"state-store provider"): StreamingSpec pins that a
+  * GRACEFULLY stopped query restarts correctly at fixture scale; this
+  * measures what a production operator actually cares about — a HARD
+  * crash (`Runtime.halt`, no shutdown hooks, no stop()) mid-replay
+  * with tens of millions of live state entries, then the wall cost of
+  * coming back: state restore from the RocksDB changelog checkpoint,
+  * re-run of the in-flight batch, completion of the backlog, and a
+  * distributed equality check against the batch answer.
+  *
+  * Two JVM invocations sharing `--work` (the crash phase halts the
+  * JVM, so it cannot also resume):
+  *
+  *   WORK=$(mktemp -d)
+  *   sbt "Test/runMain graft.tools.RestartProbe --dir=target/scaledata/sf10 \
+  *     --work=$WORK --phase=crash --crash-after=4"   # exits 137 BY DESIGN
+  *   sbt "Test/runMain graft.tools.RestartProbe --dir=target/scaledata/sf10 \
+  *     --work=$WORK --phase=resume"
+  *
+  * The resume phase prints `restore_first_batch_s` (time from start()
+  * to the first committed batch — checkpoint offset recovery + RocksDB
+  * state restore + one batch) and `total_s`, then verifies the
+  * compacted changelog equals the batch hopping pivot via two-sided
+  * `except` — the at-least-once foreachBatch sink re-runs the
+  * in-flight batch after a crash, and the (key, batch) compaction in
+  * readChangelogState must absorb that replay exactly.
+  */
+object RestartProbe {
+
+  def main(args: Array[String]): Unit = {
+    def opt(name: String): Option[String] =
+      args.collectFirst { case a if a.startsWith(s"--$name=") =>
+        a.drop(name.length + 3) }
+    val dir = opt("dir").getOrElse("target/scaledata/sf10")
+    val work = opt("work").getOrElse(
+      sys.error("--work=<dir> required (must be the SAME dir in both phases)"))
+    val phase = opt("phase").getOrElse("crash")
+    val crashAfter = opt("crash-after").map(_.toInt).getOrElse(4)
+    val maxFiles = opt("max-files").map(_.toInt).getOrElse(4)
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // long-replay companion (see applyBigStateConfs scaladoc)
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Streaming.RocksDbStateProvider)
+    Streaming.applyBigStateConfs(spark)
+
+    val ck = s"$work/ck"
+    val out = s"$work/changelog"
+    def pivotStream() = WindowOps.hoppingPivot(
+      Streaming.withLateness(
+        Streaming.eventsStream(spark, dir, Some(maxFiles)),
+        Streaming.ReplayLateness),
+      eventTypes = Tables.EventTypes)
+
+    phase match {
+      case "crash" =>
+        println(s"[restart] phase=crash dir=$dir work=$work " +
+          s"halting after $crashAfter committed batches")
+        spark.streams.addListener(new StreamingQueryListener {
+          private var batches = 0
+          override def onQueryStarted(
+              e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(
+              e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(
+              e: StreamingQueryListener.QueryProgressEvent): Unit = {
+            if (e.progress.numInputRows > 0) {
+              batches += 1
+              println(s"[restart] committed batch ${e.progress.batchId} " +
+                s"(${e.progress.numInputRows} rows, $batches/$crashAfter)")
+              if (batches >= crashAfter) {
+                println(s"[restart] HALT (simulated crash, exit 137 is the point)")
+                Console.flush()
+                Runtime.getRuntime.halt(137)
+              }
+            }
+          }
+        })
+        val q = Streaming.changelogWriter(pivotStream(), out)
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // reaching here means the corpus finished before crashAfter
+        // batches — the probe needs a bigger corpus or smaller batches
+        println(s"[restart] WARNING: replay completed before the crash " +
+          s"point; use a larger --dir or smaller --max-files")
+
+      case "resume" =>
+        require(new java.io.File(ck).isDirectory,
+          s"checkpoint $ck missing — run --phase=crash first")
+        println(s"[restart] phase=resume dir=$dir work=$work")
+        val t0 = System.nanoTime()
+        @volatile var firstBatchS = -1.0
+        spark.streams.addListener(new StreamingQueryListener {
+          override def onQueryStarted(
+              e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(
+              e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(
+              e: StreamingQueryListener.QueryProgressEvent): Unit =
+            if (e.progress.numInputRows > 0 && firstBatchS < 0)
+              firstBatchS = (System.nanoTime() - t0) / 1e9
+        })
+        val q = Streaming.changelogWriter(pivotStream(), out)
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val totalS = (System.nanoTime() - t0) / 1e9
+        println(f"[restart] resume OK restore_first_batch_s=$firstBatchS%.1f " +
+          f"total_s=$totalS%.1f")
+
+        // distributed equality: compacted changelog ≡ batch pivot,
+        // two-sided except (no sampling, no hashing caveats)
+        val state = Streaming.readChangelogState(
+          spark, out, Seq("user_id", "w_start"))
+        val batch = WindowOps.hoppingPivot(
+          Tables.events(spark, dir), eventTypes = Tables.EventTypes)
+        val stateRows = state.count()
+        val batchRows = batch.count()
+        val onlyState = state.exceptAll(batch).count()
+        val onlyBatch = batch.exceptAll(state).count()
+        println(s"[restart] state_rows=$stateRows batch_rows=$batchRows " +
+          s"only_state=$onlyState only_batch=$onlyBatch " +
+          (if (stateRows == batchRows && onlyState == 0 && onlyBatch == 0)
+            "VERIFIED" else "MISMATCH"))
+        spark.stop()
+
+      case other => sys.error(s"unknown --phase=$other (crash|resume)")
+    }
+  }
+}
