@@ -320,6 +320,20 @@ class StreamingSpec extends SparkSpec {
     val state = Streaming.readChangelogState(spark, dir, Seq("user"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(state == Map("a" -> 2L, "b" -> 1L))
+
+    // crash semantics, in-suite: foreachBatch is AT-LEAST-ONCE — after a
+    // mid-batch crash the restarted query re-runs the in-flight batch
+    // and appends its rows AGAIN under the same _batch_id (RestartProbe
+    // demonstrates this under an actual Runtime.halt at sf10). The
+    // compacted view must absorb that replay exactly: duplicate the
+    // last batch's rows verbatim and re-read.
+    val lastId = raw.agg(max("_batch_id")).head().getLong(0)
+    raw.filter(col("_batch_id") === lastId)
+      .write.mode("append").parquet(dir)
+    val afterReplay = Streaming.readChangelogState(spark, dir, Seq("user"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterReplay == state,
+      s"at-least-once batch replay changed the upsert view: $afterReplay")
   }
 
   test("streaming dedup drops in-watermark duplicates, keeps distinct events") {
