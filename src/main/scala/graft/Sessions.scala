@@ -201,6 +201,39 @@ object Sessions {
     */
   def clearEstimates(): Unit = estimateCache.clear()
 
+  /** One adaptive-plan pick: which plan an *Auto operator chose, from
+    * what measured estimate, against what threshold. For
+    * parameter-DERIVING decisions (range-lookup bucket width) the
+    * derived value is in `choice` and `threshold` is 0.
+    */
+  final case class Decision(
+      op: String, estimate: Double, threshold: Double, choice: String)
+
+  // The operability face of the adaptive layer: every *Auto operator
+  // (and autoStateSession) appends its pick here at decision time, so
+  // "why did this query run salted?" is answerable in-process —
+  // Sessions.decisions — instead of from executor logs. Observational
+  // only (estimates pick plans, never enter results): bounded FIFO,
+  // lock-free, clearable.
+  private val decisionLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[Decision]()
+  private val MaxDecisions = 1024
+
+  def recordDecision(
+      op: String, estimate: Double, threshold: Double, choice: String): Unit = {
+    decisionLog.add(Decision(op, estimate, threshold, choice))
+    while (decisionLog.size > MaxDecisions) { decisionLog.poll(); () }
+  }
+
+  /** Recorded picks, oldest first (capped at the newest 1024). */
+  def decisions: Seq[Decision] = {
+    val b = Seq.newBuilder[Decision]
+    decisionLog.forEach(d => b += d)
+    b.result()
+  }
+
+  def clearDecisions(): Unit = decisionLog.clear()
+
   private def applyConfs(spark: SparkSession, n: Int): Int = {
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     spark.conf.set(

@@ -711,7 +711,12 @@ object Similarity {
       else graft.Sessions.memoEstimate(queries, "querycount") {
         queries.count().toDouble
       }.toLong
-    if (indexReady && nQueries >= queryThreshold)
+    val useIndex = indexReady && nQueries >= queryThreshold
+    graft.Sessions.recordDecision("simTopKAuto", nQueries.toDouble,
+      queryThreshold.toDouble,
+      if (useIndex) "ivfIndex"
+      else if (indexReady) "brute" else "brute(noIndex)")
+    if (useIndex)
       ivfQueryIndex(queries, indexPath.get, k, nprobe, vecCol, idCol)
     else
       bruteForceTopK(queries, corpus, k, vecCol, idCol)

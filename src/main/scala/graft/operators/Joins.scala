@@ -232,7 +232,13 @@ object Joins {
         org.apache.spark.sql.types.LongType)
     val bothIntegral = integral(left.schema(leftTsSec).dataType) &&
       integral(right.schema(rightTsSec).dataType)
-    if (bothIntegral && asOfHistorySize(right, rightTsSec) <= historyThreshold)
+    val hist = if (bothIntegral) asOfHistorySize(right, rightTsSec) else -1L
+    val useBroadcast = bothIntegral && hist <= historyThreshold
+    graft.Sessions.recordDecision("asOfJoinAuto", hist.toDouble,
+      historyThreshold.toDouble,
+      if (useBroadcast) "broadcast"
+      else if (bothIntegral) "shuffle" else "shuffle(nonIntegralTs)")
+    if (useBroadcast)
       asOfJoinBroadcast(left, right, leftKey, rightKey, leftTsSec, rightTsSec,
         rightPayload)
     else
@@ -435,9 +441,12 @@ object Joins {
       valueCol: String,
       dim: DataFrame,
       loCol: String,
-      hiCol: String): DataFrame =
-    rangeLookupJoin(facts, valueCol, dim, loCol, hiCol,
-      rangeBucketWidth(dim, loCol, hiCol))
+      hiCol: String): DataFrame = {
+    val w = rangeBucketWidth(dim, loCol, hiCol)
+    // parameter-deriving decision: the measured median IS the pick
+    graft.Sessions.recordDecision("rangeLookupJoinAuto", w, 0.0, s"bucketWidth=$w")
+    rangeLookupJoin(facts, valueCol, dim, loCol, hiCol, w)
+  }
 
   /** Key-coercion helper for the reference's string/int key wrinkle
     * (SURVEY.md §2.3: events.user_id STRING vs users.id INTEGER — the

@@ -196,10 +196,13 @@ object Skew {
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"saltedJoinAuto supports inner/left joins, got $joinType")
     val s = factSkewFactor(fact, factKey, sampleFraction)
-    if (s < skewThreshold)
+    if (s < skewThreshold) {
+      graft.Sessions.recordDecision("saltedJoinAuto", s, skewThreshold, "direct")
       fact.join(dim, fact(factKey) === dim(dimKey), joinType)
-    else {
+    } else {
       val buckets = math.ceil(s / 4.0).toInt.max(2).min(16)
+      graft.Sessions.recordDecision("saltedJoinAuto", s, skewThreshold,
+        s"salted(buckets=$buckets)")
       saltedJoin(fact, dim, factKey, dimKey, buckets, joinType)
     }
   }

@@ -221,9 +221,13 @@ object WindowOps {
       eventTypes: Seq[String],
       multiplicityThreshold: Double = 3.0,
       keySampleMod: Int = 64): DataFrame = {
-    val pre = !events.isStreaming &&
-      hoppingMultiplicity(events, tsCol, keyCol, size, slide, keySampleMod) <
-        multiplicityThreshold
+    val streamingIn = events.isStreaming
+    val mult = if (streamingIn) -1.0
+      else hoppingMultiplicity(events, tsCol, keyCol, size, slide, keySampleMod)
+    val pre = !streamingIn && mult < multiplicityThreshold
+    graft.Sessions.recordDecision("hoppingPivotAuto", mult, multiplicityThreshold,
+      if (pre) "preShuffle"
+      else if (streamingIn) "default(streaming)" else "default")
     hoppingPivot(events, tsCol, keyCol, size, slide, eventCol, eventTypes,
       preShuffle = pre)
   }

@@ -221,6 +221,10 @@ object Streaming {
     val est = WindowOps.hoppingStateUpperBound(
       Tables.events(spark, dir), size = size, slide = slide)
     val provider = stateProviderFor(est, heapBytes = heapBytes)
+    // threshold in the estimate's own unit: live rows that fit the heap
+    graft.Sessions.recordDecision("autoStateSession", est.toDouble,
+      heapBytes * 0.5 / (MeasuredStateBytesPerEntry * 2.0),
+      provider.split('.').last)
     val s2 = graft.Sessions.isolatedSession(spark)
     s2.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     // a RocksDB pick means the state-≫-heap regime — its checkpoint

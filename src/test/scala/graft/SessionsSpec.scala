@@ -101,4 +101,31 @@ class SessionsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     }
   }
+
+  test("decision ledger: adaptive picks are recorded, bounded, clearable") {
+    import graft.model.Tables
+    Sessions.clearDecisions()
+    // every family member records at decision time, with the pick the
+    // fixture's shape forces
+    val ev = Tables.events(spark, sf0001)
+    graft.operators.WindowOps.hoppingPivotAuto(
+      ev, eventTypes = Tables.EventTypes)
+    val (_, provider) = graft.streaming.Streaming.autoStateSession(spark, sf0001)
+    val ds = Sessions.decisions
+    val hop = ds.find(_.op == "hoppingPivotAuto").get
+    assert(hop.choice == "preShuffle" && hop.estimate < hop.threshold,
+      s"fixture events are the low-multiplicity regime: $hop")
+    val st = ds.find(_.op == "autoStateSession").get
+    assert(st.choice == provider.split('.').last && st.estimate < st.threshold,
+      s"fixture state fits the heap: $st")
+    // bounded FIFO: overflow evicts oldest, never grows past the cap
+    Sessions.clearDecisions()
+    (1 to 1100).foreach(i =>
+      Sessions.recordDecision("probe", i.toDouble, 0.0, "x"))
+    val after = Sessions.decisions
+    assert(after.size == 1024, s"got ${after.size}")
+    assert(after.head.estimate == 77.0 && after.last.estimate == 1100.0)
+    Sessions.clearDecisions()
+    assert(Sessions.decisions.isEmpty)
+  }
 }
