@@ -72,12 +72,19 @@ object ProfileQuery {
       // steady-state: memo warm from the last rep — what a long-lived
       // session pays per call after the first (adaptive queries only
       // differ here by their estimator cost)
+      graft.Sessions.clearDecisions()
       val t0 = System.nanoTime()
       val dfSteady = q(spark, sfDir)
       graft.Sessions.autosizeFor(dfSteady)
       force(dfSteady)
       val steady = (System.nanoTime() - t0) / 1e9
       println(f"[prof] $name%-32s best  ${times.min}%8.3f s  median ${times.sorted.apply(times.size / 2)}%8.3f s  steady  $steady%8.3f s")
+      // adjudication context: the adaptive picks this query made at THIS
+      // SF (from the steady rep — same memoized estimates as the timed
+      // ones). A regression that coincides with a flipped pick is a
+      // decision-boundary problem, not an operator problem.
+      graft.Sessions.decisions.foreach(d => println(
+        f"[prof] $name%-32s pick  ${d.op}: ${d.choice} (estimate ${d.estimate}%.3g vs threshold ${d.threshold}%.3g)"))
     }
     spark.stop()
   }
