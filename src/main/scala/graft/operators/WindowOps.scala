@@ -155,11 +155,17 @@ object WindowOps {
     *    sample by file count — Σ over files of within-file groups
     *    counts a globally-shared group once per file it touches, so the
     *    full-corpus statistic is ≥ the true group count; much tighter
-    *    than `rows × hops` whenever duplicates cluster. File-sampling
-    *    variance and `approx_count_distinct`'s ±few-% can wobble the
-    *    scaled figure either way; the decision's heap-fraction margin
-    *    (not this estimator) absorbs that, same division of labor as
-    *    the multiplicity estimator's 3× pick margin.
+    *    than `rows × hops` whenever duplicates cluster. The Σ statistic
+    *    is ≥ truth DETERMINISTICALLY only over ALL files; a file sample
+    *    of it is unbiased with between-file variance either way
+    *    (spec-pinned: a 2-of-8 clustered sample can sit well under the
+    *    mean), on top of `approx_count_distinct`'s ±few-%; the
+    *    decision's heap-fraction margin (not this estimator) absorbs
+    *    that, same division of labor as the multiplicity estimator's 3×
+    *    pick margin. The default sample is 128 MiB — twice the
+    *    multiplicity estimator's — because this estimate feeds an
+    *    OOM-guard, and doubling the file count halves the wobble for a
+    *    still-bounded probe.
     *
     * Memoized like every plan-choice estimate (stale values pick a
     * provider, never enter a result).
@@ -170,7 +176,7 @@ object WindowOps {
       keyCol: String = "user_id",
       size: String = "10 minutes",
       slide: String = "2 minutes",
-      maxSampleBytes: Long = 64L << 20): Long = {
+      maxSampleBytes: Long = 128L << 20): Long = {
     val sizeUs = intervalUs(size)
     val slideUs = intervalUs(slide)
     require(sizeUs % slideUs == 0, s"size $size must be a multiple of slide $slide")
