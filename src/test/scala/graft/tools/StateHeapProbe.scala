@@ -62,6 +62,12 @@ object StateHeapProbe {
     val est = WindowOps.hoppingStateUpperBound(Tables.events(spark, dir))
     println(s"[probe] dir=$dir heap=${heap / (1 << 20)}MiB " +
       s"est_state_rows=$est provider=${provider.split('.').last}")
+    graft.Sessions.decisions.foreach(d => println(
+      f"[probe] pick ${d.op}: ${d.choice} (estimate ${d.estimate}%.4g vs threshold ${d.threshold}%.4g)"))
+    // --decide-only: print the sizing decision and stop — the pick at a
+    // decade point is evidence on its own (the replay it would gate is
+    // measured separately) and costs seconds, not the full run
+    if (args.contains("--decide-only")) { spark.stop(); return }
 
     val out = java.nio.file.Files
       .createTempDirectory("state_probe").toString + "/changelog"
