@@ -805,6 +805,21 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Adaptive decontamination: at fixture scale the corpus's leaf stats
+    * sit under the Bloom crossover, so the auto picks the exact shingle
+    * join — and both plans are bit-identical anyway, so the auto shares
+    * q_decontaminate's oracle at ANY pick. Flip + guard spec-asserted
+    * (TextOpsSpec), crossover measured (DecontamProbe, SCALE.md r14).
+    */
+  private def qDecontamAuto(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.decontaminateAuto(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      threshold = 0.2)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Streaming exact distinct on (user_id, event_type) — stateful dedup
     * whose key-only projection shares the batch DISTINCT oracle.
     */
@@ -2663,6 +2678,7 @@ object SparkEntry {
     "q_outlier_filter" -> (qOutlierFilter _),
     "q_winsorize" -> (qWinsorize _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontam_auto" -> (qDecontamAuto _),
     "q_split_assign" -> (qSplitAssign _),
     "q_corpus_order" -> (qCorpusOrder _),
     "q_curriculum_order" -> (qCurriculumOrder _),
@@ -2710,7 +2726,8 @@ object SparkEntry {
     "q_chunk_docs", "q_pack_sequences", "q_sample_stratified",
     "q_stats_profile", "q_lm_score", "q_top_ngrams", "q_sim_pq",
     "q18_large_orders", "q_fuzzy_match", "q_retention_cohort",
-    "q_bloom_decontaminate", "q_zorder", "q_funnel", "q_resample",
+    "q_bloom_decontaminate", "q_decontam_auto", "q_zorder", "q_funnel",
+    "q_resample",
     "q10_returned_customers", "q7_volume_shipping", "q_window_suite",
     "q_boilerplate", "q_oov_rate", "q_semantic_dedup", "q_mad", "q_scd2",
     "q_span_trim", "q_corpus_pipeline", "q_trailing_distinct",
@@ -4603,6 +4620,7 @@ object SparkEntry {
         |FROM documents d JOIN b USING (source)""".stripMargin,
     "q_decontaminate" -> decontaminateOracle,
     "q_bloom_decontaminate" -> decontaminateOracle,
+    "q_decontam_auto" -> decontaminateOracle,
     "q_split_assign" ->
       """SELECT doc_id, source,
         |  CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'

@@ -517,6 +517,117 @@ object TextOps {
     corpus.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** Fraction of corpus shingles that would SURVIVE the Bloom prefilter
+    * (≈ the shingle hit rate against the benchmark set), estimated on a
+    * bounded deterministic file sample of the corpus — the decision
+    * input [[decontaminateAuto]] prices the prefilter with. One left
+    * join + one agg over ≤ `sampleBytes` of corpus text against the
+    * benchmark's distinct shingle hashes (small by the operator's
+    * premise). Between-file variance is both-ways unbiased for a
+    * hash-spread sample (the hoppingStateUpperBound lesson) — absorbed
+    * here by the threshold sitting mid-regime, far from both measured
+    * extremes. Returns 0.0 for an unshingleable sample (nothing would
+    * shuffle either way).
+    */
+  def bloomSurvivorShare(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      w: Int = 3,
+      sampleBytes: Long = 64L << 20): Double = {
+    val (sample, _, _) =
+      graft.Sessions.boundedFileSample(corpus, Seq(textCol), sampleBytes)
+    val sampleSh = sample.select(
+      explode(graft.functions.TextHashExpressions
+        .shingle_hashes(col(textCol), w)).as("sh"))
+    val benchSh = benchmark
+      .select(explode(graft.functions.TextHashExpressions
+        .shingle_hashes(col(textCol), w)).as("b_sh"))
+      .distinct()
+    val r = sampleSh.join(benchSh, col("sh") === col("b_sh"), "left")
+      .agg(count(lit(1)), count(col("b_sh"))).head()
+    if (r.getLong(0) == 0L) 0.0
+    else r.getLong(1).toDouble / r.getLong(0)
+  }
+
+  /** Adaptive decontamination — the seventh adaptive element (after
+    * hoppingPivotAuto / asOfJoinAuto / saltedJoinAuto / simTopKAuto /
+    * rangeLookupJoinAuto / autoStateSession): picks [[decontaminate]]
+    * (exact shingle join) vs [[decontaminateBloom]] (broadcast-Bloom
+    * prefilter). Both plans emit the bit-identical relation (same
+    * rounded-ratio threshold, same unshingleable-doc handling —
+    * q_decontaminate and q_bloom_decontaminate share one oracle), so
+    * unlike simTopKAuto this pick can never trade exactness; it only
+    * prices the two plans' cost structures:
+    *
+    *  - exact: one corpus shingle pass, but EVERY exploded shingle
+    *    crosses the probe-join exchange;
+    *  - Bloom: the corpus is scanned twice (per-doc totals + survivor
+    *    hits) and the benchmark pays a fixed build (distinct + count +
+    *    Bloom aggregate + broadcast), but only true hits + fpp·clean
+    *    shingles reach any exchange.
+    *
+    * The deciding regime variable is NOT corpus size alone — it is the
+    * SURVIVOR SHARE. DecontamProbe measured (SCALE.md r14): against a
+    * low-overlap benchmark (share ≈ 0, the normal production shape —
+    * eval sets barely intersect a crawl) the prefilter wins at every
+    * corpus ≥ ~5 MB (sf1 0.85 s vs 1.07 s; sf10 1.72 s vs 2.09 s),
+    * while against a same-distribution benchmark (share → 1, every
+    * shingle survives) Bloom's second corpus scan + build cost is pure
+    * loss (sf10: 3.19 s vs 2.88 s). So the decision is two-stage:
+    *
+    *  1. corpus under `corpusBytesThreshold` (free leaf-stats check, no
+    *     job) → exact; the fixed Bloom build can't amortize and the
+    *     estimator itself would cost more than the plan delta;
+    *  2. else estimate the survivor share on a bounded corpus sample
+    *     ([[bloomSurvivorShare]], memoized per corpus+benchmark plan) →
+    *     Bloom iff share ≤ `survivorShareThreshold`. The default 0.5
+    *     sits mid-regime between the measured extremes; both measured
+    *     mis-pick costs are mild (≤ ~1.3×) and the asymmetry GROWS
+    *     toward Bloom at cluster scale, where the deleted exchange
+    *     crosses a network instead of local[32] memory.
+    *
+    * Guard: a benchmark whose OWN stats approach the corpus's breaks
+    * the "small benchmark" premise (the build re-scans benchmark-sized
+    * input and broadcasts a filter sized ~0.2× its text bytes);
+    * `maxBenchBytes` caps it (default 4 GiB → ≤ ~0.8 GB broadcast at
+    * 1 % fpp) and the auto falls back to the exact join, which AQE
+    * plans shuffle-side at that size. Decision (the share estimate vs
+    * its threshold, or −1 when stage 1 short-circuited) recorded in
+    * [[graft.Sessions.decisions]].
+    */
+  def decontaminateAuto(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.2,
+      textCol: String = "text",
+      w: Int = 3,
+      fpp: Double = 0.01,
+      corpusBytesThreshold: Long = 32L << 20,
+      survivorShareThreshold: Double = 0.5,
+      maxBenchBytes: Long = 4L << 30): DataFrame = {
+    val corpusBytes = graft.Sessions.statsBytes(corpus)
+    val benchOk = graft.Sessions.statsBytes(benchmark) <= maxBenchBytes
+    val bigEnough = corpusBytes >= corpusBytesThreshold
+    val share =
+      if (!benchOk || !bigEnough) -1.0 // short-circuit: no estimator job
+      else {
+        val bench = s"${benchmark.queryExecution.optimizedPlan.semanticHash()}|" +
+          s"${graft.Sessions.statsBytes(benchmark)}"
+        graft.Sessions.memoEstimate(corpus, s"bloomshare|$bench") {
+          bloomSurvivorShare(corpus, benchmark, textCol, w)
+        }
+      }
+    val useBloom = benchOk && bigEnough && share <= survivorShareThreshold
+    graft.Sessions.recordDecision("decontaminateAuto", share,
+      survivorShareThreshold,
+      if (useBloom) "bloomPrefilter"
+      else if (!benchOk) "exact(benchTooBig)"
+      else if (!bigEnough) "exact(small)" else "exact(highOverlap)")
+    if (useBloom) decontaminateBloom(corpus, benchmark, threshold, textCol, w, fpp)
+    else decontaminate(corpus, benchmark, threshold, textCol, w)
+  }
+
   /** Characteristic character trigrams per language (high-frequency
     * trigrams of each language's function words) — the tiny profile the
     * n-gram language-ID heuristic scores against.

@@ -206,6 +206,67 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sloppy == exact)
   }
+
+  test("decontaminateAuto: corpus bytes flip the pick, the benchmark-size " +
+    "guard forces exact, every pick is result-identical") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val bench = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val exact = TextOps.decontaminate(corpus, bench, threshold = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def lastPick(): graft.Sessions.Decision = {
+      val ds = graft.Sessions.decisions.filter(_.op == "decontaminateAuto")
+      assert(ds.nonEmpty, "auto must record its pick"); ds.last
+    }
+    // 1) fixture corpus sits under the size floor → exact join, and the
+    // decision records NO share estimate (stage 1 is job-free)
+    graft.Sessions.clearDecisions()
+    val small = TextOps.decontaminateAuto(corpus, bench, threshold = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lastPick().choice == "exact(small)")
+    assert(lastPick().estimate == -1.0)
+    assert(small == exact)
+    // 2) past the size floor, a maximal-overlap benchmark (the corpus
+    // itself: every corpus shingle hits) measures share = 1 → the
+    // prefilter would delete no shuffle, the auto stays exact — and the
+    // recorded estimate is a real measured share
+    val exactSelf = TextOps.decontaminate(corpus, corpus, threshold = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Sessions.clearEstimates(); graft.Sessions.clearDecisions()
+    val hot = TextOps.decontaminateAuto(corpus, corpus, threshold = 0.2,
+      corpusBytesThreshold = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lastPick().choice == "exact(highOverlap)",
+      s"self-benchmark must measure share ≈ 1, got ${lastPick()}")
+    assert(lastPick().estimate > 0.99 && lastPick().estimate <= 1.0)
+    assert(hot == exactSelf)
+    // 3) a LOW-overlap benchmark (vowel-substituted: ~no shared
+    // shingles) measures share ≈ 0 → Bloom prefilter, and the
+    // prefiltered plan is still result-identical for ITS benchmark
+    // (the auto never trades exactness, it only re-prices the shuffle)
+    val benchLo = bench.withColumn("text",
+      translate($"text", "aeiou", "01234"))
+    val exactLo = TextOps.decontaminate(corpus, benchLo, threshold = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.Sessions.clearEstimates(); graft.Sessions.clearDecisions()
+    val bloomed = TextOps.decontaminateAuto(corpus, benchLo, threshold = 0.2,
+      corpusBytesThreshold = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lastPick().choice == "bloomPrefilter",
+      s"disjoint benchmark must measure share ≈ 0, got ${lastPick()}")
+    assert(lastPick().estimate < 0.1)
+    assert(bloomed == exactLo)
+    // 4) a benchmark over the broadcast-budget guard forces the exact
+    // join even in the Bloom regime (the "small benchmark" premise the
+    // prefilter's broadcast depends on) — and skips the estimator
+    graft.Sessions.clearDecisions()
+    val guarded = TextOps.decontaminateAuto(corpus, benchLo, threshold = 0.2,
+      corpusBytesThreshold = 1L, maxBenchBytes = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lastPick().choice == "exact(benchTooBig)")
+    assert(guarded == exactLo)
+  }
+
   test("segmentFilter drops short segments and preserves order") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma SEP x y SEP one two three four"))
