@@ -287,7 +287,7 @@ object Joins {
     * `maxBlock` caps DISTINCT-NAME membership per (block × bucket) cell
     * (cf. [[graft.llm.Dedup.simhashNearDups]]'s `maxBucket`): names in
     * hotter cells are excluded from candidate generation — observable
-    * spill, countable from the same groupBy — so one degenerate name
+    * spill, countable from the same window count — so one degenerate name
     * shape can never go quadratic at 100× data. Counting distinct names
     * rather than rows makes the cap a DOMAIN guard: duplicating the
     * corpus never trips it.
@@ -309,11 +309,19 @@ object Joins {
     val capped =
       if (maxBlock == Int.MaxValue) ndist
       else {
-        val ok = ndist.groupBy(col("block"), col("_lb"))
-          .agg(count(lit(1)).as("_n"))
+        // window count, not groupBy+self-join: the cell size is counted
+        // over the SAME shuffle that the filter consumes, so there is no
+        // second relation and no build-side decision. (The previous
+        // aggregate-then-rejoin shape left the build side to AQE; at SFs
+        // where both sides are comparable the pick flapped run-to-run —
+        // PlanAudit caught q_fuzzy_match alternating BuildLeft/BuildRight
+        // — and neither side is safely broadcastable in general: the cell
+        // list approaches |ndist| when every cell is a singleton.)
+        val cell = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("block"), col("_lb"))
+        ndist.withColumn("_n", count(lit(1)).over(cell))
           .filter(col("_n") <= maxBlock)
-          .select(col("block"), col("_lb"))
-        ndist.join(ok, Seq("block", "_lb"))
+          .drop("_n")
       }
     val l = capped
       .withColumn("_probe",
