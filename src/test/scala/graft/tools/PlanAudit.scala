@@ -20,8 +20,12 @@ import org.apache.spark.sql.SparkSession
   * across Spark's internal exec-class renames as long as the user-facing
   * plan vocabulary is stable.
   *
-  * Usage: sbt "Test/runMain graft.tools.PlanAudit [sfDir] [outFile]"
-  * (defaults /root/testdata/sf0.01 PLANS.json). sf0.001 is too small to
+  * Usage: sbt "Test/runMain graft.tools.PlanAudit [sfDir] [outFile] [onlyCsv]"
+  * (defaults /root/testdata/sf0.01 PLANS.json all-queries; `onlyCsv` is a
+  * comma-separated query subset for big-SF runs — the decade plan-shape
+  * audit in SCALE.md uses it so the full-output queries don't have to
+  * run at sf10 to learn that a JOIN's strategy held).
+  * sf0.001 is too small to
   * audit: AQE's empty-relation propagation collapses selective joins
   * outright (q19 planned to a single EmptyRelation there), and
   * near-equal tiny sides make broadcast build-side picks racy. sf0.01 is
@@ -92,13 +96,21 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map {
       case (name, _) if name.startsWith("q_stream") =>
         s"""  "$name": {"skipped": "streaming"}"""
       case (name, fn) =>
         try {
           val df = fn(spark, dir)
-          df.collect() // drive df's OWN execution so AQE finalizes it
+          // drive df's OWN QueryExecution so AQE finalizes THIS plan —
+          // but through toRdd.count(), not collect(): the audit must not
+          // materialize a pass-through query's whole output on the
+          // driver at big SFs. (A write would finalize a DIFFERENT
+          // QueryExecution, the write command's.)
+          df.queryExecution.toRdd.count()
           val txt = finalPlanText(df)
           sys.env.get("GRAFT_PLAN_DUMP_DIR").foreach { d =>
             java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
