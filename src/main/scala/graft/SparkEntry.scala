@@ -1873,7 +1873,8 @@ object SparkEntry {
     */
   private def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
     graft.operators.Skew.saltedJoin(
-      Tables.events(s, dir), Tables.customer(s, dir), "user_id", "c_custkey")
+      Tables.events(s, dir), Tables.customer(s, dir), "user_id", "c_custkey",
+      saltOn = Seq(col("event_id")))
       .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
 
   /** Adaptive skew join (Skew.saltedJoinAuto): the sampled skew factor
@@ -1883,7 +1884,8 @@ object SparkEntry {
     */
   private def qSkewJoinAuto(s: SparkSession, dir: String): DataFrame =
     graft.operators.Skew.saltedJoinAuto(
-      Tables.events(s, dir), Tables.customer(s, dir), "user_id", "c_custkey")
+      Tables.events(s, dir), Tables.customer(s, dir), "user_id", "c_custkey",
+      saltOn = Seq(col("event_id")))
       .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
 
   /** Salted two-stage aggregation ≡ plain GROUP BY (skew path, SCALE.md).
@@ -1892,7 +1894,11 @@ object SparkEntry {
   private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
     graft.operators.Skew.saltedAgg(
       Tables.events(s, dir), "user_id",
-      Map("value_cents" -> cents(col("value"))))
+      Map("value_cents" -> cents(col("value"))),
+      // event_id: unique → full within-key spread, and the scan prunes
+      // to 3 of 6 columns = 50% of events bytes on the fixture (ts is
+      // 43% alone; more on corpora with heavy props payloads)
+      saltOn = Seq(col("event_id")))
       .select(col("user_id"), col("value_cents"), col("n_rows"))
 
   // ---- deterministic sampling / mixing / packing (llm.Sampling) -------

@@ -16,27 +16,44 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt: hash of the row's own columns. A salt
-    * from `rand()` or `monotonically_increasing_id()` changes when a
+  /** Deterministic per-row salt: hash of row content. A salt from
+    * `rand()` or `monotonically_increasing_id()` changes when a
     * task recomputes (upstream shuffle order is not stable across
     * retries), and a shuffle KEY that changes on recompute silently
     * duplicates or drops rows when only some reducers refetch
     * (SPARK-23207 class). Content-derived salt is retry-stable;
-    * fully identical rows sharing a salt bucket is harmless — map-side
-    * partial aggregation collapses them anyway.
+    * fully identical salt inputs sharing a bucket is harmless — for
+    * aggregation, map-side partial aggregation collapses them anyway.
+    *
+    * `saltOn` picks WHICH content the salt hashes. Empty (the default)
+    * hashes every column — always safe, but it makes the salt reference
+    * the whole row, which DEFEATS COLUMN PRUNING: the scan must read
+    * every column, including ones the query never touches (the plan
+    * audit caught q_salted_agg scanning all six events columns for a
+    * two-column aggregate — 2× the bytes on the fixture, worse on
+    * corpora with heavy payload columns). Callers that know a compact
+    * high-entropy column (an
+    * event id, a source offset) should pass it; the requirements are
+    * (a) deterministic row content — retry-stability — and (b) enough
+    * entropy WITHIN a hot key to spread its rows, which a
+    * constant-per-key or low-cardinality column does not provide.
     */
-  private def rowSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltBuckets.toLong))
+  private def rowSalt(
+      df: DataFrame, saltBuckets: Int, saltOn: Seq[Column]): Column = {
+    val cols = if (saltOn.nonEmpty) saltOn else df.columns.map(col).toSeq
+    pmod(xxhash64(cols: _*), lit(saltBuckets.toLong))
+  }
 
   /** Salted two-stage sum/count. `sums` maps output column name → value
-    * expression to sum.
+    * expression to sum. `saltOn`: see [[rowSalt]].
     */
   def saltedAgg(
       df: DataFrame,
       key: String,
       sums: Map[String, Column],
-      saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt", rowSalt(df, saltBuckets))
+      saltBuckets: Int = 16,
+      saltOn: Seq[Column] = Nil): DataFrame = {
+    val salted = df.withColumn("_salt", rowSalt(df, saltBuckets, saltOn))
     val partial = salted
       .groupBy(col(key), col("_salt"))
       .agg(
@@ -77,9 +94,9 @@ object Skew {
     * spread the sort no longer needs. The uniform-corpus insurance
     * price of salted(4) measured 1.30×.
     *
-    * Limitation: the salt is content-derived (see [[rowSalt]]), so
-    * BYTE-IDENTICAL fact rows share one salt bucket. If a hot key's rows
-    * are exact duplicates, all of them still land on one reducer and the
+    * Limitation: the salt is content-derived (see [[rowSalt]]), so rows
+    * identical on the salt columns share one salt bucket. If a hot key's
+    * rows are exact duplicates, all of them still land on one reducer and the
     * spread is defeated. That degenerate shape needs a pre-shuffle stable
     * row discriminator mixed into the salt — e.g. a source offset /
     * line-number column when the source provides one (rand() or
@@ -98,10 +115,12 @@ object Skew {
       // salted(16) on every corpus incl. 50 % hot — SCALE.md round 13);
       // saltedAgg keeps 16, its buckets cost only partial-agg rows
       saltBuckets: Int = 4,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      saltOn: Seq[Column] = Nil): DataFrame = {
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"saltedJoin supports inner/left joins, got $joinType")
-    val saltedFact = fact.withColumn("_salt", rowSalt(fact, saltBuckets))
+    val saltedFact =
+      fact.withColumn("_salt", rowSalt(fact, saltBuckets, saltOn))
     val replicatedDim = dim.withColumn("_salt",
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     saltedFact.join(replicatedDim,
@@ -188,7 +207,8 @@ object Skew {
       dimKey: String,
       joinType: String = "inner",
       skewThreshold: Double = 8.0,
-      sampleFraction: Double = 0.01): DataFrame = {
+      sampleFraction: Double = 0.01,
+      saltOn: Seq[Column] = Nil): DataFrame = {
     // Validate up front, not only on the salted branch: an unsupported
     // joinType that happens to measure uniform would work today and then
     // throw at plan time the day the data skews — a data-dependent
@@ -203,7 +223,7 @@ object Skew {
       val buckets = math.ceil(s / 4.0).toInt.max(2).min(16)
       graft.Sessions.recordDecision("saltedJoinAuto", s, skewThreshold,
         s"salted(buckets=$buckets)")
-      saltedJoin(fact, dim, factKey, dimKey, buckets, joinType)
+      saltedJoin(fact, dim, factKey, dimKey, buckets, joinType, saltOn)
     }
   }
 }

@@ -43,6 +43,42 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltOn: narrowed salt ≡ all-column salt ≡ direct, incl. the " +
+    "degenerate constant-salt case") {
+    val ev = Tables.events(spark, sf0001)
+    def agg(saltOn: Seq[org.apache.spark.sql.Column]) =
+      Skew.saltedAgg(ev, "user_id", Map("v" -> col("value")), saltOn = saltOn)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100),
+          r.getLong(2))).toSet
+    val allCols = agg(Nil)
+    // high-entropy single column: same results, pruned scan
+    assert(agg(Seq(col("event_id"))) == allCols)
+    // DEGENERATE: constant salt column → every row lands in one bucket
+    // (no spread — a caller mistake the scaladoc warns about) but the
+    // result must still be exact
+    assert(agg(Seq(lit(42))) == allCols)
+    assert(allCols.nonEmpty)
+    // the narrowed salt must actually prune the scan to the referenced
+    // columns (the whole point): assert on the analyzed plan's scan schema
+    val narrowed = Skew.saltedAgg(ev, "user_id", Map("v" -> col("value")),
+      saltOn = Seq(col("event_id")))
+    val scanSchemas =
+      "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(narrowed.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toList
+    assert(scanSchemas.nonEmpty)
+    assert(scanSchemas.forall(!_.contains("props")),
+      s"salt scan still reads props: $scanSchemas")
+    // join path: narrowed salt keeps the join exact too
+    val cust = Tables.customer(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(Skew.saltedJoin(ev, cust, "user_id", "c_custkey",
+        saltOn = Seq(col("event_id")))) ==
+      rows(Skew.saltedJoin(ev, cust, "user_id", "c_custkey")))
+  }
+
   test("saltedJoinAuto: skew factor flips the pick; both picks ≡ direct") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)

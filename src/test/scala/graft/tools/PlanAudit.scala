@@ -39,7 +39,7 @@ object PlanAudit {
       sortMergeJoins: Int, broadcastHashJoins: Int, shuffledHashJoins: Int,
       nestedLoopJoins: Int, cartesianProducts: Int,
       codegenNodes: Int, parquetScans: Int, scansWithPushedFilters: Int,
-      emptyRelations: Int)
+      emptyRelations: Int, maxScanCols: Int)
 
   def countsOf(finalPlan: String): Counts = {
     def n(re: String): Int = re.r.findAllMatchIn(finalPlan).length
@@ -73,7 +73,22 @@ object PlanAudit {
       // (joins, scans) vanish with it. A non-zero value here says "run
       // the audit at a bigger SF before reading anything into this row"
       // — q19's whole join collapsed at sf0.001.
-      emptyRelations = n("EmptyRelation")
+      emptyRelations = n("EmptyRelation"),
+      // widest ReadSchema across the query's scans (top-level fields:
+      // comma-split tokens containing ':' — robust to decimal(p,s), our
+      // scans are flat). Column-pruning regressions show as this number
+      // jumping: it caught the salted operators' all-column salt forcing
+      // a 6-column events scan (2× the bytes: timestamp + JSON props
+      // included) under a 2-column aggregate.
+      // [^>\n]: a ReadSchema Spark truncated at maxMetadataStringLength
+      // has no closing '>' — an unanchored [^>]* would gobble across
+      // lines into the NEXT scan's schema (q9 "counted" 17 columns of an
+      // 11-column table that way). Unterminated schemas now simply don't
+      // match; the audit session raises the conf so they don't occur.
+      maxScanCols = "ReadSchema: struct<([^>\\n]*)>".r
+        .findAllMatchIn(finalPlan)
+        .map(_.group(1).split(",").count(_.contains(":")))
+        .foldLeft(0)(_ max _)
     )
   }
 
@@ -92,6 +107,10 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .config("spark.sql.session.timeZone", "UTC")
+      // default 100 truncates wide ReadSchemas mid-field (lineitem's 11
+      // columns overflow it) — print plan metadata in full so the scan
+      // width the artifact records is the scan width
+      .config("spark.sql.maxMetadataStringLength", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -128,7 +147,8 @@ object PlanAudit {
             s""""codegenNodes": ${c.codegenNodes}, """ +
             s""""parquetScans": ${c.parquetScans}, """ +
             s""""scansWithPushedFilters": ${c.scansWithPushedFilters}, """ +
-            s""""emptyRelations": ${c.emptyRelations}}"""
+            s""""emptyRelations": ${c.emptyRelations}, """ +
+            s""""maxScanCols": ${c.maxScanCols}}"""
         } catch {
           case scala.util.control.NonFatal(e) =>
             s"""  "$name": {"error": "${e.getClass.getSimpleName}"}"""

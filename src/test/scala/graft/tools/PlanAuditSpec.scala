@@ -67,6 +67,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scansWithPushedFilters == 1)
   }
 
+  test("maxScanCols is the widest ReadSchema; decimal commas don't count") {
+    val plan =
+      """FileScan parquet ... ReadSchema: struct<l_quantity:decimal(12,2),l_orderkey:bigint>
+        |FileScan parquet ... ReadSchema: struct<a:bigint,b:string,c:double,d:timestamp_ntz>
+        |""".stripMargin
+    assert(PlanAudit.countsOf(plan).maxScanCols == 4)
+    assert(PlanAudit.countsOf("no scans here").maxScanCols == 0)
+  }
+
+  test("a truncated (unterminated) ReadSchema never gobbles the next scan's") {
+    // Spark cuts metadata at maxMetadataStringLength with no closing '>':
+    // the wide scan must contribute nothing, not absorb the next line
+    val plan =
+      """FileScan parquet ... ReadSchema: struct<a:bigint,b:string,c:dou
+        |FileScan parquet ... ReadSchema: struct<x:bigint,y:string>
+        |""".stripMargin
+    assert(PlanAudit.countsOf(plan).maxScanCols == 2)
+  }
+
   test("empty-relation collapse is counted (the too-small-SF canary)") {
     val plan =
       """*(2) HashAggregate(keys=[], functions=[partial_sum(x#1)])

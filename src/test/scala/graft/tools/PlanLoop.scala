@@ -23,6 +23,7 @@ object PlanLoop {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxMetadataStringLength", "10000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (i <- 1 to reps) {
