@@ -38,11 +38,33 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Cluster-write: compute z, range-partition on it (disjoint z
+  /** Affine-scale a column to the full [0, 2^bits) range. Z-ordering
+    * RAW values only clusters both dimensions when their domains have
+    * comparable bit widths: with x spanning 15 bits and y spanning 10,
+    * z's high bits are x's alone (y's bits 10-14 are constant zero), so
+    * range-partitioning on z degenerates to partitioning on x and the
+    * y-dimension gets no locality at all — ZOrderProbe measured 99 % of
+    * rows scanned for a 5 % y-range predicate under raw interleaving.
+    * Scaling both dimensions to the same width restores the alternating
+    * quadtree cuts that make BOTH dimensions prunable. (Min/max scaling
+    * assumes roughly uniform domains — the fixture's and TPC-H's shape;
+    * for heavily skewed columns, map values to ranks first and z-order
+    * the ranks: the write below composes with any such preprocessing.)
+    */
+  def scaleTo(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val width = math.max(1L, hi - lo)
+    ((c.cast("double") - lo) * (((1L << bits) - 1).toDouble / width))
+      .cast("long")
+  }
+
+  /** Cluster-write: min/max-scale both dimensions to `bits` width (see
+    * [[scaleTo]]), compute z, range-partition on it (disjoint z
     * intervals per output file — that disjointness IS the pruning
     * guarantee), sort within partitions so parquet row-group min/max
     * stays tight, and write. `numFiles` sizes output files; at scale
-    * pick it from bytes/file targets, not row counts.
+    * pick it from bytes/file targets, not row counts. The min/max pass
+    * is one cheap two-column agg; at 100 TB use table-level stats
+    * instead.
     */
   def zorderWrite(
       df: DataFrame,
@@ -50,9 +72,16 @@ object ZOrder {
       yCol: String,
       path: String,
       bits: Int = 16,
-      numFiles: Int = 8): Unit =
-    df.withColumn("z", zValue2(col(xCol), col(yCol), bits))
+      numFiles: Int = 8): Unit = {
+    val r = df.agg(
+      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    require(!r.anyNull, s"zorderWrite: empty input or null keys in $xCol/$yCol")
+    val zx = scaleTo(col(xCol), r.getLong(0), r.getLong(1), bits)
+    val zy = scaleTo(col(yCol), r.getLong(2), r.getLong(3), bits)
+    df.withColumn("z", zValue2(zx, zy, bits))
       .repartitionByRange(numFiles, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -70,4 +70,30 @@ class ZOrderSpec extends SparkSpec {
       assert(hi1 <= lo2, s"overlapping file z-ranges: $hi1 > $lo2")
     }
   }
+
+  test("zorderWrite clusters BOTH dimensions under unequal key domains " +
+    "(the scaling fix)") {
+    // lineitem's l_partkey spans ~8× the bits of l_suppkey at this SF.
+    // Raw interleaving put only partkey bits in z's high bits, so every
+    // file spanned the full suppkey domain (ZOrderProbe measured 99 %
+    // scanned for a 5 % y-predicate). With min/max scaling, z cuts
+    // alternate dimensions and each file's y-extent must be a fraction
+    // of the domain.
+    val dir = java.nio.file.Files.createTempDirectory("zorder2").toString
+    val li = Tables.lineitem(spark, sf0001)
+    ZOrder.zorderWrite(li, "l_partkey", "l_suppkey", dir,
+      bits = 16, numFiles = 16)
+    val dom = li.agg((max("l_suppkey") - min("l_suppkey")).cast("double"))
+      .head.getDouble(0)
+    val extents = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max("l_suppkey") - min("l_suppkey")).cast("double").as("ext"))
+      .collect().map(_.getAs[Double]("ext"))
+    assert(extents.length > 4)
+    val meanExt = extents.sum / extents.length
+    // raw interleave: every file ≈ full domain (mean ≈ 1.0 · dom);
+    // scaled: 16 files = 2 quadtree levels per dim → ~0.25–0.5 · dom
+    assert(meanExt < 0.5 * dom,
+      s"mean per-file y-extent $meanExt vs domain $dom — y not clustered")
+  }
 }
