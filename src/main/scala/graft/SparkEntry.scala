@@ -792,6 +792,29 @@ object SparkEntry {
       graft.functions.ZOrder.zValue2(col("l_partkey"), col("l_suppkey"), 16)
         .as("zvalue"))
 
+  /** The clustering key zorderWrite actually sorts by: both dimensions
+    * min/max-scaled to the full bits width, THEN interleaved (the
+    * unequal-domain fix ZOrderProbe forced — see ZOrder.scaleTo). The
+    * min/max constants come from one Spark agg and are embedded as
+    * literals; the oracle recomputes them in SQL, and the affine
+    * scaling is the same double arithmetic in both engines, so the
+    * truncated bucket indices — and therefore the interleave — match
+    * bit-for-bit.
+    */
+  private def qZorderScaled(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZOrder
+    val li = Tables.lineitem(s, dir)
+    val r = li.agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      ZOrder.zValue2(
+        ZOrder.scaleTo(col("l_partkey"), r.getLong(0), r.getLong(1), 16),
+        ZOrder.scaleTo(col("l_suppkey"), r.getLong(2), r.getLong(3), 16),
+        16).as("zvalue"))
+  }
+
   /** Benchmark decontamination with the broadcast-Bloom prefilter —
     * same relation as q_decontaminate (shared oracle), ~1/contamination
     * of the shingle shuffle at scale.
@@ -1752,9 +1775,14 @@ object SparkEntry {
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.eventsWithEpoch(s, dir)
       .select(col("event_id"), col("user_id"), col("ts_sec"))
+    // project BEFORE latestByKey: its max_by(struct(payload)) is a
+    // column-pruning barrier (see the operator's scaladoc), so feeding
+    // it full orders made the scan read all 6 columns for these 4
     val r0 = Relational.latestByKey(
       Tables.orders(s, dir)
-        .withColumn("o_sec", col("o_orderdate").cast("timestamp").cast("long")),
+        .withColumn("o_sec", col("o_orderdate").cast("timestamp").cast("long"))
+        .select(col("o_custkey"), col("o_sec"),
+          col("o_orderkey"), col("o_totalprice")),
       key = Seq("o_custkey", "o_sec"), orderBy = Seq("o_orderkey"))
     val r = r0.select(col("o_custkey"), col("o_sec"),
       col("o_orderkey").as("last_order_key"),
@@ -1799,10 +1827,13 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("ts_sec"))
     // latestByKey pre-pass as in qAsofJoin: the auto variant may pick
     // EITHER path, and the shuffle path requires one row per (key, ts)
-    // for determinism — the pre-reduced dim is valid for both.
+    // for determinism — the pre-reduced dim is valid for both. Projected
+    // first, same pruning-barrier reason as qAsofJoin.
     val r0 = Relational.latestByKey(
       Tables.orders(s, dir)
-        .withColumn("o_sec", col("o_orderdate").cast("timestamp").cast("long")),
+        .withColumn("o_sec", col("o_orderdate").cast("timestamp").cast("long"))
+        .select(col("o_custkey"), col("o_sec"),
+          col("o_orderkey"), col("o_totalprice")),
       key = Seq("o_custkey", "o_sec"), orderBy = Seq("o_orderkey"))
     val r = r0.select(col("o_custkey"), col("o_sec"),
       col("o_orderkey").as("last_order_key"),
@@ -2562,6 +2593,7 @@ object SparkEntry {
     "q_incr_cdc" -> (qIncrCdc _),
     "q_stream_cdc_agg" -> (qStreamCdcAgg _),
     "q_zorder" -> (qZorder _),
+    "q_zorder_scaled" -> (qZorderScaled _),
     "q_bloom_decontaminate" -> (qBloomDecontaminate _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_funnel" -> (qFunnel _),
@@ -3600,6 +3632,25 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  ${zorderSql("l_partkey", "l_suppkey", 16)} AS zvalue
         |FROM lineitem""".stripMargin,
+    // the scaled write-path key: FLOOR+CAST mirrors Spark's double→long
+    // truncation (inputs non-negative); 65535.0 / GREATEST(1, hi-lo) is
+    // the same double constant ZOrder.scaleTo computes, so the bucket
+    // indices match bit-for-bit before the interleave
+    "q_zorder_scaled" ->
+      s"""WITH s AS (
+        |  SELECT MIN(l_partkey) AS xlo, MAX(l_partkey) AS xhi,
+        |         MIN(l_suppkey) AS ylo, MAX(l_suppkey) AS yhi
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(FLOOR((CAST(l_partkey AS DOUBLE) - xlo)
+        |      * (65535.0 / GREATEST(1, xhi - xlo))) AS BIGINT) AS sx,
+        |    CAST(FLOOR((CAST(l_suppkey AS DOUBLE) - ylo)
+        |      * (65535.0 / GREATEST(1, yhi - ylo))) AS BIGINT) AS sy
+        |  FROM lineitem, s)
+        |SELECT l_orderkey, l_linenumber,
+        |  ${zorderSql("sx", "sy", 16)} AS zvalue
+        |FROM t""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_funnel" ->

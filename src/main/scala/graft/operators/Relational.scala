@@ -35,6 +35,15 @@ object Relational {
     * partial aggregation (one shuffle, no full sort of 100 TB), instead of
     * a window function that sorts every partition. Tie-break columns make
     * the result deterministic.
+    *
+    * PRUNING NOTE: the payload travels through `max_by(struct(...))`,
+    * and Catalyst does not prune unused fields out of an aggregated
+    * struct — a downstream projection of two payload columns still
+    * scans ALL of them (the plan audit caught q_asof_join reading six
+    * orders columns for four). When only a subset of the row is
+    * needed, project BEFORE calling; the operator keeps whole-row
+    * semantics because its contract ("the latest ROW per key" — the S3
+    * changelog compaction) is exactly that.
     */
   def latestByKey(df: DataFrame, key: Seq[String], orderBy: Seq[String]): DataFrame = {
     val payload = df.columns.filterNot(key.contains)
