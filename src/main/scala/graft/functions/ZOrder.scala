@@ -61,26 +61,35 @@ object ZOrder {
     * [[scaleTo]]), compute z, range-partition on it (disjoint z
     * intervals per output file — that disjointness IS the pruning
     * guarantee), sort within partitions so parquet row-group min/max
-    * stays tight, and write. `numFiles` sizes output files; at scale
-    * pick it from bytes/file targets, not row counts. The min/max pass
-    * is one cheap two-column agg; at 100 TB use table-level stats
-    * instead.
+    * stays tight, and write. `numFiles` sizes output files; pass 0 (the
+    * default) to derive it from the input's Catalyst leaf stats at a
+    * 128 MiB-per-file target — the bytes-per-file sizing a real table
+    * layout uses, same stats source as the shuffle-width autosizing
+    * (`graft.Sessions`), clamped to [1, 65536]. The min/max pass is one
+    * cheap two-column agg; at 100 TB use table-level stats instead.
     */
+  val TargetBytesPerFile: Long = 128L << 20
+
   def zorderWrite(
       df: DataFrame,
       xCol: String,
       yCol: String,
       path: String,
       bits: Int = 16,
-      numFiles: Int = 8): Unit = {
+      numFiles: Int = 0): Unit = {
     val r = df.agg(
       min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
     require(!r.anyNull, s"zorderWrite: empty input or null keys in $xCol/$yCol")
+    val files =
+      if (numFiles > 0) numFiles
+      else math.max(1L, math.min(65536L,
+        (graft.Sessions.statsBytes(df) + TargetBytesPerFile - 1)
+          / TargetBytesPerFile)).toInt
     val zx = scaleTo(col(xCol), r.getLong(0), r.getLong(1), bits)
     val zy = scaleTo(col(yCol), r.getLong(2), r.getLong(3), bits)
     df.withColumn("z", zValue2(zx, zy, bits))
-      .repartitionByRange(numFiles, col("z"))
+      .repartitionByRange(files, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(path)
   }

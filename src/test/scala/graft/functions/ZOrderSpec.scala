@@ -96,4 +96,14 @@ class ZOrderSpec extends SparkSpec {
     assert(meanExt < 0.5 * dom,
       s"mean per-file y-extent $meanExt vs domain $dom — y not clustered")
   }
+
+  test("numFiles=0 derives file count from leaf stats at 128 MiB/file") {
+    // the sf0.001 fixture is ~hundreds of KB → exactly one output file
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    ZOrder.zorderWrite(Tables.lineitem(spark, sf0001),
+      "l_partkey", "l_suppkey", dir)
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 auto-sized file, got $files")
+  }
 }
