@@ -95,6 +95,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.countsOf(plan).emptyRelations == 2)
   }
 
+  test("streamCountsOf: stateful operators counted from micro-batch plans") {
+    val plan =
+      """*(4) StateStoreSave [user_id#1L, window#2], state info [...], Update
+        |+- StateStoreRestore [user_id#1L, window#2], state info [...]
+        |   +- StreamingDeduplicateWithinWatermark [k#3], state info [...]
+        |      +- StreamingSymmetricHashJoin [p_user#4L], [c_user#5L], Inner
+        |         +- FlatMapGroupsWithState f, keys: [g#6], Update
+        |            +- SessionWindowStateStoreSave [u#7L], session window...
+        |""".stripMargin
+    val s = StreamPlanAudit.streamCountsOf(plan)
+    assert(s.stateStoreSaves == 1)
+    assert(s.stateStoreRestores == 1)
+    // the WithinWatermark variant counts as a dedup (prefix match, by design)
+    assert(s.streamingDedups == 1)
+    assert(s.symmetricHashJoins == 1)
+    assert(s.flatMapGroupsWithState == 1)
+    assert(s.sessionWindowStores == 1)
+  }
+
   test("finalPlanText drops the echoed initial plan") {
     val full =
       """AdaptiveSparkPlan isFinalPlan=true

@@ -32,8 +32,10 @@ object StreamPlanAudit {
   def streamCountsOf(plan: String): StreamCounts = {
     def n(re: String): Int = re.r.findAllMatchIn(plan).length
     StreamCounts(
-      stateStoreRestores = n("StateStoreRestore"),
-      stateStoreSaves = n("StateStoreSave"),
+      // lookbehind: SessionWindowStateStoreSave/Restore contain the
+      // plain tokens as substrings and must count ONLY as session stores
+      stateStoreRestores = n("(?<!SessionWindow)StateStoreRestore"),
+      stateStoreSaves = n("(?<!SessionWindow)StateStoreSave"),
       // plain + WithinWatermark variants both start with this token
       streamingDedups = n("StreamingDeduplicate"),
       symmetricHashJoins = n("StreamingSymmetricHashJoin"),
