@@ -96,7 +96,10 @@ object StreamPlanAudit {
       ("interval_join", OutputMode.Append(),
         s => Streaming.intervalJoinStream(s, dir)),
       ("interval_join_outer", OutputMode.Append(),
-        s => Streaming.intervalJoinOuterStream(s, dir)))
+        s => Streaming.intervalJoinOuterStream(s, dir)),
+      ("session_window", OutputMode.Complete(),
+        s => graft.operators.WindowOps.sessionAgg(
+          Streaming.eventsStream(s, dir), gap = "30 minutes")))
 
     val rows = entries.map { case (name, mode, build) =>
       try {
