@@ -38,6 +38,29 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** N-column Morton interleave: bit i of column j lands at position
+    * i·n + j, so `zValueN(Seq(x, y), bits)` ≡ [[zValue2]] exactly
+    * (spec-pinned). n·bits ≤ 62 keeps the result positive in a signed
+    * long — the budget the caller splits across dimensions (3 cols →
+    * ≤ 20 bits each), which is also the honest statement of z-order's
+    * limit: each added dimension costs every other dimension locality,
+    * so cluster on the 2–4 columns range queries actually filter by,
+    * not everything.
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"zValueN takes 2..8 columns, got ${cols.size}")
+    require(bits >= 1 && cols.size * bits <= 62,
+      s"need n*bits <= 62, got ${cols.size} * $bits")
+    val n = cols.size
+    cols.zipWithIndex.map { case (c, j) =>
+      val m = c.cast("long").bitwiseAND(lit((1L << bits) - 1))
+      (0 until bits).map { i =>
+        shiftleft(m.bitwiseAND(lit(1L << i)), i * (n - 1) + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Affine-scale a column to the full [0, 2^bits) range. Z-ordering
     * RAW values only clusters both dimensions when their domains have
     * comparable bit widths: with x spanning 15 bits and y spanning 10,
@@ -89,6 +112,42 @@ object ZOrder {
     val zx = scaleTo(col(xCol), r.getLong(0), r.getLong(1), bits)
     val zy = scaleTo(col(yCol), r.getLong(2), r.getLong(3), bits)
     df.withColumn("z", zValue2(zx, zy, bits))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** N-column cluster-write ([[zValueN]] over min/max-scaled
+    * dimensions) — the training-data layout shape: cluster documents on
+    * (source, length-bucket, quality-bucket) so per-dimension range
+    * filters all prune. `bits` defaults to the per-column share of the
+    * 62-bit budget; everything else as [[zorderWrite]].
+    */
+  def zorderWriteN(
+      df: DataFrame,
+      cols: Seq[String],
+      path: String,
+      bits: Int = 0,
+      numFiles: Int = 0): Unit = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"zorderWriteN takes 2..8 columns, got ${cols.size}")
+    val b = if (bits > 0) bits else 62 / cols.size
+    val r = df.agg(
+      min(col(cols.head)).cast("long"),
+      max(col(cols.head)).cast("long") +:
+        cols.tail.flatMap(c =>
+          Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))): _*)
+      .head()
+    require(!r.anyNull, s"zorderWriteN: empty input or null keys in $cols")
+    val files =
+      if (numFiles > 0) numFiles
+      else math.max(1L, math.min(65536L,
+        (graft.Sessions.statsBytes(df) + TargetBytesPerFile - 1)
+          / TargetBytesPerFile)).toInt
+    val scaled = cols.zipWithIndex.map { case (c, j) =>
+      scaleTo(col(c), r.getLong(2 * j), r.getLong(2 * j + 1), b)
+    }
+    df.withColumn("z", zValueN(scaled, b))
       .repartitionByRange(files, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(path)

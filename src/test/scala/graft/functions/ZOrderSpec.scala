@@ -97,6 +97,55 @@ class ZOrderSpec extends SparkSpec {
       s"mean per-file y-extent $meanExt vs domain $dom — y not clustered")
   }
 
+  /** N-ary reference: bit i of column j → position i·n + j. */
+  private def zRefN(vs: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    for (j <- vs.indices; i <- 0 until bits)
+      z |= ((vs(j) >> i) & 1L) << (i * vs.length + j)
+    z
+  }
+
+  test("zValueN(2 cols) ≡ zValue2; zValueN(3 cols) matches the bit-reference") {
+    val rnd = new scala.util.Random(7)
+    val triples = Seq.fill(64)(
+      (rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong,
+        rnd.nextInt(1 << 12).toLong))
+    val df = triples.toDF("x", "y", "w")
+    val got = df.select(
+      ZOrder.zValue2(col("x"), col("y"), 12).as("z2"),
+      ZOrder.zValueN(Seq(col("x"), col("y")), 12).as("zn2"),
+      ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 12).as("zn3"),
+      col("x"), col("y"), col("w")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("z2") == r.getAs[Long]("zn2"))
+      assert(r.getAs[Long]("zn3") ==
+        zRefN(Seq(r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("w")), 12))
+    }
+  }
+
+  test("zorderWriteN(3 cols) gives every dimension sub-domain file extents") {
+    // 64 files over 3 scaled dims = 2 quadtree levels per dim: each
+    // file's extent in EVERY dimension must be a fraction of its domain
+    // (the n-ary generalization of the 2-D scaling-fix spec).
+    val dir = java.nio.file.Files.createTempDirectory("zorderN").toString
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(20000)(
+      (rnd.nextInt(1000000).toLong, rnd.nextInt(977).toLong,
+        rnd.nextInt(31).toLong))
+    ZOrder.zorderWriteN(rows.toDF("a", "b", "c"), Seq("a", "b", "c"), dir,
+      numFiles = 64)
+    val out = spark.read.parquet(dir)
+    for (d <- Seq("a", "b", "c")) {
+      val dom = out.agg((max(d) - min(d)).cast("double")).head.getDouble(0)
+      val exts = out.groupBy(input_file_name())
+        .agg((max(d) - min(d)).cast("double").as("ext"))
+        .collect().map(_.getAs[Double]("ext"))
+      val meanExt = exts.sum / exts.length
+      assert(meanExt < 0.6 * dom,
+        s"dim $d: mean per-file extent $meanExt vs domain $dom")
+    }
+  }
+
   test("numFiles=0 derives file count from leaf stats at 128 MiB/file") {
     // the sf0.001 fixture is ~hundreds of KB → exactly one output file
     val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
