@@ -95,17 +95,37 @@ object Bench {
     catch { case scala.util.control.NonFatal(_) => () }
     val historyRow =
       s"""{"ts_ms":${System.currentTimeMillis()},"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
-      (historyRow + "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    catch { case scala.util.control.NonFatal(_) => () }
+    appendHistory(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), historyRow)
     // stop BEFORE the summary line prints: any executor/shutdown chatter
     // must not land between the line and process exit, where it would
     // eat into the tail capture's 2000-char budget
     spark.stop()
     println(summaryLine(results, sfDir))
   }
+
+  /** Append one ledger row under an OS file lock (the `.lock` sibling
+    * the repo's .gitignore names): the builder's bench and the driver's
+    * post-round run can overlap, and a plain APPEND write from two JVMs
+    * can interleave partial lines — which bench_diff.py then silently
+    * skips as JSON decode errors. `FileChannel.lock` serializes the
+    * writers; the append itself is a single small write, so the lock is
+    * held for microseconds. Failures (read-only FS, lock unsupported)
+    * degrade to skipping the history row, same as before.
+    */
+  private def appendHistory(path: java.nio.file.Path, row: String): Unit =
+    try {
+      val lockPath = java.nio.file.Paths.get(path.toString + ".lock")
+      val lockCh = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = lockCh.lock()
+        try java.nio.file.Files.write(path, (row + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        finally lock.release()
+      } finally lockCh.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The tail-capture-safe stdout ledger line: entries sorted by seconds
     * descending (failures, -1, always FIRST — a crashed query must never

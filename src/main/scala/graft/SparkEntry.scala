@@ -804,9 +804,12 @@ object SparkEntry {
   private def qZorderScaled(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ZOrder
     val li = Tables.lineitem(s, dir)
+    // cast the aggregates like ZOrder.zorderWrite does: getLong on an
+    // un-cast MIN/MAX works for the int64 fixture but ClassCastExceptions
+    // on an int32/decimal-keyed corpus (r14 ADVICE)
     val r = li.agg(
-      min(col("l_partkey")), max(col("l_partkey")),
-      min(col("l_suppkey")), max(col("l_suppkey"))).head
+      min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+      min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long")).head
     li.select(
       col("l_orderkey"), col("l_linenumber"),
       ZOrder.zValue2(
@@ -1663,12 +1666,24 @@ object SparkEntry {
     * decision path (index presence probe + memoized query count). The
     * flip to the index at high volume is spec-asserted
     * (SimilaritySpec) and measured (SCALE.md r14).
+    *
+    * Provisioning is once per (process, dir) — an ingest pipeline
+    * writes the index at ingest, not per query, so the bench row times
+    * decision + query rather than carrying a ~1.5 s per-run index write
+    * forever (r14 VERDICT nit #1). The dir is part of the path because
+    * Bench warms at sf0.001 then times at the bench SF in ONE process —
+    * a dir-blind guard would serve the warmup corpus's index to the
+    * timed query. The cold provision path stays covered: the first
+    * invocation here writes it, and SimilaritySpec's auto tests write
+    * fresh indexes per test dir.
     */
   private def qSimTopkAuto(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // per-process fixed path + overwrite (same rationale as qSimIvfPq)
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_auto_fixture_${ProcessHandle.current().pid()}"
-    Similarity.ivfWriteIndex(emb, idx)
+    val dirTag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_auto_fixture_${ProcessHandle.current().pid()}_$dirTag"
+    val cp = new org.apache.hadoop.fs.Path(s"$idx/centroids")
+    if (!cp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(cp))
+      Similarity.ivfWriteIndex(emb, idx)
     Similarity.simTopKAuto(emb.filter(col("vec_id") < 10), emb, k = 5,
       indexPath = Some(idx))
   }

@@ -130,9 +130,14 @@ object RestartProbe {
         // Default is two-sided exceptAll (no hashing caveats); at sf100
         // that spill (2 × 496 M rows of sort buffers on top of the 14 GB
         // checkpoint+changelog already on disk) exceeds this box, so
-        // --verify=hash does the constant-memory check instead: equal
-        // row counts + equal SUM(xxhash64(struct(*))) over identically
-        // ordered columns — one streaming-agg pass per side, no spill.
+        // --verify=hash does a constant-memory PROBABILISTIC multiset
+        // check instead. Sum-of-hashes alone is weak (differing multisets
+        // can cancel — r14 ADVICE), so four order-independent combiners
+        // must ALL agree: row count, SUM(h), BIT_XOR(h), and
+        // SUM(h² mod 2⁶¹−1) — a forged collision must simultaneously
+        // preserve the first and second power sums AND the xor, which no
+        // bounded cancellation pattern does. Output is labeled
+        // probabilistic; exceptAll stays the exact default.
         val verifyMode = opt("verify").getOrElse("except")
         val state = Streaming.readChangelogState(
           spark, out, Seq("user_id", "w_start"))
@@ -143,11 +148,21 @@ object RestartProbe {
         val batchRows = batch.count()
         val ok = verifyMode match {
           case "hash" =>
-            def hashSum(df: org.apache.spark.sql.DataFrame): BigDecimal =
-              df.select(sum(xxhash64(struct(cols.map(col): _*))
-                .cast("decimal(38,0)"))).head().getDecimal(0)
-            val (hs, hb) = (hashSum(state.select(cols.map(col): _*)), hashSum(batch))
-            println(s"[restart] hash_state=$hs hash_batch=$hb")
+            // 2⁶¹−1 (Mersenne prime): h² stays in decimal(38,0) per row
+            // and the 496 M-row sum still fits 38 digits
+            val p = lit(BigDecimal((BigInt(1) << 61) - 1))
+            def sig(df: org.apache.spark.sql.DataFrame): Seq[Any] = {
+              val h = xxhash64(struct(cols.map(col): _*))
+              df.select(
+                sum(h.cast("decimal(38,0)")).as("s1"),
+                expr("bit_xor(xxhash64(struct(" + cols.mkString(",") + ")))").as("x"),
+                sum(pmod(h.cast("decimal(38,0)") * h.cast("decimal(38,0)"), p))
+                  .as("s2"))
+                .head().toSeq
+            }
+            val (hs, hb) = (sig(state.select(cols.map(col): _*)), sig(batch))
+            println(s"[restart] multiset-hash state=$hs batch=$hb " +
+              "(PROBABILISTIC: count + power sums + xor, not exceptAll)")
             stateRows == batchRows && hs == hb
           case _ =>
             val onlyState = state.exceptAll(batch).count()

@@ -33,13 +33,19 @@ import subprocess
 import sys
 
 
-def _expand_from_history(path, partial):
+def _expand_from_history(path, partial, sf=None, total=None):
     """Match a partial (truncated or summary-line) queries dict to its
     full-precision row in BENCH_HISTORY.jsonl (append-only, one row per
     Bench run — the builder's AND the driver's post-round run, so no run
-    overwrites another's ledger). A history row is THE run iff every
-    query name shared with the partial agrees within 3-decimal rounding;
-    newest rows win. Returns the full dict or None."""
+    overwrites another's ledger). A history row qualifies iff every
+    query name shared with the partial agrees within 3-decimal rounding,
+    its "sf" matches the partial's (when both are known — two distinct
+    runs on a stable machine CAN agree to 3 decimals on the heaviest
+    queries, r14 ADVICE), and, when the partial carries a total, the
+    row's total agrees within rounding of the shared set. Newest
+    qualifying row wins; multiple qualifiers print a stderr warning so a
+    silent wrong-row attribution is at least visible. Returns the full
+    dict or None."""
     hist = os.path.join(os.path.dirname(os.path.abspath(path)),
                         "BENCH_HISTORY.jsonl")
     if not os.path.exists(hist) or not partial:
@@ -53,15 +59,29 @@ def _expand_from_history(path, partial):
                     rows.append(json.loads(ln))
                 except json.JSONDecodeError:
                     pass
+    matches = []
     for row in reversed(rows):
         full = row.get("queries")
         if not isinstance(full, dict):
             continue
+        if sf is not None and row.get("sf") is not None and row["sf"] != sf:
+            continue
         shared = set(full) & set(partial)
         if len(shared) >= min(5, len(partial)) and all(
                 abs(full[q] - partial[q]) <= 2e-3 for q in shared):
-            return full
-    return None
+            # the summary line's total covers ALL queries (including the
+            # omitted tail), so a matching row's own total must agree to
+            # rounding (3 decimals per entry, so allow 2e-3 slack overall)
+            if total is not None and row.get("value") is not None and \
+                    abs(float(row["value"]) - float(total)) > 2e-3:
+                continue
+            matches.append(full)
+    if len(matches) > 1:
+        print(f"# WARNING: {len(matches)} history rows match the partial "
+              f"ledger in {os.path.basename(path)}; using the newest "
+              "(pass the full BENCH_LOCAL.json to disambiguate)",
+              file=sys.stderr)
+    return matches[0] if matches else None
 
 
 def load_queries(path):
@@ -75,7 +95,8 @@ def load_queries(path):
         # cut for the tail-capture budget; 0 omitted = already complete
         if d.get("omitted", 0) == 0:
             return q
-        return _expand_from_history(path, q) or q
+        return _expand_from_history(path, q, sf=d.get("sf"),
+                                    total=d.get("value")) or q
     # Driver BENCH_r{N}.json files before round 14 carry parsed=null and
     # only a (possibly truncated) "tail" string holding the JSON line —
     # regex out every "name":seconds pair instead of failing (judge
