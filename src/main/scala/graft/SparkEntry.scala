@@ -818,6 +818,23 @@ object SparkEntry {
         16).as("zvalue"))
   }
 
+  /** The RANK-preprocessed clustering key ([[graft.functions.ZOrder.withRankedZ]]
+    * — zorderWriteRanked's sort key): both dimensions mapped to their
+    * exact dense rank over the distinct domain, the ranks min/max-scaled
+    * and interleaved. The rank is distributed (range-repartition +
+    * zipWithIndex, no single-task window) yet equals ANSI
+    * `DENSE_RANK() OVER (ORDER BY v) - 1` exactly, and the affine
+    * scaling is the same double arithmetic as q_zorder_scaled, so the
+    * skew-proof layout key is oracle-checkable bit-for-bit.
+    */
+  private def qZorderRanked(s: SparkSession, dir: String): DataFrame =
+    graft.functions.ZOrder.withRankedZ(
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey", bits = 16, zName = "zvalue")
+      .select(col("l_orderkey"), col("l_linenumber"), col("zvalue"))
+
   /** Benchmark decontamination with the broadcast-Bloom prefilter —
     * same relation as q_decontaminate (shared oracle), ~1/contamination
     * of the shingle shuffle at scale.
@@ -1726,6 +1743,20 @@ object SparkEntry {
     Streaming.runToMemory(s,
       WindowOps.sessionAgg(Streaming.eventsStream(s, dir), gap = "30 minutes"))
 
+  /** The session pipeline on the session [[Streaming.autoStateSessionWindow]]
+    * returns — the session-window leg of the state-provider adaptive
+    * element (r14 VERDICT #5): live state estimated with the
+    * session-specific bound (merging state follows a data-dependent
+    * growth law the hopping bound can't price), provider picked, query
+    * built on the isolated session, hash-checked against the same batch
+    * oracle as q_session_window.
+    */
+  private def qStreamSessionAuto(s: SparkSession, dir: String): DataFrame = {
+    val (s2, _) = Streaming.autoStateSessionWindow(s, dir)
+    Streaming.runToMemory(s2,
+      WindowOps.sessionAgg(Streaming.eventsStream(s2, dir), gap = "30 minutes"))
+  }
+
   /** The changelog TABLE executed incrementally: latest order per
     * customer via mapGroupsWithState upserts over the order stream. The
     * Update-mode emissions form a changelog (re-emissions per key), so
@@ -2609,6 +2640,7 @@ object SparkEntry {
     "q_stream_cdc_agg" -> (qStreamCdcAgg _),
     "q_zorder" -> (qZorder _),
     "q_zorder_scaled" -> (qZorderScaled _),
+    "q_zorder_ranked" -> (qZorderRanked _),
     "q_bloom_decontaminate" -> (qBloomDecontaminate _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_funnel" -> (qFunnel _),
@@ -2716,6 +2748,7 @@ object SparkEntry {
     "q_session_window" -> (qSessionWindow _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_session" -> (qStreamSession _),
+    "q_stream_session_auto" -> (qStreamSessionAuto _),
     "q_stream_token_budget" -> (qStreamTokenBudget _),
     "q_stream_token_budget_rel" -> (qStreamTokenBudgetRel _),
     "q_stream_latest" -> (qStreamLatest _),
@@ -2779,7 +2812,8 @@ object SparkEntry {
     "q_chunk_docs", "q_pack_sequences", "q_sample_stratified",
     "q_stats_profile", "q_lm_score", "q_top_ngrams", "q_sim_pq",
     "q18_large_orders", "q_fuzzy_match", "q_retention_cohort",
-    "q_bloom_decontaminate", "q_decontam_auto", "q_zorder", "q_funnel",
+    "q_bloom_decontaminate", "q_decontam_auto", "q_zorder",
+    "q_zorder_ranked", "q_funnel",
     "q_resample",
     "q10_returned_customers", "q7_volume_shipping", "q_window_suite",
     "q_boilerplate", "q_oov_rate", "q_semantic_dedup", "q_mad", "q_scd2",
@@ -3666,6 +3700,32 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber,
         |  ${zorderSql("sx", "sy", 16)} AS zvalue
         |FROM t""".stripMargin,
+    // rank-preprocessed write-path key: the distributed zipWithIndex
+    // rank over the distinct domain ≡ DENSE_RANK()-1; the scaling is
+    // q_zorder_scaled's with lo=0, hi=maxRank (contiguous by
+    // construction, so GREATEST(1, ·) only guards a 1-value domain)
+    "q_zorder_ranked" ->
+      s"""WITH rx AS (
+        |  SELECT v AS xv, CAST(DENSE_RANK() OVER (ORDER BY v) - 1 AS BIGINT) AS xr
+        |  FROM (SELECT DISTINCT l_partkey AS v FROM lineitem)),
+        |ry AS (
+        |  SELECT v AS yv, CAST(DENSE_RANK() OVER (ORDER BY v) - 1 AS BIGINT) AS yr
+        |  FROM (SELECT DISTINCT l_suppkey AS v FROM lineitem)),
+        |n AS (
+        |  SELECT (SELECT MAX(xr) FROM rx) AS nx, (SELECT MAX(yr) FROM ry) AS ny),
+        |t AS (
+        |  SELECT l.l_orderkey, l.l_linenumber,
+        |    CAST(FLOOR(CAST(rx.xr AS DOUBLE)
+        |      * (65535.0 / GREATEST(1, n.nx))) AS BIGINT) AS sx,
+        |    CAST(FLOOR(CAST(ry.yr AS DOUBLE)
+        |      * (65535.0 / GREATEST(1, n.ny))) AS BIGINT) AS sy
+        |  FROM lineitem l
+        |  JOIN rx ON l.l_partkey = rx.xv
+        |  JOIN ry ON l.l_suppkey = ry.yv
+        |  CROSS JOIN n)
+        |SELECT l_orderkey, l_linenumber,
+        |  ${zorderSql("sx", "sy", 16)} AS zvalue
+        |FROM t""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_funnel" ->
@@ -3949,6 +4009,7 @@ object SparkEntry {
     "q_session_window" -> sessionOracle,
     "q_stream_tumbling" -> tumblingOracle,
     "q_stream_session" -> sessionOracle,
+    "q_stream_session_auto" -> sessionOracle,
     "q_asof_join" ->
       """WITH r0 AS (
         |  SELECT o_custkey, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_sec,

@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Z-order (Morton) interleaving — multi-dimensional data clustering so
   * ONE sort order serves range predicates on BOTH dimensions.
@@ -71,8 +72,8 @@ object ZOrder {
     * Scaling both dimensions to the same width restores the alternating
     * quadtree cuts that make BOTH dimensions prunable. (Min/max scaling
     * assumes roughly uniform domains — the fixture's and TPC-H's shape;
-    * for heavily skewed columns, map values to ranks first and z-order
-    * the ranks: the write below composes with any such preprocessing.)
+    * for heavily skewed columns use [[zorderWriteRanked]], which maps
+    * values to exact ranks first and interleaves those.)
     */
   def scaleTo(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     val width = math.max(1L, hi - lo)
@@ -112,6 +113,95 @@ object ZOrder {
     val zx = scaleTo(col(xCol), r.getLong(0), r.getLong(1), bits)
     val zy = scaleTo(col(yCol), r.getLong(2), r.getLong(3), bits)
     df.withColumn("z", zValue2(zx, zy, bits))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Exact 0-based dense rank of the DISTINCT non-null values of `c`:
+    * returns the two-column relation (_v: long, _r: long) with `_r` =
+    * position of `_v` in ascending order. Distributed exact rank, no
+    * single-task window: distinct → range-repartition → sort within
+    * partitions → `zipWithIndex` (partition-ordered, so the index IS
+    * the global rank; range boundaries are sampled but any boundary
+    * placement yields the same value→rank mapping, so the result is
+    * deterministic). Cost: one distinct shuffle + one range shuffle
+    * over the DOMAIN, which is ≪ rows for any real cluster key.
+    */
+  def rankMap(df: DataFrame, c: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.select(col(c).cast("long").as("_v"))
+      .filter(col("_v").isNotNull).distinct()
+      .repartitionByRange(col("_v")).sortWithinPartitions("_v")
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row(r.getLong(0), i) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("_v", LongType, nullable = false),
+      StructField("_r", LongType, nullable = false))))
+  }
+
+  /** Rank-preprocessed z column: both dimensions mapped to their exact
+    * dense rank, the ranks min/max-scaled (lo = 0, hi = maxRank — the
+    * same [[scaleTo]] affine step, now over a domain that is contiguous
+    * BY CONSTRUCTION), then interleaved. This is the skew-proof layout
+    * key: min/max scaling of raw values collapses under heavy-tailed
+    * domains — one 2⁴⁰ outlier over a 2²⁰-wide mass maps the entire
+    * mass to scaled bucket 0, silently degenerating the layout the same
+    * way the unequal-domain bug did (ZOrderProbe r14, 99.15 % scanned)
+    * — while ranks are distribution-free: exactly ⌈n/2^bits⌉ distinct
+    * values per bucket for ANY input distribution. Rows with a null in
+    * either dimension are dropped (no rank exists for them), matching
+    * [[zorderWrite]]'s non-null requirement.
+    *
+    * Scale shape: two rank-map joins on the key columns — AQE
+    * broadcasts a small domain's map, a 10⁸-key domain goes SMJ; either
+    * way the cost is borne once at WRITE time, which is where layout
+    * belongs. On a contiguous 0..n−1 domain ranks equal values, so this
+    * reduces to exactly the min/max-scaled key (spec-pinned).
+    */
+  def withRankedZ(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int = 16,
+      zName: String = "z"): DataFrame = {
+    val rx = rankMap(df, xCol)
+      .withColumnRenamed("_v", "_xv").withColumnRenamed("_r", "_xr")
+    val ry = rankMap(df, yCol)
+      .withColumnRenamed("_v", "_yv").withColumnRenamed("_r", "_yr")
+    val nx = rx.agg(max(col("_xr"))).head()
+    val ny = ry.agg(max(col("_yr"))).head()
+    require(!nx.isNullAt(0) && !ny.isNullAt(0),
+      s"withRankedZ: empty input or all-null keys in $xCol/$yCol")
+    df.join(rx, col(xCol).cast("long") === col("_xv"))
+      .join(ry, col(yCol).cast("long") === col("_yv"))
+      .withColumn(zName, zValue2(
+        scaleTo(col("_xr"), 0L, nx.getLong(0), bits),
+        scaleTo(col("_yr"), 0L, ny.getLong(0), bits), bits))
+      .drop("_xv", "_xr", "_yv", "_yr")
+  }
+
+  /** Cluster-write over RANK-scaled dimensions (see [[withRankedZ]]) —
+    * the operator the [[scaleTo]] scaladoc used to delegate to caller
+    * knowledge ("for heavily skewed columns, map values to ranks
+    * first"). Same range-partitioned, within-sorted, bytes-sized write
+    * as [[zorderWrite]]; only the key preprocessing differs. Measured
+    * (ZOrderProbe `skew:` mode): on log-uniform heavy-tailed keys the
+    * min/max layout collapses while this one prunes like the uniform
+    * case — SCALE.md r15.
+    */
+  def zorderWriteRanked(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      path: String,
+      bits: Int = 16,
+      numFiles: Int = 0): Unit = {
+    val files =
+      if (numFiles > 0) numFiles
+      else math.max(1L, math.min(65536L,
+        (graft.Sessions.statsBytes(df) + TargetBytesPerFile - 1)
+          / TargetBytesPerFile)).toInt
+    withRankedZ(df, xCol, yCol, bits, "z")
       .repartitionByRange(files, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(path)

@@ -146,6 +146,64 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("rankMap is the exact 0-based dense rank, distributed") {
+    val df = Seq(50L, 7L, 7L, -3L, 1000000L, 50L, 0L).toDF("v")
+      .repartition(4)
+    val got = ZOrder.rankMap(df, "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(-3L -> 0L, 0L -> 1L, 7L -> 2L, 50L -> 3L, 1000000L -> 4L))
+    // equals the ANSI window the oracle uses, on the fixture key
+    val li = Tables.lineitem(spark, sf0001)
+    val win = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+    val viaWindow = li.select(col("l_suppkey").cast("long").as("_v")).distinct()
+      .withColumn("_r", dense_rank().over(win).cast("long") - 1)
+    assert(ZOrder.rankMap(li, "l_suppkey").exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(ZOrder.rankMap(li, "l_suppkey")).isEmpty)
+  }
+
+  test("withRankedZ reduces to the min/max-scaled key on a contiguous domain") {
+    // ranks == values when the domain is exactly 0..n-1, so the ranked
+    // key must equal zValue2 over scaleTo'd raw values bit-for-bit
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(4000)((rnd.nextInt(64).toLong, rnd.nextInt(256).toLong))
+    val df = rows.toDF("x", "y")
+    val ranked = ZOrder.withRankedZ(df, "x", "y", bits = 10, zName = "zr")
+    val direct = df.withColumn("zm", ZOrder.zValue2(
+      ZOrder.scaleTo(col("x"), 0L, 63L, 10),
+      ZOrder.scaleTo(col("y"), 0L, 255L, 10), 10))
+    val joined = ranked.join(direct, Seq("x", "y"))
+      .filter(col("zr") =!= col("zm")).count()
+    assert(joined == 0L)
+  }
+
+  test("ranked write keeps BOTH dimensions clustered under a heavy-tailed " +
+    "domain where min/max scaling collapses") {
+    // one 2^40 outlier over a 2^10-wide mass: scaleTo maps the entire
+    // mass to bucket 0 (z identical for 99.9 % of rows), so the min/max
+    // layout degenerates to arrival order; ranks are distribution-free
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(20000)(
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)) :+
+      ((1L << 40, 1L << 40))
+    val df = rows.toDF("x", "y")
+    val dirM = java.nio.file.Files.createTempDirectory("zmm").toString
+    val dirR = java.nio.file.Files.createTempDirectory("zrk").toString
+    ZOrder.zorderWrite(df, "x", "y", dirM, bits = 16, numFiles = 16)
+    ZOrder.zorderWriteRanked(df, "x", "y", dirR, bits = 16, numFiles = 16)
+    def meanXExtent(dir: String): Double = {
+      val out = spark.read.parquet(dir).filter(col("x") < 1024)
+      val exts = out.groupBy(input_file_name())
+        .agg((max("x") - min("x")).cast("double").as("ext"))
+        .collect().map(_.getAs[Double]("ext"))
+      exts.sum / exts.length
+    }
+    val (mm, rk) = (meanXExtent(dirM), meanXExtent(dirR))
+    // min/max: every mass row has z=0 → files span ~the full 1024 mass
+    // domain; ranked: 16 files = 2 quadtree levels/dim → fraction of it
+    assert(mm > 0.8 * 1024, s"min/max unexpectedly clustered: $mm")
+    assert(rk < 0.6 * 1024, s"ranked failed to cluster the mass: $rk")
+  }
+
   test("numFiles=0 derives file count from leaf stats at 128 MiB/file") {
     // the sf0.001 fixture is ~hundreds of KB → exactly one output file
     val dir = java.nio.file.Files.createTempDirectory("zorder3").toString

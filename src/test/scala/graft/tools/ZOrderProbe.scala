@@ -33,6 +33,17 @@ import org.apache.spark.sql.functions._
   * predicate and 2-D pruning cannot be observed on them; layout physics
   * needs independent dimensions, which the fixture only provides up to
   * sf0.1 volume.
+  * — or  "Test/runMain graft.tools.ZOrderProbe skew:N [numFiles]"
+  * for N rows with independent LOG-UNIFORM (x, y) over [1, 2^40] — the
+  * heavy-tailed regime where min/max scaling collapses (60 % of the
+  * mass lands below 2^24, i.e. in scaled bucket range [0, 256) of
+  * 16.7 M at bits=24, so z's high bits are constant for most rows and
+  * file min/max can no longer discriminate the mass region). This mode
+  * adds the zrank layout (zorderWriteRanked) and draws the range
+  * predicates at the 40th–45th PERCENTILE of each dimension
+  * (analytically 2^(40·q) under log-uniformity) instead of 40–45 % of
+  * max — a max-anchored predicate would sit in the outlier tail and
+  * select nothing.
   */
 object ZOrderProbe {
 
@@ -44,6 +55,11 @@ object ZOrderProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val numFiles = args.lift(1).map(_.toInt).getOrElse(16)
+    // skew-mode predicate band start, in PERCENTILES (band is q0..q0+5):
+    // 40 sits at the min/max-scaling resolution knee (scaled buckets
+    // 1–4); 20 sits deep inside scaled bucket 0 — the 40 %-of-rows blob
+    // where min/max z is constant and only the rank layout can prune
+    val q0 = args.lift(2).map(_.toInt).getOrElse(40)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -53,6 +69,7 @@ object ZOrderProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val skewMode = dir.startsWith("skew:")
     val src =
       if (dir.startsWith("synthetic:")) {
         val n = dir.stripPrefix("synthetic:").toLong
@@ -62,15 +79,36 @@ object ZOrderProbe {
           pmod(xxhash64(col("id"), lit(1)), lit(1L << 20)).as("l_suppkey"),
           (col("id") % 50).cast("double").as("l_quantity"),
           (col("id") % 10000).cast("double").as("l_extendedprice"))
+      } else if (skewMode) {
+        val n = dir.stripPrefix("skew:").toLong
+        // log-uniform over [1, 2^40): v = 2^(40u) with u uniform in
+        // [0,1) from a million-bucket hash — P(v ≤ 2^(40q)) = q exactly
+        def logUniform(salt: Int) = floor(pow(lit(2.0),
+          (pmod(xxhash64(col("id"), lit(salt)), lit(1000000L)) / 1e6) * 40.0))
+          .cast("long") + 1L
+        spark.range(n).select(
+          col("id").as("l_orderkey"),
+          logUniform(0).as("l_partkey"),
+          logUniform(1).as("l_suppkey"),
+          (col("id") % 50).cast("double").as("l_quantity"),
+          (col("id") % 10000).cast("double").as("l_extendedprice"))
       } else spark.read.parquet(s"$dir/lineitem.parquet")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice")
     val total = src.count()
     val maxPart = src.agg(max("l_partkey")).head.getLong(0)
     val maxSupp = src.agg(max("l_suppkey")).head.getLong(0)
-    // ~5 % per dimension → box selects ~0.25 % under independence
-    val (x0, x1) = (maxPart * 40 / 100, maxPart * 45 / 100)
-    val (y0, y1) = (maxSupp * 40 / 100, maxSupp * 45 / 100)
+    // ~5 % per dimension → box selects ~0.25 % under independence.
+    // Uniform data: 40–45 % of max IS the 40th–45th percentile; the
+    // log-uniform tail needs the analytic percentile instead.
+    val (x0, x1) =
+      if (skewMode) (math.pow(2, 40 * q0 / 100.0).toLong,
+        math.pow(2, 40 * (q0 + 5) / 100.0).toLong)
+      else (maxPart * q0 / 100, maxPart * (q0 + 5) / 100)
+    val (y0, y1) =
+      if (skewMode) (math.pow(2, 40 * q0 / 100.0).toLong,
+        math.pow(2, 40 * (q0 + 5) / 100.0).toLong)
+      else (maxSupp * q0 / 100, maxSupp * (q0 + 5) / 100)
 
     val base = "/tmp/zorder_probe"
     src.repartition(numFiles)
@@ -83,6 +121,9 @@ object ZOrderProbe {
     graft.functions.ZOrder.zorderWrite(
       src, "l_partkey", "l_suppkey", s"$base/zorder",
       bits = 24, numFiles = numFiles)
+    if (skewMode) graft.functions.ZOrder.zorderWriteRanked(
+      src, "l_partkey", "l_suppkey", s"$base/zrank",
+      bits = 24, numFiles = numFiles)
 
     val preds = Seq(
       "box" -> (col("l_partkey").between(x0, x1) &&
@@ -91,10 +132,14 @@ object ZOrderProbe {
       "y_only" -> col("l_suppkey").between(y0, y1))
 
     println(s"[zorder] rows=$total maxPart=$maxPart maxSupp=$maxSupp " +
-      s"files=$numFiles box=[$x0,$x1]x[$y0,$y1]")
+      s"files=$numFiles box=[$x0,$x1]x[$y0,$y1]" +
+      (if (skewMode) " (log-uniform skew mode, percentile predicates)" else ""))
     println(f"${"layout"}%-8s ${"pred"}%-7s ${"scanned"}%12s " +
       f"${"scan%"}%7s ${"result"}%10s ${"best_s"}%8s")
-    for (layout <- Seq("natural", "xsort", "zorder");
+    val layouts =
+      if (skewMode) Seq("natural", "xsort", "zorder", "zrank")
+      else Seq("natural", "xsort", "zorder")
+    for (layout <- layouts;
          (pname, p) <- preds) {
       var best = Double.MaxValue; var n = 0L; var scanned = 0L
       for (_ <- 1 to 3) {
