@@ -201,6 +201,57 @@ object WindowOps {
     }.toLong
   }
 
+  /** Estimated UPPER BOUND on a session-window aggregation's live state
+    * rows — merged (key, session) entries — from the same bounded file
+    * sample as [[hoppingStateUpperBound]]. Sessions are a DIFFERENT
+    * growth law than hops (state is data-dependent: events < gap apart
+    * merge, so rows×hops has no analog), which is why
+    * [[graft.streaming.Streaming.autoStateSession]] could not size the
+    * session pipeline (r14 VERDICT #5).
+    *
+    * Statistic: session STARTS counted per (key, FILE) — a row opens a
+    * session iff it has no predecessor within `gap` in its own file —
+    * summed and scaled by file count. Σ-per-file ≥ the true session
+    * count DETERMINISTICALLY over all files: sessionizing a SUBSET of a
+    * key's events can only split sessions, never merge them (any two
+    * events from different true sessions are > gap apart — the last
+    * event of the earlier session and the first of the later are, and
+    * all other cross-pairs are farther), so each file counts ≥ the
+    * true sessions it touches, and a globally-shared session is counted
+    * once per file it spans. A file SAMPLE of the Σ statistic is
+    * unbiased with between-file variance either way — absorbed by the
+    * provider decision's heap-fraction margin, the same division of
+    * labor as the hopping bound. Capped above by the trivial bound
+    * (every event its own session = the row count, O(footers)).
+    * Memoized; over-estimating pays the RocksDB tax, under-estimating
+    * is an OOM, so bounding upward is the safe direction.
+    */
+  def sessionStateUpperBound(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      gap: String = "30 minutes",
+      maxSampleBytes: Long = 128L << 20): Long = {
+    val gapUs = intervalUs(gap)
+    graft.Sessions.memoEstimate(events,
+      s"sessstate|$tsCol|$keyCol|$gapUs|$maxSampleBytes") {
+      val trivial = events.count().toDouble
+      val (src, total, read) =
+        graft.Sessions.boundedFileSample(events, Seq(keyCol, tsCol), maxSampleBytes)
+      val ts =
+        if (src.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) col(tsCol)
+        else col(tsCol).cast("timestamp")
+      val w = Window.partitionBy(col("_f"), col("_k")).orderBy(col("_e"))
+      val starts = src
+        .select(col(keyCol).as("_k"), unix_micros(ts).as("_e"),
+          input_file_name().as("_f"))
+        .withColumn("_prev", lag(col("_e"), 1).over(w))
+        .filter(col("_prev").isNull || col("_e") - col("_prev") > gapUs)
+        .count()
+      math.min(trivial, starts.toDouble * total / read).max(1.0)
+    }.toLong
+  }
+
   /** Adaptive hopping pivot — picks the plan from the measured key
     * multiplicity, so the regime split SCALE.md measured (second
     * decade: default plan wins when the partial agg genuinely reduces,

@@ -234,6 +234,47 @@ object Streaming {
     (s2, provider)
   }
 
+  /** In-heap bytes per live SESSION state entry (key + session window
+    * struct + count/min/max aggregates), as reported by the default
+    * provider's `stateOperators.memoryUsedBytes` peak at the sf1 decade
+    * point: 426.6 MB ÷ 954,650 peak rows = 446.9 B (StateHeapProbe
+    * --pipeline=session; the bound estimated 998,543 — +4.6 %, the safe
+    * direction; SCALE.md r15). Session entries carry the same key +
+    * window-bounds shape as hopping entries, so the constants land
+    * close (325 vs 447); measured separately because the decision's
+    * input should be the measured value, not an analogy.
+    */
+  val MeasuredSessionStateBytesPerEntry = 447L
+
+  /** [[autoStateSession]]'s counterpart for SESSION-window pipelines
+    * (r14 VERDICT #5: `hoppingStateUpperBound` is hop-specific — state
+    * per hop window is rows×hops-capped — while merging session state
+    * follows a data-dependent growth law, so the hopping bound cannot
+    * size it). Same contract: estimate live state from the stream's
+    * batch twin via the bounded file sample
+    * ([[graft.operators.WindowOps.sessionStateUpperBound]]), price at
+    * the measured session bytes/entry, pick the provider, return an
+    * isolated session carrying it; RocksDB picks also get the big-state
+    * checkpoint posture.
+    */
+  def autoStateSessionWindow(
+      spark: SparkSession,
+      dir: String,
+      gap: String = "30 minutes",
+      heapBytes: Long = Runtime.getRuntime.maxMemory): (SparkSession, String) = {
+    val est = WindowOps.sessionStateUpperBound(
+      Tables.events(spark, dir), gap = gap)
+    val provider = stateProviderFor(est, heapBytes = heapBytes,
+      bytesPerEntry = MeasuredSessionStateBytesPerEntry)
+    graft.Sessions.recordDecision("autoStateSessionWindow", est.toDouble,
+      heapBytes * 0.5 / (MeasuredSessionStateBytesPerEntry * 2.0),
+      provider.split('.').last)
+    val s2 = graft.Sessions.isolatedSession(spark)
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    if (provider == RocksDbStateProvider) applyBigStateConfs(s2)
+    (s2, provider)
+  }
+
   /** Checkpoint posture for state ≫ heap streaming jobs. Two confs,
     * both disk-side — at large state the checkpoint, not the heap, is
     * what fails first (measured, third streaming decade: with the
@@ -355,6 +396,56 @@ object Streaming {
     graft.operators.Relational
       .latestByKey(spark.read.parquet(path), keyCols, Seq("_batch_id"))
       .drop("_batch_id")
+
+  /** The SESSION-window production sink contract, in one place: Spark
+    * supports session aggregations in Append (+watermark) and Complete
+    * modes ONLY — Update is rejected at analysis
+    * (`STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION`), because merging
+    * sessions have no stable upsert key (start only decreases, end only
+    * increases as events arrive, so no (key, window) identity survives
+    * a merge for a changelog consumer to compact on). The consequence
+    * for operating at scale: a session pipeline emits each session
+    * EXACTLY ONCE when the watermark passes its end (last event + gap)
+    * — an append sink, not an upsert store — and state holds only the
+    * OPEN sessions inside the lateness horizon, which also means a
+    * bounded-batch replay must arrive approximately time-ordered (a
+    * live stream does; a hash-partitioned file corpus must be
+    * range-sorted on event time first, or the watermark jump after
+    * batch 1 silently drops everything later — the same replay caveat
+    * as [[withLateness]], but UNAVOIDABLE here because the infinite
+    * replay watermark that fixes fixed-window replays would keep every
+    * session open forever and emit nothing in Append mode).
+    * This sink implements that posture (StreamScale --session runs it
+    * at decade scale); the sessions still open at end-of-input are the
+    * expected tail — equal to the batch twin's sessions ending after
+    * the final watermark, which [[finalWatermarkSec]] exposes so
+    * callers can verify emitted ≡ batch-below-watermark exactly.
+    * Returns the terminated query for that purpose.
+    */
+  def sinkSessionsAppend(
+      streamed: DataFrame,
+      path: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The terminated query's final event-time watermark, as epoch
+    * seconds — the boundary below which every session has been emitted
+    * exactly once (and above which the batch twin's sessions are the
+    * expected open tail).
+    */
+  def finalWatermarkSec(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Option[Long] =
+    Option(q.lastProgress)
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(s => java.time.Instant.parse(s).getEpochSecond)
 
   /** Streaming exact dedup: drop duplicate keys as the stream arrives,
     * with state bounded by the watermark (duplicates arriving within the

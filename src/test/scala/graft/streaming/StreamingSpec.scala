@@ -644,6 +644,85 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("session-state bound + provider auto: the session growth law is " +
+    "priced by its own estimator") {
+    import Streaming._
+    val events = Tables.events(spark, sf0001)
+    // the bound: ≥ the true merged-session count (Σ-per-file counting
+    // can only split, never merge), ≤ the trivial every-event bound
+    val exact = WindowOps.sessionAgg(events, gap = "30 minutes").count()
+    val est = WindowOps.sessionStateUpperBound(events, gap = "30 minutes")
+    assert(est >= exact, s"session bound $est fell below truth $exact")
+    assert(est <= events.count())
+    // split layout over-counts but never under-counts: one key, one
+    // true session spanning two files → per-file starts sum to 2 ≥ 1
+    val dir = java.nio.file.Files.createTempDirectory("sessb").toString
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts").write.parquet(s"$dir/f1.parquet")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00")))
+      .toDF("user_id", "ts").write.parquet(s"$dir/f2.parquet")
+    graft.Sessions.clearEstimates()
+    val split = WindowOps.sessionStateUpperBound(
+      spark.read.parquet(s"$dir/f1.parquet", s"$dir/f2.parquet"),
+      gap = "30 minutes")
+    assert(split == 2L, s"split-layout bound $split (true sessions: 1)")
+
+    // auto: fixture state fits → in-heap pick on an isolated clone;
+    // forced-small heap flips to RocksDB without touching the parent
+    val (s2, p) = autoStateSessionWindow(spark, sf0001)
+    assert(p == DefaultStateProvider)
+    assert(s2.conf.get("spark.sql.streaming.stateStore.providerClass") == p)
+    val (s3, p3) = autoStateSessionWindow(spark, sf0001, heapBytes = 1L << 10)
+    assert(p3 == RocksDbStateProvider)
+    assert(s3.conf.get("spark.sql.streaming.stateStore.providerClass") == p3)
+    assert(spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass") == DefaultStateProvider)
+    // and the session pipeline built on the auto session ≡ batch
+    val streamed = Streaming.runToMemory(s2,
+      WindowOps.sessionAgg(Streaming.eventsStream(s2, sf0001),
+        gap = "30 minutes")).collect().toSet
+    val batch = WindowOps.sessionAgg(events, gap = "30 minutes")
+      .collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("session Append-mode sink emits exactly the watermark-closed " +
+    "sessions, once each (the only production sink sessions support)") {
+    // Update mode is REJECTED for session aggregations (no stable
+    // upsert key across merges) — pin that fact so a Spark behavior
+    // change re-opens the changelog-sink design consciously
+    val updateAttempt = intercept[org.apache.spark.sql.AnalysisException] {
+      Streaming.sinkChangelog(
+        WindowOps.sessionAgg(
+          Streaming.withLateness(Streaming.eventsStream(spark, sf0001)),
+          gap = "30 minutes"),
+        java.nio.file.Files.createTempDirectory("sess_up").toString + "/x")
+    }
+    assert(updateAttempt.getMessage.contains("STREAMING_OUTPUT_MODE"))
+
+    // Append + real watermark: each session emitted exactly once when
+    // the watermark passes its end; the open tail stays in state
+    val out = java.nio.file.Files
+      .createTempDirectory("sess_ap").toString + "/sessions"
+    val q = Streaming.sinkSessionsAppend(
+      WindowOps.sessionAgg(
+        Streaming.withLateness(Streaming.eventsStream(spark, sf0001), "1 minute"),
+        gap = "30 minutes"), out)
+    val wm = Streaming.finalWatermarkSec(q).get
+    val emitted = spark.read.parquet(out)
+      .select("user_id", "session_start", "session_end", "n_events")
+    val batch = WindowOps.sessionAgg(
+      Tables.events(spark, sf0001), gap = "30 minutes")
+      .select("user_id", "session_start", "session_end", "n_events")
+    val closed = batch.filter(col("session_end") <= wm)
+    val open = batch.filter(col("session_end") > wm)
+    assert(emitted.count() > 0, "no sessions emitted — watermark never closed any")
+    assert(emitted.exceptAll(closed).isEmpty && closed.exceptAll(emitted).isEmpty,
+      s"emitted ≠ batch sessions closed by watermark $wm")
+    assert(batch.count() == emitted.count() + open.count())
+  }
+
   test("streaming exact distinct (stateful dedup) ≡ batch DISTINCT") {
     val streamed = Streaming.runToMemory(spark,
       Streaming.distinctKeysStream(spark, sf0001), OutputMode.Append())

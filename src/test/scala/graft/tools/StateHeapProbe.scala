@@ -34,6 +34,10 @@ object StateHeapProbe {
         a.drop(name.length + 3) }
     val dir = opt("dir").getOrElse("/root/testdata/sf0.1")
     val mode = opt("provider").getOrElse("memory")
+    // --pipeline=session runs the session-window aggregation instead of
+    // the hopping pivot: calibrates MeasuredSessionStateBytesPerEntry
+    // and exercises the session-specific bound + auto
+    val sessionPipe = opt("pipeline").contains("session")
     // bounded batches make the failure mode attributable: per-batch
     // working memory stays small and flat, so what grows (and what
     // kills the under-heaped in-memory provider mid-run) is the state
@@ -52,14 +56,18 @@ object StateHeapProbe {
 
     val heap = Runtime.getRuntime.maxMemory
     val (session, provider) = mode match {
-      case "auto" => Streaming.autoStateSession(spark, dir)
+      case "auto" =>
+        if (sessionPipe) Streaming.autoStateSessionWindow(spark, dir)
+        else Streaming.autoStateSession(spark, dir)
       case "rocksdb" =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           Streaming.RocksDbStateProvider)
         (spark, Streaming.RocksDbStateProvider)
       case _ => (spark, Streaming.DefaultStateProvider)
     }
-    val est = WindowOps.hoppingStateUpperBound(Tables.events(spark, dir))
+    val est =
+      if (sessionPipe) WindowOps.sessionStateUpperBound(Tables.events(spark, dir))
+      else WindowOps.hoppingStateUpperBound(Tables.events(spark, dir))
     println(s"[probe] dir=$dir heap=${heap / (1 << 20)}MiB " +
       s"est_state_rows=$est provider=${provider.split('.').last}")
     graft.Sessions.decisions.foreach(d => println(
@@ -71,15 +79,24 @@ object StateHeapProbe {
 
     val out = java.nio.file.Files
       .createTempDirectory("state_probe").toString + "/changelog"
-    val pivot = WindowOps.hoppingPivot(
-      Streaming.withLateness(
-        Streaming.eventsStream(session, dir, maxFiles), lateness),
-      eventTypes = Tables.EventTypes)
+    val stream = Streaming.withLateness(
+      Streaming.eventsStream(session, dir, maxFiles), lateness)
+    val pivot =
+      if (sessionPipe) WindowOps.sessionAgg(stream, gap = "30 minutes")
+      else WindowOps.hoppingPivot(stream, eventTypes = Tables.EventTypes)
     val t0 = System.nanoTime()
     try {
-      val q = Streaming.changelogWriter(pivot, out)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // sessions reject Update mode — their production sink is Append
+      // (Streaming.sinkSessionsAppend scaladoc); the pivot keeps the
+      // Update-mode changelog
+      val q =
+        if (sessionPipe) Streaming.sinkSessionsAppend(pivot, out)
+        else {
+          val qq = Streaming.changelogWriter(pivot, out)
+            .trigger(Trigger.AvailableNow()).start()
+          qq.awaitTermination()
+          qq
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       // PEAK across progresses, not lastProgress: the end-of-batch
       // watermark pass evicts nearly all windows, so the final

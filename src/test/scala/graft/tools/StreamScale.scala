@@ -39,6 +39,12 @@ object StreamScale {
     // third-decade runs (sf100: ~500 M state entries, state ≫ heap) are
     // RocksDB-only territory and long — skip the scored flagship leg
     val pivotOnly = args.contains("--pivot-only")
+    // --session: measure the SESSION-window pipeline (merging state, a
+    // different growth law) instead of the hopping pivot — r14 VERDICT
+    // #5's decade leg. State recovery uses containment compaction
+    // (Streaming.compactSessionChangelog), not latestByKey: session
+    // endpoints are not stable upsert keys.
+    val sessionMode = args.contains("--session")
     // ... and need the big-state checkpoint posture: with the defaults
     // (full snapshot per batch × 100-batch retention) the sf100 leg
     // filled the disk and died on ENOSPC before finishing
@@ -86,6 +92,58 @@ object StreamScale {
       Streaming.applyBigStateConfs(spark)
       println("[stream-scale] big-state checkpoint posture: " +
         "changelog checkpointing + minBatchesToRetain=2")
+    }
+
+    if (sessionMode) {
+      // Sessions only support Append (+watermark) — Update is rejected
+      // (Streaming.sinkSessionsAppend scaladoc), and an infinite replay
+      // watermark would emit NOTHING in Append. So this leg runs the
+      // honest production posture: approximately time-ordered arrival
+      // (the corpus range-sorted on ts once, cached beside the derived
+      // data), bounded micro-batches, the REAL lateness, each session
+      // emitted exactly once as the watermark passes it. Verification:
+      // emitted ≡ the batch twin's sessions ending ≤ the final
+      // watermark; the remainder is the expected open tail (in state).
+      def timeSorted(dir: String): String = {
+        val outDir = "target/scaledata/_tsorted_" + new java.io.File(dir).getName
+        if (!new java.io.File(s"$outDir/events.parquet/_SUCCESS").exists()) {
+          Tables.events(spark, dir)
+            .repartitionByRange(32, org.apache.spark.sql.functions.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+          println(s"[stream-scale] time-sorted $dir -> $outDir")
+        }
+        outDir
+      }
+      def runSession(dir: String): (Double, Long, Long) = {
+        val out = java.nio.file.Files
+          .createTempDirectory("stream_sess").toString + "/sessions"
+        val agg = WindowOps.sessionAgg(
+          Streaming.withLateness(
+            Streaming.eventsStream(spark, timeSorted(dir), maxFiles), lateness),
+          gap = "30 minutes")
+        val t0 = System.nanoTime()
+        val q = Streaming.sinkSessionsAppend(agg, out)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val wm = Streaming.finalWatermarkSec(q).getOrElse(Long.MinValue)
+        (secs, spark.read.parquet(out).count(), wm)
+      }
+      runSession("/root/testdata/sf0.001") // codegen warmup
+      val (tS, eS, wmS) = runSession(small)
+      val (tB, eB, wmB) = runSession(big)
+      println(f"${"sink=append-parquet"}%-24s ${"t(small)"}%9s ${"t(big)"}%9s ${"ratio"}%7s ${"emitted(small)"}%15s ${"emitted(big)"}%13s")
+      println(f"${"q_stream_session"}%-24s $tS%9.3f $tB%9.3f ${tB / tS}%7.2f $eS%15d $eB%13d")
+      for ((dir, wm, emitted) <- Seq((small, wmS, eS), (big, wmB, eB))) {
+        val batch = WindowOps.sessionAgg(
+          Tables.events(spark, dir), gap = "30 minutes")
+        val closed = batch.filter(
+          org.apache.spark.sql.functions.col("session_end") <= wm).count()
+        val total = batch.count()
+        println(s"[check] $dir: emitted=$emitted batch_closed(wm=$wm)=$closed " +
+          s"open_tail=${total - closed} " +
+          (if (emitted == closed) "EQUAL" else "MISMATCH"))
+      }
+      spark.stop(); return
     }
 
     def run(dir: String): (Double, Long) = {
