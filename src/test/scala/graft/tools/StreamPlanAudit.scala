@@ -43,6 +43,36 @@ object StreamPlanAudit {
       sessionWindowStores = n("SessionWindowStateStore"))
   }
 
+  /** Structural invariants every streaming pipeline's plan must satisfy
+    * — the STREAM_PLANS checks promoted from offline-audit knowledge to
+    * a pure, spec-testable function (r14 VERDICT #7). Violations, empty
+    * when healthy:
+    *  - StateStoreRestore/Save must PAIR (a windowed agg reads its
+    *    prior state exactly once per save; an unpaired count means a
+    *    duplicated or dropped stateful exchange);
+    *  - session-window stores come as exactly one Restore/Save pair (2
+    *    nodes) with ZERO plain stores beside them (a phantom plain
+    *    store next to a session store would double state writes);
+    *  - a stream-stream join plans ONE symmetric-hash operator, never a
+    *    batch join strategy (SMJ on an unbounded side buffers forever).
+    */
+  def violations(
+      name: String, c: StreamCounts, sortMergeJoins: Int = 0): Seq[String] = {
+    val v = Seq.newBuilder[String]
+    if (c.stateStoreRestores != c.stateStoreSaves)
+      v += s"$name: unpaired StateStoreRestore/Save " +
+        s"(${c.stateStoreRestores}/${c.stateStoreSaves})"
+    if (c.sessionWindowStores > 0 && c.sessionWindowStores != 2)
+      v += s"$name: session stores must be one Restore/Save pair, " +
+        s"found ${c.sessionWindowStores} nodes"
+    if (c.sessionWindowStores > 0 &&
+        (c.stateStoreSaves > 0 || c.stateStoreRestores > 0))
+      v += s"$name: phantom plain state store beside a session store"
+    if (c.symmetricHashJoins > 0 && sortMergeJoins > 0)
+      v += s"$name: batch SortMergeJoin in a stream-stream join plan"
+    v.result()
+  }
+
   /** Run the stream to completion on a no-op sink and return the last
     * micro-batch's executed-plan text via the public explain() API.
     */
