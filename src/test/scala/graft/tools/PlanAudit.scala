@@ -124,6 +124,18 @@ object PlanAudit {
       case (name, fn) =>
         try {
           val df = fn(spark, dir)
+          // The WIDTH dimension of the decade audits (r14 VERDICT #4):
+          // what Sessions.autosizeFor WOULD choose for this query at
+          // this SF, from the query's own leaf stats — recorded, not
+          // applied, so the plan counts stay pinned at the
+          // deterministic fixed width while the per-query sizing
+          // choices become a diffable artifact. A wrong width at 100×
+          // is as expensive as a wrong strategy; PlanWidthSpec pins
+          // that the recorded widths grow with leaf bytes across
+          // sf0.01 → sf1 → sf10 and never drop below the core floor.
+          val leafBytes = graft.Sessions.statsBytes(df)
+          val autoWidth = graft.Sessions.shufflePartitionsFor(
+            leafBytes, spark.sparkContext.defaultParallelism)
           // drive df's OWN QueryExecution so AQE finalizes THIS plan —
           // but through toRdd.count(), not collect(): the audit must not
           // materialize a pass-through query's whole output on the
@@ -148,7 +160,9 @@ object PlanAudit {
             s""""parquetScans": ${c.parquetScans}, """ +
             s""""scansWithPushedFilters": ${c.scansWithPushedFilters}, """ +
             s""""emptyRelations": ${c.emptyRelations}, """ +
-            s""""maxScanCols": ${c.maxScanCols}}"""
+            s""""maxScanCols": ${c.maxScanCols}, """ +
+            s""""leafBytes": $leafBytes, """ +
+            s""""autoWidth": $autoWidth}"""
         } catch {
           case scala.util.control.NonFatal(e) =>
             s"""  "$name": {"error": "${e.getClass.getSimpleName}"}"""
