@@ -570,6 +570,13 @@ object Similarity {
     import spark.implicits._
     Seq((m, ksub, cb.toSeq)).toDF("m", "ksub", "cb")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    // per-cell row counts AT BUILD TIME — the staleness baseline
+    // [[ivfPqAppendAuto]] diffs against (footer-only scan: cell is the
+    // partition column, count needs no data pages). Older indexes
+    // without this file degrade to "never rebuild", documented there.
+    spark.read.parquet(s"$path/data").groupBy("cell").count()
+      .withColumnRenamed("count", "base_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/basecells")
   }
 
   /** Append a new ingest batch to an existing IVF+PQ index WITHOUT
@@ -582,8 +589,10 @@ object Similarity {
     * only itself; the corpus is never re-encoded. Codes are
     * deterministic given the stored codebook (spec-asserted), so an
     * appended row is exactly what the original build would have written
-    * for that vector. Distribution drift is handled by periodic full
-    * rebuilds, as in any IVF deployment.
+    * for that vector. Distribution drift is handled by
+    * [[ivfPqAppendAuto]], which measures a staleness signal per ingest
+    * and triggers [[ivfPqRebuildIndex]] from it — caller knowledge
+    * ("rebuild periodically") promoted to engine behavior (r15).
     */
   def ivfPqAppendIndex(
       newVecs: DataFrame,
@@ -603,6 +612,112 @@ object Similarity {
     assigned.join(coded, "neighbor_id")
       .select(col("neighbor_id"), col("cv"), col("cn"), col("codes"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+  }
+
+  /** Rebuild a written IVF+PQ index from its own stored vectors —
+    * refit the coarse quantizer and PQ codebook on the CURRENT corpus
+    * (base + everything appended), write side-by-side under
+    * `$path/_rebuild`, then swap subdirectories in — the
+    * build-beside-and-swap any production index maintenance does, so a
+    * concurrent reader never sees a half-written layout (it sees the
+    * old index until the rename). Parameters (nlist, m, ksub) are
+    * recovered from the stored index so a rebuild cannot drift from
+    * the build; `seed` defaults to the build default.
+    */
+  def ivfPqRebuildIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      seed: Long = 42L): Unit = {
+    val meta = spark.read.parquet(s"$path/codebook").collect().head
+    val m = meta.getInt(0)
+    val ksub = meta.getInt(1)
+    val nlist = spark.read.parquet(s"$path/centroids").count().toInt
+    val corpus = spark.read.parquet(s"$path/data")
+      .select(col("neighbor_id"), col("cv"))
+    val tmp = s"$path/_rebuild"
+    ivfPqWriteIndex(corpus, tmp, nlist = nlist, m = m, ksub = ksub,
+      seed = seed, vecCol = "cv", idCol = "neighbor_id")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sub <- Seq("data", "centroids", "codebook", "basecells")) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$sub"),
+        new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Append + staleness decision — the EIGHTH adaptive element.
+    * [[ivfPqAppendIndex]] encodes new rows against the FROZEN coarse
+    * centroids and codebook; that is exactly right while the appended
+    * data looks like the build distribution and exactly wrong once it
+    * doesn't: vectors from an uncovered region all land in their few
+    * nearest (wrong) cells, the PQ codebook quantizes them coarsely,
+    * and recall for queries in that region decays as the appended mass
+    * grows — measured, not asserted (IvfDriftProbe; SCALE.md r15:
+    * same-distribution appends hold recall flat at ANY share, shifted
+    * appends decay it, and the decay tracks the signal below).
+    *
+    * The rebuild trigger must be computable WITHOUT ground truth
+    * (recall needs a brute-force pass — if you could afford it per
+    * ingest you wouldn't need the index). Signal = appendedShare ×
+    * cellSkew of the appended rows:
+    *  - appendedShare = appended rows ÷ build-time rows (from the
+    *    [[ivfPqWriteIndex]] `basecells` baseline vs the current
+    *    per-cell counts — both footer-only scans of the partition
+    *    column);
+    *  - cellSkew = max appended-cell count ÷ uniform share (appended ÷
+    *    nlist): 1.0 = appends spread like the quantizer expects,
+    *    nlist = everything crammed into one cell, the
+    *    uncovered-region signature.
+    * Same-distribution ingest keeps the signal ≈ share (harmless at
+    * any volume); a shifted batch drives it toward share × nlist. The
+    * default threshold comes from the probe's decay table. Indexes
+    * written before `basecells` existed degrade to "append, never
+    * rebuild" (signal unmeasurable), surfaced in the decision log.
+    * Returns the choice ("append" | "rebuild" | "append(nometa)").
+    */
+  def ivfPqAppendAuto(
+      newVecs: DataFrame,
+      path: String,
+      rebuildThreshold: Double = 2.0,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): String = {
+    ivfPqAppendIndex(newVecs, path, vecCol, idCol)
+    val spark = newVecs.sparkSession
+    val baseP = new org.apache.hadoop.fs.Path(s"$path/basecells")
+    val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(baseP)) {
+      graft.Sessions.recordDecision("ivfPqAppendAuto", -1.0, rebuildThreshold,
+        "append(nometa)")
+      return "append(nometa)"
+    }
+    val base = spark.read.parquet(s"$path/basecells")
+    val nlist = base.count()
+    val now = spark.read.parquet(s"$path/data").groupBy("cell")
+      .count().withColumnRenamed("count", "now_rows")
+    val r = now.join(base, Seq("cell"), "left")
+      .select(col("now_rows"),
+        coalesce(col("base_rows"), lit(0L)).as("b"))
+      .agg(sum(col("now_rows")), sum(col("b")), max(col("now_rows") - col("b")))
+      .head()
+    val total = r.getLong(0)
+    val baseTotal = r.getLong(1)
+    val maxCellAppended = math.max(0L, r.getLong(2))
+    val appended = math.max(0L, total - baseTotal)
+    val signal =
+      if (appended == 0L || baseTotal == 0L) 0.0
+      else {
+        val share = appended.toDouble / baseTotal
+        val skew = maxCellAppended.toDouble / (appended.toDouble / nlist)
+        share * skew
+      }
+    val rebuild = signal >= rebuildThreshold
+    graft.Sessions.recordDecision("ivfPqAppendAuto", signal, rebuildThreshold,
+      if (rebuild) "rebuild" else "append")
+    if (rebuild) { ivfPqRebuildIndex(spark, path, seed); "rebuild" }
+    else "append"
   }
 
   /** Query a written IVF+PQ index: probe cells against the tiny centroid

@@ -244,6 +244,64 @@ class SimilaritySpec extends SparkSpec {
       s"sample-trained recall $sampled must stay near full-trained $full")
   }
 
+  test("ivfPqAppendAuto: staleness signal flips append -> rebuild, and the " +
+    "rebuild restores recall parity with a scratch build") {
+    // controllable geometry (same construction as IvfDriftProbe): base
+    // energy in dims 0-31; the drifted batch in dims 32-63 — a region
+    // the frozen quantizer cannot cover
+    def gen(n: Long, idOffset: Long, activeFrom: Int) = {
+      val dims = (0 until 64).map { d =>
+        val g = randn(1234 + d)
+        (if (d >= activeFrom && d < activeFrom + 32) g else g * lit(0.02))
+          .cast("float")
+      }
+      spark.range(n).select((col("id") + idOffset).as("vec_id"),
+        array(dims: _*).as("embedding")).localCheckpoint()
+    }
+    val base = gen(1000L, 0L, 0)
+
+    // same-distribution ingest: signal ≈ share, stays below threshold
+    val p1 = java.nio.file.Files.createTempDirectory("ivfauto1").toString + "/idx"
+    Similarity.ivfPqWriteIndex(base, p1, nlist = 16, m = 16, ksub = 8)
+    assert(Similarity.ivfPqAppendAuto(gen(400L, 1000000L, 0), p1) == "append")
+    val d1 = graft.Sessions.decisions.last
+    assert(d1.op == "ivfPqAppendAuto" && d1.estimate < 2.0)
+
+    // pre-basecells index (older format): signal unmeasurable, surfaced
+    val fs = new org.apache.hadoop.fs.Path(p1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p1/basecells"), true)
+    assert(Similarity.ivfPqAppendAuto(
+      gen(10L, 3000000L, 0), p1) == "append(nometa)")
+
+    // drifted ingest: signal = share × cell skew crosses the threshold,
+    // the auto rebuilds, and the rebuilt index's recall on the drifted
+    // region restores to scratch-build parity (stale would be ~4× lower
+    // — IvfDriftProbe, SCALE.md r15)
+    val p2 = java.nio.file.Files.createTempDirectory("ivfauto2").toString + "/idx"
+    Similarity.ivfPqWriteIndex(base, p2, nlist = 16, m = 16, ksub = 8)
+    val drifted = gen(500L, 2000000L, 32)
+    assert(Similarity.ivfPqAppendAuto(drifted, p2) == "rebuild")
+    val d2 = graft.Sessions.decisions.last
+    assert(d2.estimate >= 2.0, s"drift signal ${d2.estimate} did not cross")
+    val combined = base.unionByName(drifted)
+    val queries = drifted.orderBy("vec_id").limit(24).localCheckpoint()
+    val exact = Similarity.bruteForceTopK(queries, combined, k = 5).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    def recallAt(path: String): Double = {
+      val got = Similarity.ivfPqQueryIndex(queries, path, k = 5, nprobe = 8,
+        rerankFactor = 6).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val fresh = java.nio.file.Files.createTempDirectory("ivfauto3").toString + "/idx"
+    Similarity.ivfPqWriteIndex(combined, fresh, nlist = 16, m = 16, ksub = 8)
+    val (rRebuilt, rFresh) = (recallAt(p2), recallAt(fresh))
+    assert(rRebuilt >= rFresh - 0.15,
+      s"rebuilt recall $rRebuilt lost parity with scratch build $rFresh")
+    assert(rRebuilt >= 0.4, s"rebuilt recall $rRebuilt — rebuild didn't recover")
+  }
+
   test("pqTopK: deterministic, and re-ranked recall beats raw ADC on fixture embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 5)
