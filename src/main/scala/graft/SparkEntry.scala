@@ -59,7 +59,35 @@ object SparkEntry {
     */
   private[graft] def scoredFlagship(
       spark: SparkSession, feats: DataFrame, dir: String): DataFrame =
-    enrichedFlagship(spark, feats, dir)
+    scoredFlagshipWith(feats,
+      flagshipDims(spark, dir), flagshipOrderCounts(spark, dir))
+
+  /** The two STATIC relations the flagship enriches with, exposed so a
+    * long-running streaming deployment can MATERIALIZE them once
+    * (write to parquet, read back) instead of re-aggregating orders
+    * inside every micro-batch — Spark re-executes a stream-static
+    * join's static side per batch, so at sf100 the inline form would
+    * re-group 150 M orders rows on each of the replay's micro-batches
+    * while the materialized form re-reads a 15 M-row aggregate
+    * (StreamScale's flagship leg measures the materialized posture,
+    * which is also the reference's: its ksql enrich reads TABLES, not
+    * re-aggregations).
+    */
+  private[graft] def flagshipDims(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"), col("n_name").as("country"),
+        col("c_mktsegment").as("platform"), col("c_acctbal"))
+
+  private[graft] def flagshipOrderCounts(
+      spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("nb_orders"))
+
+  private[graft] def scoredFlagshipWith(
+      feats: DataFrame, dims: DataFrame, nbOrders: DataFrame): DataFrame =
+    enrichedFlagshipWith(feats, dims, nbOrders)
       .withColumn("predicted_label",
         call_udf("predict", lit("Bot Detector"),
           Relational.asArray(col("country"), col("platform")),
@@ -75,14 +103,12 @@ object SparkEntry {
     * SQL-expressible, but this prefix is plain ANSI.
     */
   private def enrichedFlagship(
-      spark: SparkSession, feats: DataFrame, dir: String): DataFrame = {
-    val dims = Tables.customer(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir)),
-        col("c_nationkey") === col("n_nationkey"), "left")
-      .select(col("c_custkey"), col("n_name").as("country"),
-        col("c_mktsegment").as("platform"), col("c_acctbal"))
-    val nbOrders = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey")).agg(count(lit(1)).as("nb_orders"))
+      spark: SparkSession, feats: DataFrame, dir: String): DataFrame =
+    enrichedFlagshipWith(feats,
+      flagshipDims(spark, dir), flagshipOrderCounts(spark, dir))
+
+  private def enrichedFlagshipWith(
+      feats: DataFrame, dims: DataFrame, nbOrders: DataFrame): DataFrame = {
     Joins.leftEnrich(feats, dims, "user_id", "c_custkey")
       .join(broadcast(nbOrders), col("user_id") === col("o_custkey"), "left")
       .select(

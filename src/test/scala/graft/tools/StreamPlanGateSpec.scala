@@ -39,31 +39,21 @@ class StreamPlanGateSpec extends AnyFunSuite {
     "interval_join_outer" -> ((0, 0, 0, 1, 0, 0)),
     "session_window" -> ((0, 0, 0, 0, 0, 2)))
 
-  private def artifact: Map[String, Map[String, Int]] = {
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("STREAM_PLANS.json")), "UTF-8")
-    // flat two-level JSON written by StreamPlanAudit itself: one object
-    // per pipeline, integer fields only
-    val row = """"(\w+)":\s*\{([^}]*)\}""".r
-    val field = """"(\w+)":\s*(-?\d+)""".r
-    row.findAllMatchIn(txt).map { m =>
-      m.group(1) -> field.findAllMatchIn(m.group(2))
-        .map(f => f.group(1) -> f.group(2).toInt).toMap
-    }.toMap
-  }
+  private def artifact: Map[String, Map[String, Long]] =
+    PlanArtifacts.read("STREAM_PLANS.json")
 
-  private def countsOf(row: Map[String, Int]) =
+  private def countsOf(row: Map[String, Long]) =
     StreamPlanAudit.StreamCounts(
-      row("stateStoreRestores"), row("stateStoreSaves"),
-      row("streamingDedups"), row("symmetricHashJoins"),
-      row("flatMapGroupsWithState"), row("sessionWindowStores"))
+      row("stateStoreRestores").toInt, row("stateStoreSaves").toInt,
+      row("streamingDedups").toInt, row("symmetricHashJoins").toInt,
+      row("flatMapGroupsWithState").toInt, row("sessionWindowStores").toInt)
 
   test("committed STREAM_PLANS.json satisfies the structural invariants") {
     val rows = artifact
     assert(rows.size >= 10, s"artifact has only ${rows.size} pipelines")
     val bad = rows.toSeq.flatMap { case (name, row) =>
       StreamPlanAudit.violations(name, countsOf(row),
-        row.getOrElse("sortMergeJoins", 0))
+        row.getOrElse("sortMergeJoins", 0L).toInt)
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
