@@ -427,12 +427,31 @@ object WindowOps {
     * only): gap-based sessions per key via Spark's session_window —
     * sessions merge while consecutive events are < gap apart; the window
     * ends at last_event + gap.
+    *
+    * Output bounds are derived from the min/max(ts) AGGREGATES, not
+    * from the `session_window` grouping struct, to close a measured
+    * soundness hazard (r15, caught by StreamScale --session's
+    * prefix-closure check — 4 phantom sessions at sf0.1): Catalyst
+    * pushes a filter on a grouping column below the aggregate, and for
+    * `session_window` that substitutes the PER-ROW pre-merge window
+    * (`ts + gap`) for the merged one — so
+    * `sessionAgg(df).filter(session_end <= X)` silently dropped a
+    * merged session's later events BEFORE the merge and emitted the
+    * unmerged prefix as a phantom session (plan-verified: the pushed
+    * predicate appears under the Aggregate as
+    * `cast(ts + 30 minutes as bigint) <= X`). min(ts)/max(ts)+gap are
+    * the same values by session semantics (start = first event, end =
+    * last event + gap; the cast truncation commutes with adding a
+    * whole-second gap), but as aggregate outputs no predicate on them
+    * can cross the merge.
     */
   def sessionAgg(
       events: DataFrame,
       tsCol: String = "ts",
       keyCol: String = "user_id",
       gap: String = "30 minutes"): DataFrame = {
+    val gapUs = intervalUs(gap)
+    require(gapUs % 1000000L == 0, s"sessionAgg needs a whole-second gap: $gap")
     val ts =
       if (events.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) col(tsCol)
       else col(tsCol).cast("timestamp")
@@ -441,8 +460,8 @@ object WindowOps {
       .agg(count(lit(1)).as("n_events"), min(ts).as("_first"), max(ts).as("_last"))
       .select(
         col(keyCol),
-        col("w.start").cast("long").as("session_start"),
-        col("w.end").cast("long").as("session_end"),
+        col("_first").cast("long").as("session_start"),
+        (col("_last").cast("long") + lit(gapUs / 1000000L)).as("session_end"),
         col("n_events"))
   }
 

