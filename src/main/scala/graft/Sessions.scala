@@ -76,11 +76,30 @@ object Sessions {
     * stats multiplicatively, so any join-bearing plan's root estimate
     * explodes to nonsense (measured: the ANN queries' broadcast-join
     * plans hit the 65536 cap off a 130 MB corpus).
+    *
+    * CHECKPOINTED leaves read their TRUE size from the block manager:
+    * a `localCheckpoint()` intermediate becomes a LogicalRDD leaf whose
+    * Catalyst stats are the FROZEN pre-checkpoint estimate — the same
+    * multiplicative explosion, leaked through the checkpoint boundary.
+    * The r15 width audit caught it: q11's 1.4 MB of parquet scans froze
+    * into a 456 GB LogicalRDD estimate at sf0.01 and sized 54 452
+    * shuffle partitions for a kilobyte-scale aggregate. But a
+    * checkpointed RDD is MATERIALIZED (localCheckpoint is eager), so
+    * its actual stored bytes are known — `getRDDStorageInfo` — and that
+    * is the number a sizing decision should use; the estimate is only
+    * the fallback for blocks the storage listing doesn't cover.
     */
-  def statsBytes(df: org.apache.spark.sql.DataFrame): Long =
-    df.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).sum
-      .min(BigInt(Long.MaxValue)).toLong
+  def statsBytes(df: org.apache.spark.sql.DataFrame): Long = {
+    lazy val storage = df.sparkSession.sparkContext.getRDDStorageInfo
+    val total = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        storage.find(_.id == l.rdd.id)
+          .map(i => BigInt(i.memSize + i.diskSize))
+          .getOrElse(l.stats.sizeInBytes)
+      case other => other.stats.sizeInBytes
+    }.sum
+    total.min(BigInt(Long.MaxValue)).toLong
+  }
 
   /** Per-QUERY autosizing: derive the shuffle width from the query's
     * own optimized-plan input stats and land it on the session confs

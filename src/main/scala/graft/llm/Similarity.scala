@@ -790,11 +790,17 @@ object Similarity {
     * corpus as queries grow. Low volume: setup dominates, brute wins.
     * High volume: per-query compute dominates, the ~nlist/nprobe-fold
     * work reduction wins. The crossover is measured, not asserted —
-    * SCALE.md r14 "ANN: when does the index pay?" (sf10, 2 M vectors:
-    * brute degrades linearly with volume, the index stays flat; the
-    * measured crossover sits well under `queryThreshold`'s default on
-    * every corpus tried, so the default is conservative toward brute,
-    * the exact answer).
+    * SCALE.md r14 established the volume axis and r15 CALIBRATED the
+    * default with a fine sweep at two corpus sizes a decade apart
+    * (SimVolumeProbe, 2 M and 20 M vectors, warm): the crossover sits
+    * at or below ~16 queries at BOTH sizes, differences below it are
+    * noise-level (≤ ~0.3 s — the price of staying exact), and above
+    * ~24 the index wins 1.4–1.8× growing with volume. The default is
+    * 24 = 1.5× margin over the highest observed crossover: still
+    * conservative toward brute (the EXACT answer) in the region where
+    * the win is not decisive — and cold runs shift the crossover up
+    * (centroid read + IN-list round-trip dominate there, r13), which
+    * the margin also covers.
     *
     * Decision inputs, both O(small): |queries| (exact count of the
     * query relation — small by the operator's own contract, it gets
@@ -810,7 +816,7 @@ object Similarity {
       corpus: DataFrame,
       k: Int = 5,
       indexPath: Option[String] = None,
-      queryThreshold: Long = 64L,
+      queryThreshold: Long = 24L,
       nprobe: Int = 4,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
