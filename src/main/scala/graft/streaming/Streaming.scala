@@ -421,17 +421,29 @@ object Streaming {
     * the final watermark, which [[finalWatermarkSec]] exposes so
     * callers can verify emitted ≡ batch-below-watermark exactly.
     * Returns the terminated query for that purpose.
+    *
+    * Exactly-once under crash: `foreachBatch` is AT-LEAST-once — after
+    * a kill the in-flight batch re-runs, and a blind append would
+    * DUPLICATE its sessions (the changelog sink tolerates this because
+    * latestByKey compaction absorbs re-emissions; Append-mode sessions
+    * have no compaction key, so the sink itself must be idempotent).
+    * Each batch therefore writes its own `batch_id=N` partition
+    * directory with OVERWRITE: a replayed batch overwrites its own
+    * half-written output instead of appending beside it. Verified
+    * under a real `Runtime.halt` by RestartProbe --pipeline=session
+    * (prefix-closure equality would count any duplicate).
     */
   def sinkSessionsAppend(
       streamed: DataFrame,
-      path: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val q = streamed.writeStream
+      path: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = streamed.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        batch.write.mode("append").parquet(path)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
     q.awaitTermination()
     q
   }

@@ -63,11 +63,35 @@ object RestartProbe {
 
     val ck = s"$work/ck"
     val out = s"$work/changelog"
-    def pivotStream() = WindowOps.hoppingPivot(
-      Streaming.withLateness(
-        Streaming.eventsStream(spark, dir, Some(maxFiles)),
-        Streaming.ReplayLateness),
-      eventTypes = Tables.EventTypes)
+    // --pipeline=session: crash-recover the Append-mode session sink
+    // instead of the pivot changelog. foreachBatch is at-least-once, so
+    // the in-flight batch RE-RUNS after the kill — the changelog sink
+    // absorbs that via latestByKey compaction, but Append-mode sessions
+    // have no compaction key, so sinkSessionsAppend's per-batch
+    // overwrite is what must make the replay idempotent; the two-sided
+    // prefix-closure equality below counts any duplicate. Pass a
+    // TIME-SORTED corpus (StreamScale --session builds
+    // target/scaledata/_tsorted_*): sessions need ordered arrival with
+    // the real watermark (Streaming.sinkSessionsAppend scaladoc).
+    val sessionPipe = opt("pipeline").contains("session")
+    def pivotStream() =
+      if (sessionPipe) WindowOps.sessionAgg(
+        Streaming.withLateness(
+          Streaming.eventsStream(spark, dir, Some(maxFiles)), "10 minutes"),
+        gap = "30 minutes")
+      else WindowOps.hoppingPivot(
+        Streaming.withLateness(
+          Streaming.eventsStream(spark, dir, Some(maxFiles)),
+          Streaming.ReplayLateness),
+        eventTypes = Tables.EventTypes)
+    def startSink(): Unit =
+      if (sessionPipe) { Streaming.sinkSessionsAppend(pivotStream(), out, Some(ck)); () }
+      else {
+        val q = Streaming.changelogWriter(pivotStream(), out)
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
 
     phase match {
       case "crash" =>
@@ -93,10 +117,7 @@ object RestartProbe {
             }
           }
         })
-        val q = Streaming.changelogWriter(pivotStream(), out)
-          .option("checkpointLocation", ck)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        startSink()
         // reaching here means the corpus finished before crashAfter
         // batches — the probe needs a bigger corpus or smaller batches
         println(s"[restart] WARNING: replay completed before the crash " +
@@ -118,13 +139,29 @@ object RestartProbe {
             if (e.progress.numInputRows > 0 && firstBatchS < 0)
               firstBatchS = (System.nanoTime() - t0) / 1e9
         })
-        val q = Streaming.changelogWriter(pivotStream(), out)
-          .option("checkpointLocation", ck)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        startSink()
         val totalS = (System.nanoTime() - t0) / 1e9
         println(f"[restart] resume OK restore_first_batch_s=$firstBatchS%.1f " +
           f"total_s=$totalS%.1f")
+
+        if (sessionPipe) {
+          // session verification: emitted ≡ the batch twin's end-ordered
+          // prefix (StreamScale --session's check), two-sided — an
+          // at-least-once duplicate OR a lost session both fail it
+          val emitted = spark.read.parquet(out)
+            .select("user_id", "session_start", "session_end", "n_events")
+          val maxEnd = emitted.agg(max(col("session_end"))).head.getLong(0)
+          val batch = WindowOps.sessionAgg(
+            Tables.events(spark, dir), gap = "30 minutes")
+          val closed = batch.filter(col("session_end") <= maxEnd)
+          val (e, c) = (emitted.count(), closed.count())
+          val holes = closed.exceptAll(emitted).count()
+          val extras = emitted.exceptAll(closed).count()
+          println(s"[restart] session emitted=$e batch_prefix=$c " +
+            s"holes=$holes extras=$extras " +
+            (if (e == c && holes == 0 && extras == 0) "VERIFIED" else "MISMATCH"))
+          spark.stop(); return
+        }
 
         // distributed equality: compacted changelog ≡ batch pivot.
         // Default is two-sided exceptAll (no hashing caveats); at sf100
