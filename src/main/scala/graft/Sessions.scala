@@ -48,10 +48,17 @@ object Sessions {
       targetInputBytesPerTask: Long = 8L << 20,
       maxPartitions: Int = 65536): Int = {
     require(cores > 0 && targetInputBytesPerTask > 0)
+    // divide-first overflow guard: `bytes + target - 1` wraps NEGATIVE
+    // near Long.MaxValue (the value Catalyst assigns an unknown-size
+    // leaf), and the old form then silently landed on the CORE FLOOR —
+    // the exact opposite of what an unknown huge input should size to
+    // (caught by the r15 width audit: q_zorder_ranked's uncached rank
+    // RDDs recorded leafBytes = Long.MaxValue with autoWidth = 8)
     val fromBytes =
-      ((bytes + targetInputBytesPerTask - 1) / targetInputBytesPerTask)
-        .min(maxPartitions.toLong).toInt
-    fromBytes.max(cores)
+      if (bytes / targetInputBytesPerTask >= maxPartitions.toLong) maxPartitions
+      else ((bytes + targetInputBytesPerTask - 1) / targetInputBytesPerTask)
+        .max(0L).toInt
+    fromBytes.max(cores).min(maxPartitions.max(cores))
   }
 
   /** Size the session's shuffle parallelism for the corpus at `dir`:
@@ -77,26 +84,37 @@ object Sessions {
     * explodes to nonsense (measured: the ANN queries' broadcast-join
     * plans hit the 65536 cap off a 130 MB corpus).
     *
-    * CHECKPOINTED leaves read their TRUE size from the block manager:
-    * a `localCheckpoint()` intermediate becomes a LogicalRDD leaf whose
-    * Catalyst stats are the FROZEN pre-checkpoint estimate — the same
-    * multiplicative explosion, leaked through the checkpoint boundary.
-    * The r15 width audit caught it: q11's 1.4 MB of parquet scans froze
-    * into a 456 GB LogicalRDD estimate at sf0.01 and sized 54 452
-    * shuffle partitions for a kilobyte-scale aggregate. But a
-    * checkpointed RDD is MATERIALIZED (localCheckpoint is eager), so
-    * its actual stored bytes are known — `getRDDStorageInfo` — and that
-    * is the number a sizing decision should use; the estimate is only
-    * the fallback for blocks the storage listing doesn't cover.
+    * NON-FILE leaves get two corrections, both r15 width-audit finds:
+    *  - a `localCheckpoint()` intermediate becomes a LogicalRDD leaf
+    *    whose Catalyst stats are the FROZEN pre-checkpoint estimate —
+    *    the multiplicative explosion leaked through the checkpoint
+    *    boundary (q11: 1.4 MB of scans froze into a 456 GB leaf and
+    *    sized 54 452 partitions for a kilobyte aggregate). A
+    *    checkpointed RDD is MATERIALIZED (localCheckpoint is eager), so
+    *    its TRUE stored bytes come from `getRDDStorageInfo`;
+    *  - an UNCACHED RDD leaf (e.g. a zipWithIndex rank map) has no
+    *    stats at all and reports `defaultSizeInBytes` = Long.MaxValue —
+    *    summing that poisons the width. Any non-file leaf the storage
+    *    listing doesn't cover is clamped to the plan's file-leaf total:
+    *    derived relations are, for sizing purposes, bounded by the
+    *    scans that feed them. Plans with no file leaves keep raw stats.
     */
   def statsBytes(df: org.apache.spark.sql.DataFrame): Long = {
     lazy val storage = df.sparkSession.sparkContext.getRDDStorageInfo
-    val total = df.queryExecution.optimizedPlan.collectLeaves().map {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val fileSum = leaves.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.stats.sizeInBytes
+    }.sum
+    def clamp(b: BigInt): BigInt = if (fileSum > 0) b.min(fileSum) else b
+    val total = leaves.map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.stats.sizeInBytes
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         storage.find(_.id == l.rdd.id)
           .map(i => BigInt(i.memSize + i.diskSize))
-          .getOrElse(l.stats.sizeInBytes)
-      case other => other.stats.sizeInBytes
+          .getOrElse(clamp(l.stats.sizeInBytes))
+      case other => clamp(other.stats.sizeInBytes)
     }.sum
     total.min(BigInt(Long.MaxValue)).toLong
   }

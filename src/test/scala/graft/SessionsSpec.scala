@@ -15,6 +15,10 @@ class SessionsSpec extends SparkSpec {
     // monotone in bytes, capped at maxPartitions
     assert(Sessions.shufflePartitionsFor(1L << 50, cores = 32) == 65536)
     assert(Sessions.shufflePartitionsFor(0L, cores = 8) == 8)
+    // Long.MaxValue = Catalyst's unknown-size sentinel: the pre-r15
+    // form overflowed (bytes + target - 1 wraps negative) and silently
+    // sized an "unknown huge" input to the CORE FLOOR — must cap instead
+    assert(Sessions.shufflePartitionsFor(Long.MaxValue, cores = 32) == 65536)
   }
 
   test("inputBytes: recursive file sizes; 0 for a missing dir") {
