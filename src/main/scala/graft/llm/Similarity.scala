@@ -672,15 +672,29 @@ object Similarity {
     *    uncovered-region signature.
     * Same-distribution ingest keeps the signal ≈ share (harmless at
     * any volume); a shifted batch drives it toward share × nlist. The
-    * default threshold comes from the probe's decay table. Indexes
-    * written before `basecells` existed degrade to "append, never
-    * rebuild" (signal unmeasurable), surfaced in the decision log.
-    * Returns the choice ("append" | "rebuild" | "append(nometa)").
+    * default threshold comes from the probe's decay table.
+    *
+    * Second trigger, skew-alone: the probe's 10× base showed the
+    * PRODUCT can under-fire — at (share 0.25, skew 5.8) the signal is
+    * 1.46 while stale recall for the drifted region is 6× below the
+    * rebuilt index. The separating axis is the SKEW itself: same-dist
+    * ingest is multinomially balanced over the trained cells (measured
+    * ≤ 1.4 at every share and both base sizes), while an uncovered
+    * region concentrates 5.8–15.8×. So a rebuild also fires on
+    * `skew ≥ skewThreshold` once the appended share clears a floor
+    * (below `minShare` the damage is confined to a sliver of queries
+    * and one more ingest crosses the floor anyway).
+    *
+    * Indexes written before `basecells` existed degrade to "append,
+    * never rebuild" (signal unmeasurable), surfaced in the decision
+    * log. Returns the choice ("append" | "rebuild" | "append(nometa)").
     */
   def ivfPqAppendAuto(
       newVecs: DataFrame,
       path: String,
       rebuildThreshold: Double = 2.0,
+      skewThreshold: Double = 4.0,
+      minShare: Double = 0.05,
       seed: Long = 42L,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): String = {
@@ -706,16 +720,18 @@ object Similarity {
     val baseTotal = r.getLong(1)
     val maxCellAppended = math.max(0L, r.getLong(2))
     val appended = math.max(0L, total - baseTotal)
-    val signal =
-      if (appended == 0L || baseTotal == 0L) 0.0
-      else {
-        val share = appended.toDouble / baseTotal
-        val skew = maxCellAppended.toDouble / (appended.toDouble / nlist)
-        share * skew
-      }
-    val rebuild = signal >= rebuildThreshold
+    val (share, skew) =
+      if (appended == 0L || baseTotal == 0L) (0.0, 0.0)
+      else (appended.toDouble / baseTotal,
+        maxCellAppended.toDouble / (appended.toDouble / nlist))
+    val signal = share * skew
+    val bySignal = signal >= rebuildThreshold
+    val bySkew = skew >= skewThreshold && share >= minShare
+    val rebuild = bySignal || bySkew
     graft.Sessions.recordDecision("ivfPqAppendAuto", signal, rebuildThreshold,
-      if (rebuild) "rebuild" else "append")
+      if (bySignal) "rebuild(signal)"
+      else if (bySkew) f"rebuild(skew=$skew%.1f)"
+      else "append")
     if (rebuild) { ivfPqRebuildIndex(spark, path, seed); "rebuild" }
     else "append"
   }

@@ -284,6 +284,17 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfPqAppendAuto(drifted, p2) == "rebuild")
     val d2 = graft.Sessions.decisions.last
     assert(d2.estimate >= 2.0, s"drift signal ${d2.estimate} did not cross")
+
+    // skew-alone trigger: a SMALL drifted sliver keeps the product
+    // signal under 2.0 but its cell concentration is the drift
+    // signature (same-dist skew is multinomially bounded ~1.4) —
+    // measured under-fire case from the probe's 10x base
+    val p4 = java.nio.file.Files.createTempDirectory("ivfauto4").toString + "/idx"
+    Similarity.ivfPqWriteIndex(base, p4, nlist = 16, m = 16, ksub = 8)
+    assert(Similarity.ivfPqAppendAuto(gen(100L, 4000000L, 32), p4) == "rebuild")
+    val d4 = graft.Sessions.decisions.last
+    assert(d4.estimate < 2.0 && d4.choice.startsWith("rebuild(skew"),
+      s"expected the skew trigger, got ${d4.choice} at signal ${d4.estimate}")
     val combined = base.unionByName(drifted)
     val queries = drifted.orderBy("vec_id").limit(24).localCheckpoint()
     val exact = Similarity.bruteForceTopK(queries, combined, k = 5).collect()

@@ -88,8 +88,9 @@ object IvfDriftProbe {
       val batch = gen(n, 10000000L,
         if (kind == "same") 0 else 32).localCheckpoint()
       graft.Sessions.clearDecisions()
-      // threshold ∞: measure the signal without triggering the rebuild
-      Similarity.ivfPqAppendAuto(batch, path, rebuildThreshold = Double.MaxValue)
+      // thresholds ∞: measure the signal without triggering the rebuild
+      Similarity.ivfPqAppendAuto(batch, path,
+        rebuildThreshold = Double.MaxValue, skewThreshold = Double.MaxValue)
       val d = graft.Sessions.decisions.last
       val combined = base.unionByName(batch).localCheckpoint()
       val queries = batch.orderBy("vec_id").limit(32).localCheckpoint()
@@ -117,7 +118,10 @@ object IvfDriftProbe {
           .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
         (got intersect exact).size.toDouble / exact.size
       }
-      val wouldRebuild = d.estimate >= 2.0 // the shipped default
+      // the shipped dual rule: product signal >= 2.0 OR skew >= 4.0
+      // past the 5 % share floor (skew = signal / share)
+      val wouldRebuild = d.estimate >= 2.0 ||
+        (share >= 0.05 && d.estimate / share >= 4.0)
       println(f"$kind%-8s $share%6.2f ${d.estimate}%8.3f " +
         f"${if (wouldRebuild) "rebuild" else "append"}%8s " +
         f"$stale%13.3f $rebuilt%15.3f $fresh%7.3f (appended $n rows)")
