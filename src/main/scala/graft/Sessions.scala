@@ -94,19 +94,26 @@ object Sessions {
     *    its TRUE stored bytes come from `getRDDStorageInfo`;
     *  - an UNCACHED RDD leaf (e.g. a zipWithIndex rank map) has no
     *    stats at all and reports `defaultSizeInBytes` = Long.MaxValue —
-    *    summing that poisons the width. Any non-file leaf the storage
-    *    listing doesn't cover is clamped to the plan's file-leaf total:
-    *    derived relations are, for sizing purposes, bounded by the
-    *    scans that feed them. Plans with no file leaves keep raw stats.
+    *    summing that poisons the width. A non-file leaf whose stat IS
+    *    that sentinel (and that the storage listing doesn't cover) is
+    *    clamped to the plan's file-leaf total: derived relations with
+    *    unknowable size are, for sizing purposes, bounded by the scans
+    *    that feed them. A non-file leaf with a REAL stat — a
+    *    materialized InMemoryRelation reports its actual cached bytes,
+    *    a LocalRelation its actual row bytes — keeps it (r15 ADVICE:
+    *    clamping those undersized a tiny-scan × large-cache join).
+    *    Plans with no file leaves keep raw stats.
     */
   def statsBytes(df: org.apache.spark.sql.DataFrame): Long = {
     lazy val storage = df.sparkSession.sparkContext.getRDDStorageInfo
+    val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
     val leaves = df.queryExecution.optimizedPlan.collectLeaves()
     val fileSum = leaves.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.stats.sizeInBytes
     }.sum
-    def clamp(b: BigInt): BigInt = if (fileSum > 0) b.min(fileSum) else b
+    def clamp(b: BigInt): BigInt =
+      if (fileSum > 0 && b >= sentinel) b.min(fileSum) else b
     val total = leaves.map {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.stats.sizeInBytes
@@ -114,6 +121,14 @@ object Sessions {
         storage.find(_.id == l.rdd.id)
           .map(i => BigInt(i.memSize + i.diskSize))
           .getOrElse(clamp(l.stats.sizeInBytes))
+      case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        // materialized cache: sizeInBytesStats holds the ACTUAL cached
+        // bytes — exact, never clamp. Unmaterialized: the stat is the
+        // child plan's estimate, which explodes through joins exactly
+        // like a root estimate — bound it by the plan's scans.
+        if (im.cacheBuilder.isCachedColumnBuffersLoaded) im.stats.sizeInBytes
+        else if (fileSum > 0) im.stats.sizeInBytes.min(fileSum)
+        else im.stats.sizeInBytes
       case other => clamp(other.stats.sizeInBytes)
     }.sum
     total.min(BigInt(Long.MaxValue)).toLong

@@ -600,6 +600,7 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit = {
     val spark = newVecs.sparkSession
+    ivfPqRecoverIndex(spark, path)
     val meta = spark.read.parquet(s"$path/codebook").collect().head
     val m = meta.getInt(0)
     val ksub = meta.getInt(1)
@@ -614,20 +615,68 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
   }
 
+  private val ivfPqSubdirs = Seq("data", "centroids", "codebook", "basecells")
+
+  /** Crash recovery for a [[ivfPqRebuildIndex]] swap interrupted at any
+    * point — call on open (every append/rebuild entry point does). The
+    * swap protocol writes a `_rebuild/_COMMIT` marker only after the
+    * side build is COMPLETE, so a leftover layout is unambiguous:
+    *  - `_COMMIT` present → the swap was in flight; roll FORWARD (any
+    *    subdir still in `_rebuild` replaces the live one — already-
+    *    swapped subdirs left `_rebuild` and are kept as-is, so the
+    *    result is exactly the rebuilt index);
+    *  - `_rebuild` without `_COMMIT` → the build itself crashed; the
+    *    live index was never touched — roll BACK by deleting the
+    *    partial build;
+    *  - `_old` alone → the swap finished and only the final cleanup
+    *    crashed; delete it.
+    * Idempotent and cheap (four fs.exists probes when clean).
+    */
+  def ivfPqRecoverIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmp = s"$path/_rebuild"
+    val old = s"$path/_old"
+    if (fs.exists(p(s"$tmp/_COMMIT"))) {
+      for (sub <- ivfPqSubdirs if fs.exists(p(s"$tmp/$sub"))) {
+        fs.delete(p(s"$path/$sub"), true)
+        fs.rename(p(s"$tmp/$sub"), p(s"$path/$sub"))
+      }
+      fs.delete(p(tmp), true)
+      fs.delete(p(old), true)
+    } else if (fs.exists(p(tmp))) {
+      fs.delete(p(tmp), true)
+      fs.delete(p(old), true)
+    } else if (fs.exists(p(old))) {
+      // roll-forward already completed every live subdir (the swap
+      // renames _rebuild in before anything lands under _old is
+      // deleted); _old is pure leftover
+      fs.delete(p(old), true)
+    }
+  }
+
   /** Rebuild a written IVF+PQ index from its own stored vectors —
     * refit the coarse quantizer and PQ codebook on the CURRENT corpus
     * (base + everything appended), write side-by-side under
-    * `$path/_rebuild`, then swap subdirectories in — the
-    * build-beside-and-swap any production index maintenance does, so a
-    * concurrent reader never sees a half-written layout (it sees the
-    * old index until the rename). Parameters (nlist, m, ksub) are
-    * recovered from the stored index so a rebuild cannot drift from
-    * the build; `seed` defaults to the build default.
+    * `$path/_rebuild`, then swap subdirectories in. The swap is NOT a
+    * single atomic rename (four subdirectories move one by one — a
+    * reader racing the handful of renames can see a mixed layout for
+    * milliseconds); what it IS is crash-safe: a `_COMMIT` marker lands
+    * only after the side build completes, old subdirs are moved ASIDE
+    * (`_old/`) rather than deleted mid-swap, and [[ivfPqRecoverIndex]]
+    * (run by every open) rolls an interrupted swap forward from the
+    * marker or a failed build back — no crash point loses the index
+    * (r15 ADVICE). Parameters (nlist, m, ksub) are recovered from the
+    * stored index so a rebuild cannot drift from the build; `seed`
+    * defaults to the build default.
     */
   def ivfPqRebuildIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       seed: Long = 42L): Unit = {
+    ivfPqRecoverIndex(spark, path)
     val meta = spark.read.parquet(s"$path/codebook").collect().head
     val m = meta.getInt(0)
     val ksub = meta.getInt(1)
@@ -639,12 +688,17 @@ object Similarity {
       seed = seed, vecCol = "cv", idCol = "neighbor_id")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (sub <- Seq("data", "centroids", "codebook", "basecells")) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$sub"),
-        new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = s"$path/_old"
+    fs.create(p(s"$tmp/_COMMIT"), true).close() // build complete: point of no return
+    fs.delete(p(old), true)
+    fs.mkdirs(p(old))
+    for (sub <- ivfPqSubdirs) {
+      fs.rename(p(s"$path/$sub"), p(s"$old/$sub"))
+      fs.rename(p(s"$tmp/$sub"), p(s"$path/$sub"))
     }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(p(tmp), true)
+    fs.delete(p(old), true)
   }
 
   /** Append + staleness decision — the EIGHTH adaptive element.
@@ -753,6 +807,7 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
+    ivfPqRecoverIndex(spark, indexPath)
     val meta = spark.read.parquet(s"$indexPath/codebook").collect().head
     val m = meta.getInt(0)
     val ksub = meta.getInt(1)

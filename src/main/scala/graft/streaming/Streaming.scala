@@ -303,8 +303,27 @@ object Streaming {
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
+    quietRocksDbNativeLogging()
     spark
   }
+
+  /** Route RocksDB's native log stream away from the JNI callback
+    * (r15 VERDICT #7): Spark's state-store wrapper registers a
+    * `LoggerJniCallback` whose native `InfoLogLevel` FOLLOWS the slf4j
+    * level of the wrapper class — at the probes' root WARN level every
+    * background flush/compaction warning crosses the JNI boundary, and
+    * three probe runs died SIGSEGV inside `LoggerJniCallback::Logv`
+    * (the known native-logs-racing-close hazard; hs_err_pid{12300,
+    * 28103,10144}, r15). Pinning the wrapper's logger to ERROR drops
+    * the native level to ERROR_LEVEL (the wrapper's own floor), so
+    * routine background chatter never enters the callback. State-store
+    * correctness is unaffected — this only silences rocksdb's internal
+    * LOG mirror.
+    */
+  def quietRocksDbNativeLogging(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB",
+      org.apache.logging.log4j.Level.ERROR)
 
   /** Run a streaming DataFrame to completion over the finite fixture
     * (Trigger.AvailableNow) into a memory sink; return the materialized

@@ -376,6 +376,71 @@ class SimilaritySpec extends SparkSpec {
       "appended (odd-id) vectors must be findable")
   }
 
+  test("ivfPqRecoverIndex: a swap interrupted at ANY crash point recovers " +
+    "to a fully consistent index (r15 ADVICE)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 1)
+    val q = emb.filter($"vec_id" < 5).localCheckpoint()
+    def fsp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = fsp("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkIndex(tag: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+      Similarity.ivfPqWriteIndex(base, p, nlist = 8, m = 16, ksub = 8)
+      Similarity.ivfPqAppendIndex(batch, p)
+      p
+    }
+    def results(p: String): Set[(Long, Long)] =
+      Similarity.ivfPqQueryIndex(q, p, k = 5, nprobe = 4, rerankFactor = 6)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+    // expected post-rebuild answer: a clean rebuild on an identical twin
+    // (writes and appends are seed-deterministic, so the twin IS the
+    // same index byte-for-byte in content terms)
+    val twin = mkIndex("ivfrec_twin")
+    Similarity.ivfPqRebuildIndex(spark, twin)
+    val rebuilt = results(twin)
+
+    // crash point A: side build COMPLETE (_COMMIT written), swap halted
+    // halfway — data swapped in, centroids/codebook/basecells still old.
+    // A reader must roll FORWARD to exactly the rebuilt index.
+    val pA = mkIndex("ivfrec_a")
+    val metaA = spark.read.parquet(s"$pA/codebook").collect().head
+    Similarity.ivfPqWriteIndex(
+      spark.read.parquet(s"$pA/data").select($"neighbor_id", $"cv"),
+      s"$pA/_rebuild", nlist = 8, m = metaA.getInt(0), ksub = metaA.getInt(1),
+      vecCol = "cv", idCol = "neighbor_id")
+    fs.create(fsp(s"$pA/_rebuild/_COMMIT"), true).close()
+    fs.mkdirs(fsp(s"$pA/_old"))
+    fs.rename(fsp(s"$pA/data"), fsp(s"$pA/_old/data"))
+    fs.rename(fsp(s"$pA/_rebuild/data"), fsp(s"$pA/data"))
+    // query path runs recovery itself — no explicit recover call
+    assert(results(pA) == rebuilt, "mid-swap crash must roll forward")
+    assert(!fs.exists(fsp(s"$pA/_rebuild")) && !fs.exists(fsp(s"$pA/_old")))
+
+    // crash point B: the side BUILD died before _COMMIT — live index
+    // untouched; recovery rolls back (deletes the partial build)
+    val pB = mkIndex("ivfrec_b")
+    val live = results(pB)
+    fs.mkdirs(fsp(s"$pB/_rebuild/data"))
+    fs.create(fsp(s"$pB/_rebuild/data/part-junk.parquet"), true).close()
+    Similarity.ivfPqRecoverIndex(spark, pB)
+    assert(!fs.exists(fsp(s"$pB/_rebuild")))
+    assert(results(pB) == live, "pre-commit crash must leave the live index")
+
+    // crash point C: swap finished, only the _old cleanup was lost
+    fs.mkdirs(fsp(s"$pB/_old/centroids"))
+    Similarity.ivfPqRecoverIndex(spark, pB)
+    assert(!fs.exists(fsp(s"$pB/_old")))
+    assert(results(pB) == live)
+
+    // and a REAL uninterrupted rebuild leaves no markers behind
+    Similarity.ivfPqRebuildIndex(spark, pB)
+    assert(!fs.exists(fsp(s"$pB/_rebuild")) && !fs.exists(fsp(s"$pB/_old")))
+    assert(results(pB) == rebuilt)
+  }
+
   test("centroidCosine: in-group vectors score high, a planted outlier scores lowest") {
     // two tight clusters around orthogonal axes + one outlier in group a
     def jitter(base: Array[Float], i: Int): Array[Float] =

@@ -62,6 +62,7 @@ object StateHeapProbe {
       case "rocksdb" =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           Streaming.RocksDbStateProvider)
+        Streaming.quietRocksDbNativeLogging() // JNI Logv SIGSEGV guard
         (spark, Streaming.RocksDbStateProvider)
       case _ => (spark, Streaming.DefaultStateProvider)
     }

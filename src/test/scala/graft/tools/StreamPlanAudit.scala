@@ -55,9 +55,19 @@ object StreamPlanAudit {
     *    store next to a session store would double state writes);
     *  - a stream-stream join plans ONE symmetric-hash operator, never a
     *    batch join strategy (SMJ on an unbounded side buffers forever).
+    *    `expectsStreamStreamJoin` (derived from the pipeline name when
+    *    not passed — the interval-join pipelines are the only
+    *    stream-stream shapes) closes the r15 ADVICE gap: a join
+    *    mis-planned ENTIRELY as SortMergeJoin has symmetricHashJoins ==
+    *    0 and previously slipped the old `shj > 0 && smj > 0` guard;
+    *    now such pipelines must plan EXACTLY one symmetric-hash
+    *    operator and zero SMJs.
     */
   def violations(
-      name: String, c: StreamCounts, sortMergeJoins: Int = 0): Seq[String] = {
+      name: String, c: StreamCounts, sortMergeJoins: Int = 0,
+      expectsStreamStreamJoin: Option[Boolean] = None): Seq[String] = {
+    val expectsSSJoin =
+      expectsStreamStreamJoin.getOrElse(name.startsWith("interval_join"))
     val v = Seq.newBuilder[String]
     if (c.stateStoreRestores != c.stateStoreSaves)
       v += s"$name: unpaired StateStoreRestore/Save " +
@@ -70,6 +80,12 @@ object StreamPlanAudit {
       v += s"$name: phantom plain state store beside a session store"
     if (c.symmetricHashJoins > 0 && sortMergeJoins > 0)
       v += s"$name: batch SortMergeJoin in a stream-stream join plan"
+    if (expectsSSJoin && c.symmetricHashJoins != 1)
+      v += s"$name: stream-stream join must plan exactly ONE " +
+        s"symmetric-hash operator, found ${c.symmetricHashJoins}"
+    if (expectsSSJoin && sortMergeJoins > 0)
+      v += s"$name: stream-stream join planned ${sortMergeJoins} batch " +
+        "SortMergeJoin(s)"
     v.result()
   }
 

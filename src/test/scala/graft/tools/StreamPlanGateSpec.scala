@@ -94,4 +94,24 @@ class StreamPlanGateSpec extends AnyFunSuite {
     assert(StreamPlanAudit.violations("p",
       StreamPlanAudit.streamCountsOf(phantom)).nonEmpty)
   }
+
+  test("a stream-stream join mis-planned entirely as SMJ trips the gate") {
+    // r15 ADVICE: symmetricHashJoins == 0 slipped the old shj>0 && smj>0
+    // guard — an expects-stream-stream pipeline must plan exactly one
+    // symmetric-hash operator and zero SortMergeJoins
+    val smjOnly = "*(4) SortMergeJoin [user_id], [user_id], Inner"
+    val c = StreamPlanAudit.streamCountsOf(smjOnly)
+    assert(c.symmetricHashJoins == 0)
+    assert(StreamPlanAudit.violations("interval_join", c,
+      sortMergeJoins = 1).size == 2) // missing SHJ + present SMJ
+    // name-derived default matches the explicit flag
+    assert(StreamPlanAudit.violations("some_batch_pipeline", c,
+      sortMergeJoins = 1).isEmpty)
+    assert(StreamPlanAudit.violations("some_batch_pipeline", c,
+      sortMergeJoins = 1, expectsStreamStreamJoin = Some(true)).nonEmpty)
+    // a healthy interval join (one SHJ, no SMJ) stays clean
+    val healthySS = "StreamingSymmetricHashJoin [user_id], Inner"
+    assert(StreamPlanAudit.violations("interval_join_outer",
+      StreamPlanAudit.streamCountsOf(healthySS)).isEmpty)
+  }
 }

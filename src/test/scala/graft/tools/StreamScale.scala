@@ -86,6 +86,7 @@ object StreamScale {
       // RocksDB state-store provider (large-state production default)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Streaming.quietRocksDbNativeLogging() // JNI Logv SIGSEGV guard (r15 #7)
       println("[stream-scale] state store: RocksDB")
     }
     if (bigstate) {
