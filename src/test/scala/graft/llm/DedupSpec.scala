@@ -102,6 +102,53 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(5L)) // docs without pairs never enter the graph
   }
 
+  test("resolveClusters: 10k-node path (diameter ≫ old 50-round bound) " +
+    "converges in O(log d) star-contraction rounds") {
+    // r15 VERDICT #4: min-label propagation needed DIAMETER rounds and
+    // threw past 50 — a sliding boilerplate-template chain produces
+    // exactly this shape at corpus scale. Large/small-star must resolve
+    // it in ~log₂(n) rounds with the same min-survivor answer.
+    val n = 10000L
+    val pairs = spark.range(1L, n) // edges (i, i+1): one long path
+      .select($"id".as("a"), ($"id" + 1L).as("b"))
+    graft.Sessions.clearDecisions()
+    val out = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == n)
+    assert(out(1L) == (1L, true))
+    assert(out(n) == (1L, false))
+    assert(out.forall { case (_, (s, _)) => s == 1L },
+      "every path node joins component min=1")
+    assert(out.count { case (_, (_, keep)) => keep } == 1)
+    val d = graft.Sessions.decisions.filter(_.op == "resolveClusters").last
+    val rounds = d.estimate.toInt
+    assert(rounds <= 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt,
+      s"10k path took $rounds rounds — not log-scale")
+  }
+
+  test("resolveClusters matches a driver-side union-find on a seeded random graph") {
+    // adversarial mix of chains, stars and cross-links; ground truth via
+    // plain union-find in the TEST (driver-side is fine in a spec)
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.tabulate(400)(_ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(x => x -> find(x)).toMap
+    val got = Dedup.resolveClusters(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("applyDedup keeps survivors and untouched docs, drops cluster members") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (5L, "z")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("a", "b")
