@@ -196,6 +196,7 @@ object ZOrder {
       path: String,
       bits: Int = 16,
       numFiles: Int = 0): Unit = {
+    val spark = df.sparkSession
     val files =
       if (numFiles > 0) numFiles
       else math.max(1L, math.min(65536L,
@@ -205,6 +206,270 @@ object ZOrder {
       .repartitionByRange(files, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(path)
+    writeZMeta(spark, df, xCol, yCol, path, bits)
+  }
+
+  // ——— append-under-drift layer (r15 VERDICT #5: the NINTH adaptive
+  // element; [[zorderAppendAuto]] is the decision) ———————————————————
+
+  /** Anchor resolution for the frozen append mapping: boundaries are
+    * kept for the top `AnchorBits` bits of each dimension (≤ 4096
+    * anchors — driver-bounded at ANY corpus size; a full 2^bits=2^24
+    * boundary table would not be). Appended rows are therefore placed
+    * at anchor resolution (low bits zero) — files are far coarser than
+    * 12-bit cells, so footer pruning loses nothing.
+    */
+  val AnchorBits = 12
+
+  /** Coarse z cell for the staleness signal: top [[SignalBits]] bits of
+    * each dimension → ≤ 64 cells, the z-layout analogue of the IVF
+    * index's coarse cells (nlist ≈ 16 there). Deliberately COARSE: the
+    * skew statistic is max-cell ÷ uniform-share, and with thousands of
+    * cells multinomial noise alone drives the max several × the mean at
+    * realistic batch sizes; at 64 cells same-distribution appends
+    * measure skew ≈ 1 (the ranked layout makes base z-mass uniform BY
+    * CONSTRUCTION — equal rank counts per bucket) while an uncovered
+    * region clamping into one anchor still reads skew ≈ 64.
+    */
+  val SignalBits = 3
+
+  private def zCell(z: Column, bits: Int): Column = {
+    val s = math.max(0, 2 * (bits - math.min(SignalBits, bits)))
+    shiftright(z, s)
+  }
+
+  /** Persist the layout's frozen metadata under `$path/_zmeta`
+    * (underscore prefix: hidden from parquet file discovery, so table
+    * reads never see it):
+    *  - `meta`: (xcol, ycol, bits) — rebuild recovers its own params;
+    *  - `xbounds`/`ybounds`: per occupied [[AnchorBits]]-bit rank
+    *    bucket, the smallest value mapping into it — the FROZEN
+    *    value→rank-bucket boundaries appends are encoded against;
+    *  - `basebuckets`: per coarse z cell ([[zCell]]), rows written at
+    *    build time — the drift baseline, mirroring ivfPqWriteIndex's
+    *    `basecells` (one z-column-only scan of the fresh table).
+    */
+  private def writeZMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, xCol: String, yCol: String,
+      path: String, bits: Int): Unit = {
+    val a = math.min(bits, AnchorBits)
+    def bounds(c: String): DataFrame = {
+      val rm = rankMap(df, c)
+      val n = rm.agg(max(col("_r"))).head().getLong(0)
+      rm.groupBy(scaleTo(col("_r"), 0L, n, a).as("b"))
+        .agg(min(col("_v")).as("lo"))
+    }
+    import spark.implicits._
+    Seq((xCol, yCol, bits)).toDF("xcol", "ycol", "bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zmeta/meta")
+    bounds(xCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zmeta/xbounds")
+    bounds(yCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zmeta/ybounds")
+    spark.read.parquet(path).groupBy(zCell(col("z"), bits).as("zb"))
+      .agg(count(lit(1)).as("base_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zmeta/basebuckets")
+  }
+
+  /** Frozen-boundary bucket mapping for one dimension of an append
+    * batch: binary-search the stored anchor boundaries (a bounded
+    * ≤ 4096-row table → driver array → `ml.feature.Bucketizer`, which
+    * is a per-row binary search with no shuffle), then left-shift the
+    * anchor index to `bits` resolution. Values below the first
+    * boundary clamp to the lowest anchor, values past the last to the
+    * highest — exactly the degradation mode the staleness signal
+    * watches: an uncovered region's appends all clamp into one or few
+    * cells.
+    */
+  private def frozenScaled(
+      batch: DataFrame, valueCol: String, boundsPath: String,
+      bits: Int, outCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val bs = spark.read.parquet(boundsPath).orderBy("lo")
+      .collect().map(r => (r.getAs[Long]("b"), r.getAs[Long]("lo")))
+    val a = math.min(bits, AnchorBits)
+    val scaledVals = bs.map { case (b, _) => b << (bits - a) }
+    if (bs.length < 2) // degenerate single-anchor dimension: constant
+      return batch.withColumn(outCol, lit(scaledVals.headOption.getOrElse(0L)))
+    val splits = Double.NegativeInfinity +:
+      bs.drop(1).map(_._2.toDouble) :+ Double.PositiveInfinity
+    val tmpIn = s"__${outCol}_in"
+    val tmpIdx = s"__${outCol}_idx"
+    val bucketed = new org.apache.spark.ml.feature.Bucketizer()
+      .setInputCol(tmpIn).setOutputCol(tmpIdx).setSplits(splits)
+      .transform(batch.withColumn(tmpIn, col(valueCol).cast("double")))
+    bucketed.withColumn(outCol,
+      element_at(typedLit(scaledVals.toSeq), col(tmpIdx).cast("int") + 1))
+      .drop(tmpIn, tmpIdx)
+  }
+
+  /** Append a batch to a [[zorderWriteRanked]] table under the FROZEN
+    * write-time layout: both dimensions mapped through the stored
+    * anchor boundaries (never re-ranked — re-ranking would silently
+    * shear new files' z space against old files'), z interleaved at
+    * the table's bits, the batch range-partitioned and sorted on z and
+    * written as new files beside the existing ones. Per-batch coarse
+    * cell counts are appended to `_zmeta/appendbuckets`, so the
+    * staleness decision ([[zorderAppendAuto]]) is metadata-only.
+    * Rows with a null in either dimension are dropped, matching the
+    * write. The batch must carry the table's data columns.
+    */
+  def zorderAppendRanked(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    zorderRecover(spark, path)
+    val meta = spark.read.parquet(s"$path/_zmeta/meta").head()
+    val (xCol, yCol, bits) =
+      (meta.getString(0), meta.getString(1), meta.getInt(2))
+    val clean = batch
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val withZ = frozenScaled(
+      frozenScaled(clean, xCol, s"$path/_zmeta/xbounds", bits, "__zx"),
+      yCol, s"$path/_zmeta/ybounds", bits, "__zy")
+      .withColumn("z", zValue2(col("__zx"), col("__zy"), bits))
+      .drop("__zx", "__zy")
+      .localCheckpoint()
+    val files = math.max(1L, math.min(65536L,
+      (graft.Sessions.statsBytes(withZ) + TargetBytesPerFile - 1)
+        / TargetBytesPerFile)).toInt
+    withZ.groupBy(zCell(col("z"), bits).as("zb"))
+      .agg(count(lit(1)).as("rows"))
+      .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendbuckets")
+    withZ.repartitionByRange(files, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Append + staleness decision — the NINTH adaptive element,
+    * mirroring [[graft.llm.Similarity.ivfPqAppendAuto]] (the IVF
+    * codebook and the rank map freeze the SAME kind of write-time
+    * distribution knowledge). Appends under the frozen anchor map are
+    * exactly right while the batch looks like the build distribution
+    * and exactly wrong once it doesn't: an uncovered value region
+    * clamps whole batches into one or few coarse z cells, the files
+    * written there overlap in z-space, and footer pruning for queries
+    * in that region decays as the appended mass grows — measured, not
+    * asserted (ZOrderDriftProbe; SCALE.md r16).
+    *
+    * The trigger must be computable without re-scanning the table:
+    * signal = appendedShare × cellSkew, both from the `_zmeta` bucket
+    * ledgers (metadata-only);
+    *  - appendedShare = appended rows ÷ build rows;
+    *  - cellSkew = max appended-cell count ÷ uniform share over the
+    *    build's occupied cells (1.0 = appends spread like the build,
+    *    the cell count = everything crammed into one cell).
+    * Dual rule as calibrated for IVF and re-measured here: rebuild on
+    * signal ≥ rebuildThreshold, OR on skew ≥ skewThreshold once share
+    * clears minShare (a drifted sliver's product under-fires while its
+    * skew is unambiguous; same-distribution skew stays ≈ 1).
+    * Tables written before `_zmeta` existed degrade to plain appends —
+    * impossible here (every ranked write emits it), kept for parity.
+    * Returns "append" | "rebuild".
+    */
+  def zorderAppendAuto(
+      batch: DataFrame,
+      path: String,
+      rebuildThreshold: Double = 2.0,
+      skewThreshold: Double = 4.0,
+      minShare: Double = 0.05): String = {
+    zorderAppendRanked(batch, path)
+    val spark = batch.sparkSession
+    val base = spark.read.parquet(s"$path/_zmeta/basebuckets")
+    val app = spark.read.parquet(s"$path/_zmeta/appendbuckets")
+      .groupBy("zb").agg(sum(col("rows")).as("rows"))
+    val r = app.agg(sum(col("rows")), max(col("rows"))).head()
+    if (r.isNullAt(0)) { // empty batch ledger: nothing to decide
+      graft.Sessions.recordDecision("zorderAppendAuto", 0.0,
+        rebuildThreshold, "append")
+      return "append"
+    }
+    val appended = r.getLong(0)
+    val maxCell = r.getLong(1)
+    val b = base.agg(sum(col("base_rows")), count(lit(1))).head()
+    val baseRows = math.max(1L, b.getLong(0))
+    val baseCells = math.max(1L, b.getLong(1))
+    val share = appended.toDouble / baseRows
+    val skew = maxCell.toDouble / (appended.toDouble / baseCells)
+    val signal = share * skew
+    val rebuild = signal >= rebuildThreshold ||
+      (skew >= skewThreshold && share >= minShare)
+    val choice =
+      if (!rebuild) "append"
+      else if (signal >= rebuildThreshold) "rebuild"
+      else f"rebuild(skew $skew%.1f)"
+    graft.Sessions.recordDecision("zorderAppendAuto", signal,
+      rebuildThreshold, choice)
+    if (rebuild) { zorderRebuildRanked(spark, path); "rebuild" } else "append"
+  }
+
+  /** Re-cluster a ranked z-order table from its CURRENT rows: fresh
+    * rank maps over base + everything appended, re-written beside the
+    * live table (`$path/_rebuild`) and swapped in. The swap is
+    * crash-safe, not reader-atomic: a `_COMMIT` marker lands only when
+    * the side build is complete, displaced files move ASIDE
+    * (`_old/`, `_CLEARED`-marked) before new files move in, and
+    * [[zorderRecover]] — run by every append/rebuild entry — rolls an
+    * interrupted swap forward from the markers or a dead build back.
+    * Underscore-prefixed directories are invisible to parquet file
+    * discovery, so a concurrent reader sees old files, new files, or a
+    * mid-swap mix — never a broken file.
+    */
+  def zorderRebuildRanked(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    zorderRecover(spark, path)
+    val meta = spark.read.parquet(s"$path/_zmeta/meta").head()
+    val (xCol, yCol, bits) =
+      (meta.getString(0), meta.getString(1), meta.getInt(2))
+    val current = spark.read.parquet(path).drop("z").localCheckpoint()
+    zorderWriteRanked(current, xCol, yCol, s"$path/_rebuild", bits)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_rebuild/_COMMIT"), true)
+      .close() // build complete: point of no return
+    zorderRecover(spark, path) // the roll-forward IS the swap
+  }
+
+  /** Crash recovery for [[zorderRebuildRanked]]'s swap — idempotent,
+    * cheap when clean (two existence probes), and the swap's own
+    * completion path. Phases are marker-disambiguated:
+    *  - `_rebuild/_COMMIT` present → roll FORWARD: move every live
+    *    child aside into `_old` (skipped once `_old/_CLEARED` says
+    *    it already happened — part-file names are unique, but phase
+    *    markers, not name forensics, decide), then move the rebuilt
+    *    children in, then delete both work dirs;
+    *  - `_rebuild` without `_COMMIT` → the side build died; the live
+    *    table was never touched — delete the partial build;
+    *  - `_old` alone → only the final cleanup was lost; delete it.
+    */
+  def zorderRecover(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmp = s"$path/_rebuild"
+    val old = s"$path/_old"
+    if (fs.exists(p(s"$tmp/_COMMIT"))) {
+      if (!fs.exists(p(s"$old/_CLEARED"))) {
+        fs.mkdirs(p(old))
+        for (st <- fs.listStatus(p(path));
+             n = st.getPath.getName
+             if n != "_rebuild" && n != "_old")
+          fs.rename(st.getPath, p(s"$old/$n"))
+        fs.create(p(s"$old/_CLEARED"), true).close()
+      }
+      for (st <- fs.listStatus(p(tmp)); n = st.getPath.getName
+           if n != "_COMMIT") {
+        fs.delete(p(s"$path/$n"), true)
+        fs.rename(st.getPath, p(s"$path/$n"))
+      }
+      fs.delete(p(tmp), true)
+      fs.delete(p(old), true)
+    } else if (fs.exists(p(tmp))) {
+      fs.delete(p(tmp), true)
+      fs.delete(p(old), true)
+    } else if (fs.exists(p(old))) {
+      fs.delete(p(old), true)
+    }
   }
 
   /** N-column cluster-write ([[zValueN]] over min/max-scaled

@@ -204,6 +204,118 @@ class ZOrderSpec extends SparkSpec {
     assert(rk < 0.6 * 1024, s"ranked failed to cluster the mass: $rk")
   }
 
+  test("zorderAppendRanked: frozen-anchor appends join the live table and " +
+    "land in the base's occupied signal cells for same-dist batches") {
+    val rnd = new scala.util.Random(23)
+    def batch(n: Int, lo: Int, width: Int) = Seq.fill(n)(
+      (rnd.nextInt(width).toLong + lo, rnd.nextInt(width).toLong + lo))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zapp").toString + "/t"
+    ZOrder.zorderWriteRanked(batch(20000, 0, 4096), "x", "y", dir,
+      bits = 16, numFiles = 8)
+    val baseRows = spark.read.parquet(dir).count()
+    ZOrder.zorderAppendRanked(batch(2000, 0, 4096), dir)
+    assert(spark.read.parquet(dir).count() == baseRows + 2000)
+    // appended cells ⊆ occupied base cells (same distribution): the
+    // appendbuckets ledger against basebuckets
+    val baseCells = spark.read.parquet(s"$dir/_zmeta/basebuckets")
+      .select("zb").collect().map(_.getLong(0)).toSet
+    val appCells = spark.read.parquet(s"$dir/_zmeta/appendbuckets")
+      .select("zb").collect().map(_.getLong(0)).toSet
+    assert(appCells.subsetOf(baseCells),
+      s"same-dist append left the base cells: ${appCells -- baseCells}")
+    // and the auto decision stays append, skew ≈ 1
+    graft.Sessions.clearDecisions()
+    assert(ZOrder.zorderAppendAuto(batch(2000, 0, 4096), dir) == "append")
+    val d = graft.Sessions.decisions.filter(_.op == "zorderAppendAuto").last
+    assert(d.estimate < 1.0, s"same-dist signal ${d.estimate} too hot")
+  }
+
+  test("zorderAppendAuto: an uncovered-region batch clamps into few cells, " +
+    "fires the rebuild, and the rebuilt table restores disjoint pruning") {
+    val rnd = new scala.util.Random(29)
+    def batch(n: Int, lo: Long, width: Int) = Seq.fill(n)(
+      (rnd.nextInt(width).toLong + lo, rnd.nextInt(width).toLong + lo))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zdrift").toString + "/t"
+    ZOrder.zorderWriteRanked(batch(20000, 0, 4096), "x", "y", dir,
+      bits = 16, numFiles = 8)
+    // drifted: a region far past the build max — every value clamps to
+    // the top frozen anchor
+    graft.Sessions.clearDecisions()
+    assert(ZOrder.zorderAppendAuto(batch(4000, 1L << 30, 4096), dir)
+      == "rebuild")
+    val d = graft.Sessions.decisions.filter(_.op == "zorderAppendAuto").last
+    assert(d.choice.startsWith("rebuild"), d.choice)
+    // post-rebuild: per-file z ranges disjoint again (the pruning
+    // guarantee) over the FULL corpus incl. the drifted region, and the
+    // append ledger reset
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    // (the rebuild auto-sizes files — at fixture volume that may be a
+    // single 128 MiB-target file, which is trivially disjoint)
+    if (ranges.length > 1)
+      ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file z-ranges after rebuild: $hi1 > $lo2")
+      }
+    assert(spark.read.parquet(dir).count() == 24000L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_zmeta/appendbuckets")) ||
+      spark.read.parquet(s"$dir/_zmeta/appendbuckets").count() == 0,
+      "rebuild must reset the append ledger")
+    // a same-dist append AFTER the rebuild sees the refreshed anchors
+    assert(ZOrder.zorderAppendAuto(batch(1000, 1L << 30, 4096), dir) == "append")
+  }
+
+  test("zorderRecover: a swap interrupted at any crash point yields a " +
+    "consistent table (forward past _COMMIT, back before it)") {
+    val rnd = new scala.util.Random(31)
+    def batch(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(2048).toLong, rnd.nextInt(2048).toLong)).toDF("x", "y")
+    def fsp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = fsp("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("zrec").toString + "/t"
+    ZOrder.zorderWriteRanked(batch(5000), "x", "y", dir, bits = 16, numFiles = 4)
+    def content(p: String): Seq[(Long, Long)] =
+      spark.read.parquet(p).select("x", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val live = content(dir)
+
+    // crash A: side build complete + committed, swap not started — the
+    // next open must roll forward to the rebuilt layout with same rows
+    ZOrder.zorderWriteRanked(spark.read.parquet(dir).drop("z"),
+      "x", "y", s"$dir/_rebuild", bits = 16, numFiles = 4)
+    fs.create(fsp(s"$dir/_rebuild/_COMMIT"), true).close()
+    ZOrder.zorderRecover(spark, dir)
+    assert(!fs.exists(fsp(s"$dir/_rebuild")) && !fs.exists(fsp(s"$dir/_old")))
+    assert(content(dir) == live, "roll-forward must preserve every row")
+
+    // crash B: mid-phase-1 (some files moved aside, _CLEARED not yet
+    // written) — recovery finishes clearing then swaps in
+    ZOrder.zorderWriteRanked(spark.read.parquet(dir).drop("z"),
+      "x", "y", s"$dir/_rebuild", bits = 16, numFiles = 4)
+    fs.create(fsp(s"$dir/_rebuild/_COMMIT"), true).close()
+    fs.mkdirs(fsp(s"$dir/_old"))
+    val firstPart = fs.listStatus(fsp(dir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).min
+    fs.rename(fsp(s"$dir/$firstPart"), fsp(s"$dir/_old/$firstPart"))
+    ZOrder.zorderRecover(spark, dir)
+    assert(content(dir) == live)
+    assert(!fs.exists(fsp(s"$dir/_rebuild")) && !fs.exists(fsp(s"$dir/_old")))
+
+    // crash C: build died pre-commit — partial _rebuild discarded, live
+    // table untouched
+    fs.mkdirs(fsp(s"$dir/_rebuild"))
+    fs.create(fsp(s"$dir/_rebuild/part-junk.parquet"), true).close()
+    ZOrder.zorderRecover(spark, dir)
+    assert(!fs.exists(fsp(s"$dir/_rebuild")))
+    assert(content(dir) == live)
+  }
+
   test("numFiles=0 derives file count from leaf stats at 128 MiB/file") {
     // the sf0.001 fixture is ~hundreds of KB → exactly one output file
     val dir = java.nio.file.Files.createTempDirectory("zorder3").toString

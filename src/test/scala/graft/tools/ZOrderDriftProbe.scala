@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures what append-under-drift does to a ranked z-order table's
+  * pruning — the decay table behind [[graft.functions.ZOrder.zorderAppendAuto]]'s
+  * thresholds (r15 VERDICT #5; the z-layout sibling of IvfDriftProbe).
+  *
+  * Base: N rows, independent uniform (x, y) over [0, 2^20), written
+  * with zorderWriteRanked. Two ingest regimes, appended in cumulative
+  * slices via zorderAppendRanked (no auto — the probe measures what
+  * the auto DECIDES from):
+  *  - `same`: slices drawn from the build distribution — the frozen
+  *    anchor map places them correctly; decay should be row-group-
+  *    granularity mild at any share;
+  *  - `shift`: slices from an uncovered region [2^30, 2^30 + 2^20) —
+  *    every value clamps to the top frozen anchor, the appended files
+  *    carry a CONSTANT z (no internal order at all), and a box query
+  *    in the new region must scan the entire appended mass.
+  * After each slice: the auto's signal (share, skew, product, would-
+  * fire), and scanned-row % for a ~5 %/dim box predicate inside the
+  * affected region on (a) the STALE table vs (b) a scratch REBUILD of
+  * the same rows — the recoverable gap the trigger must close.
+  *
+  * Usage: sbt "Test/runMain graft.tools.ZOrderDriftProbe [baseN] [sliceN]"
+  */
+object ZOrderDriftProbe {
+  def main(args: Array[String]): Unit = {
+    val baseN = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val sliceN = args.lift(1).map(_.toLong).getOrElse(250000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.ZOrder
+
+    val W = 1L << 20
+    def gen(n: Long, idOff: Long, off: Long) = spark.range(n)
+      .select((col("id") + idOff).as("rid"),
+        (pmod(xxhash64(col("id") + idOff), lit(W)) + off).as("x"),
+        (pmod(xxhash64(col("id") + idOff, lit(1)), lit(W)) + off).as("y"))
+
+    def scanPct(path: String, x0: Long, x1: Long): Double = {
+      val q = spark.read.parquet(path)
+        .filter(col("x").between(x0, x1) && col("y").between(x0, x1))
+        .agg(count(lit(1)))
+      q.collect()
+      val scanned = ZOrderProbe.scanRows(q)
+      100.0 * scanned / spark.read.parquet(path).count()
+    }
+
+    println(f"${"mode"}%-6s ${"share"}%6s ${"skew"}%7s ${"signal"}%7s " +
+      f"${"fires"}%6s ${"stale%"}%8s ${"rebuilt%"}%9s ${"gap"}%6s")
+    for (mode <- Seq("same", "shift")) {
+      val off = if (mode == "shift") 1L << 30 else 0L
+      val dir = s"/tmp/zdrift_probe_$mode/t"
+      val base = gen(baseN, 0, 0)
+      ZOrder.zorderWriteRanked(base, "x", "y", dir, bits = 16,
+        numFiles = 32)
+      // box predicate inside the affected region, ~5 % per dimension
+      val (q0, q1) = (off + (W * 40) / 100, off + (W * 45) / 100)
+      for (slice <- 1 to 4) {
+        ZOrder.zorderAppendRanked(
+          gen(sliceN, baseN + slice * 10000000L, off), dir)
+        // the auto's own arithmetic, from the metadata ledgers
+        val app = spark.read.parquet(s"$dir/_zmeta/appendbuckets")
+          .groupBy("zb").agg(sum(col("rows")).as("rows"))
+          .agg(sum(col("rows")), max(col("rows"))).head()
+        val b = spark.read.parquet(s"$dir/_zmeta/basebuckets")
+          .agg(sum(col("base_rows")), count(lit(1))).head()
+        val share = app.getLong(0).toDouble / b.getLong(0)
+        val skew = app.getLong(1).toDouble / (app.getLong(0).toDouble / b.getLong(1))
+        val signal = share * skew
+        val fires = signal >= 2.0 || (skew >= 4.0 && share >= 0.05)
+        // scratch rebuild of the same rows = the recoverable layout
+        val twin = s"/tmp/zdrift_probe_${mode}_twin/t"
+        ZOrder.zorderWriteRanked(spark.read.parquet(dir).drop("z"),
+          "x", "y", twin, bits = 16, numFiles = 32 + slice * 4)
+        val stale = scanPct(dir, q0, q1)
+        val rebuilt = scanPct(twin, q0, q1)
+        println(f"$mode%-6s $share%6.2f $skew%7.1f $signal%7.2f " +
+          f"$fires%6s $stale%7.2f%% $rebuilt%8.2f%% ${stale / rebuilt}%6.1f")
+      }
+    }
+    spark.stop()
+  }
+}
