@@ -407,6 +407,38 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** [[sinkChangelog]] with a PER-BATCH transform applied inside
+    * foreachBatch — the continuously-updated-TABLE join posture (r15
+    * VERDICT #2). A plan-embedded stream-static join freezes the static
+    * side's FILE LISTING at plan time, so a dimension row updated while
+    * the query runs never reaches later micro-batches — but the
+    * reference's stream-TABLE join (`users` is CDC-maintained,
+    * README.md:29,56-58) enriches each event against the table's
+    * CURRENT state. This sink restores that semantics Spark-natively:
+    * `transform(batch, batchId)` runs per micro-batch in BATCH land,
+    * so a `spark.read.parquet(dimPath)` inside it re-resolves the
+    * dimension at that moment (Catalyst plans the per-batch join fresh
+    * — a small dim still broadcasts), and a refresh landed between
+    * batches N and N+1 enriches every emission from N+1 on. Emission
+    * semantics are unchanged: Update-mode changelog stamped with
+    * `_batch_id`, compacted by [[readChangelogState]] — re-emission on
+    * later events is exactly what propagates a dim update into the
+    * upsert view, the same way the reference's ksql join re-emits when
+    * either side changes.
+    */
+  def sinkChangelogWith(streamed: DataFrame, path: String)(
+      transform: (org.apache.spark.sql.Dataset[Row], Long) => DataFrame): Unit = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        transform(batch, batchId).withColumn("_batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Recover current state from a [[sinkChangelog]] directory: the upsert
     * view a document store would hold after consuming the stream.
     */

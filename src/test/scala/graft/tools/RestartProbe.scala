@@ -74,16 +74,47 @@ object RestartProbe {
     // target/scaledata/_tsorted_*): sessions need ordered arrival with
     // the real watermark (Streaming.sinkSessionsAppend scaladoc).
     val sessionPipe = opt("pipeline").contains("session")
+    // --pipeline=flagship: crash-recover the full SCORED flagship
+    // (pivot → dim/order enrich → predict UDF → changelog), r15 VERDICT
+    // #3 — the crash matrix's missing cell. The model and materialized
+    // enrich tables live under --work so the crash and resume JVMs
+    // score identically (a model retrained in the resume JVM would
+    // diverge the equality check for reasons unrelated to recovery).
+    val flagshipPipe = opt("pipeline").contains("flagship")
+    lazy val staticDir: String = {
+      val sd = s"$work/static"
+      if (!new java.io.File(s"$sd/_READY").exists()) {
+        val reg = new graft.ml.Registry(s"$work/reg")
+        graft.ml.Trainer.trainAndRegister(
+          spark, "/root/testdata/sf0.001", reg, "Bot Detector", useCv = false)
+        graft.SparkEntry.flagshipDims(spark, dir)
+          .write.mode("overwrite").parquet(s"$sd/dims")
+        graft.SparkEntry.flagshipOrderCounts(spark, dir)
+          .write.mode("overwrite").parquet(s"$sd/orders")
+        new java.io.File(s"$sd/_READY").createNewFile()
+        ()
+      }
+      graft.ml.Scorer.registerPredictUdf(
+        spark, s"$work/reg", preload = Seq("Bot Detector"))
+      sd
+    }
+    def scoredOf(feats: org.apache.spark.sql.DataFrame) =
+      graft.SparkEntry.scoredFlagshipWith(feats,
+        spark.read.parquet(s"$staticDir/dims"),
+        spark.read.parquet(s"$staticDir/orders"))
     def pivotStream() =
       if (sessionPipe) WindowOps.sessionAgg(
         Streaming.withLateness(
           Streaming.eventsStream(spark, dir, Some(maxFiles)), "10 minutes"),
         gap = "30 minutes")
-      else WindowOps.hoppingPivot(
-        Streaming.withLateness(
-          Streaming.eventsStream(spark, dir, Some(maxFiles)),
-          Streaming.ReplayLateness),
-        eventTypes = Tables.EventTypes)
+      else {
+        val p = WindowOps.hoppingPivot(
+          Streaming.withLateness(
+            Streaming.eventsStream(spark, dir, Some(maxFiles)),
+            Streaming.ReplayLateness),
+          eventTypes = Tables.EventTypes)
+        if (flagshipPipe) scoredOf(p) else p
+      }
     def startSink(): Unit =
       if (sessionPipe) { Streaming.sinkSessionsAppend(pivotStream(), out, Some(ck)); () }
       else {
@@ -178,8 +209,11 @@ object RestartProbe {
         val verifyMode = opt("verify").getOrElse("except")
         val state = Streaming.readChangelogState(
           spark, out, Seq("user_id", "w_start"))
-        val batch = WindowOps.hoppingPivot(
+        val batchPivot = WindowOps.hoppingPivot(
           Tables.events(spark, dir), eventTypes = Tables.EventTypes)
+        // scored pipeline compacts on the same (user, window) key; the
+        // batch twin scores the batch pivot with the SAME registry model
+        val batch = if (flagshipPipe) scoredOf(batchPivot) else batchPivot
         val cols = batch.columns.toSeq
         val stateRows = state.count()
         val batchRows = batch.count()

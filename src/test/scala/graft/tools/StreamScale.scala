@@ -34,7 +34,9 @@ object StreamScale {
         a.drop(name.length + 3) }
     val small = opt("small").getOrElse("/root/testdata/sf0.1")
     val big = opt("big").getOrElse("target/scaledata/sf1")
-    val lateness = opt("lateness").getOrElse("10 minutes")
+    // underscores double as spaces so "--lateness=6_hours" survives
+    // sbt's space-splitting of the runMain arg string
+    val lateness = opt("lateness").getOrElse("10 minutes").replace('_', ' ')
     val rocksdb = args.contains("--rocksdb")
     // third-decade runs (sf100: ~500 M state entries, state ≫ heap) are
     // RocksDB-only territory and long — skip the scored flagship leg
@@ -60,6 +62,21 @@ object StreamScale {
     val maxFiles = opt("max-files").map(_.toInt)
     val effLateness =
       if (maxFiles.isDefined) Streaming.ReplayLateness else lateness
+    // --disorder=<seconds>: bound the ARRIVAL disorder (r15 VERDICT #1).
+    // Each event's arrival position becomes ts + U[0, disorder) (seeded
+    // hash jitter), so events cross slice — and with --max-files,
+    // micro-batch — boundaries out of event-time order by up to the
+    // bound. disorder < lateness must merge every late event into its
+    // open session (0 drops, emitted ≡ batch prefix unchanged);
+    // disorder > lateness must DROP the beyond-watermark stragglers,
+    // counted via numRowsDroppedByWatermark (the explicit ledger).
+    // Only meaningful with --session (the Append + real-watermark leg).
+    val disorder = opt("disorder").map(_.toLong).getOrElse(0L)
+    // disorder physics needs slice span ≲ lateness (a 30-day corpus in
+    // 32 slices is ~22 h per slice — minute-scale jitter would never
+    // cross a boundary), so the disorder posture defaults to 256 slices
+    val slices = opt("slices").map(_.toInt)
+      .getOrElse(if (disorder > 0) 256 else 32)
 
     require(new java.io.File(big).isDirectory,
       s"big dir $big missing — run graft.tools.ScaleCorpus first")
@@ -106,49 +123,132 @@ object StreamScale {
       // emitted ≡ the batch twin's sessions ending ≤ the final
       // watermark; the remainder is the expected open tail (in state).
       def timeSorted(dir: String): String = {
-        val outDir = "target/scaledata/_tsorted_" + new java.io.File(dir).getName
+        import org.apache.spark.sql.functions.{col, xxhash64, pmod, lit, unix_micros}
+        val tag = if (disorder > 0) s"_dis${disorder}s_${slices}_" else
+          (if (slices == 32) "_tsorted_" else s"_tsorted${slices}_")
+        val outDir = "target/scaledata/" + tag + new java.io.File(dir).getName
         if (!new java.io.File(s"$outDir/events.parquet/_SUCCESS").exists()) {
           // RAW read/write (same as ScaleCorpus), NOT Tables.events: the
           // normalized-timestamp copy would break eventsStream's
           // footer-sniffing read spec (TESTDATA ts-annotation gotcha).
-          // The raw ts is int64 nanos — range order is identical.
+          // Arrival key: event time + seeded hash jitter in
+          // [0, disorder) seconds — the bounded out-of-order model
+          // (disorder=0 degenerates to exact time order).
+          val arrival = unix_micros(col("ts").cast("timestamp")) +
+            (if (disorder > 0)
+              pmod(xxhash64(col("event_id"), lit(42)), lit(disorder * 1000000L))
+            else lit(0L))
           spark.read.parquet(s"$dir/events.parquet")
-            .repartitionByRange(32, org.apache.spark.sql.functions.col("ts"))
-            .sortWithinPartitions("ts")
+            .withColumn("_arrival", arrival)
+            .repartitionByRange(slices, col("_arrival"))
+            .sortWithinPartitions("_arrival")
+            .drop("_arrival")
             .write.mode("overwrite").parquet(s"$outDir/events.parquet")
           // FileStreamSource drains oldest-MTIME-first, but the
           // parallel write finishes part files in arbitrary order — set
-          // mtimes to the part order (= the range-partition time order)
-          // so bounded batches ARRIVE time-ordered, which is the thing
-          // this leg simulates (a live stream's arrival ≈ event order)
+          // mtimes to the part order (= the range-partition arrival
+          // order) so bounded batches ARRIVE in simulated wall order
           val parts = new java.io.File(s"$outDir/events.parquet")
             .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
           val t0 = System.currentTimeMillis() - parts.length * 1000L
           parts.zipWithIndex.foreach { case (f, i) =>
             f.setLastModified(t0 + i * 1000L); () }
-          println(s"[stream-scale] time-sorted $dir -> $outDir " +
-            s"(${parts.length} slices, mtimes in slice order)")
+          println(s"[stream-scale] arrival-sorted $dir -> $outDir " +
+            s"(${parts.length} slices, disorder=${disorder}s, " +
+            "mtimes in slice order)")
         }
         outDir
       }
-      def runSession(dir: String): (Double, Long, String) = {
+      // the drop ledger: numRowsDroppedByWatermark summed across every
+      // micro-batch via a listener (recentProgress caps at ~100 and the
+      // bounded-batch decade runs more). Reset per leg; listener events
+      // are async, so each leg drains the bus briefly before reading.
+      val droppedTotal = new java.util.concurrent.atomic.LongAdder()
+      val batchTotal = new java.util.concurrent.atomic.LongAdder()
+      // batchId → watermark (micros) the session operator filtered that
+      // batch with, for the exact survivor reconstruction below
+      val wmLedger = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          droppedTotal.add(
+            e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+          batchTotal.add(1L)
+          val wm = e.progress.eventTime.get("watermark")
+          if (wm != null)
+            wmLedger.put(e.progress.batchId,
+              java.time.Instant.parse(wm).toEpochMilli * 1000L)
+        }
+      })
+      def runSession(dir: String):
+          (Double, Long, String, String, Long, Long, Map[Long, Long]) = {
+        droppedTotal.reset(); batchTotal.reset(); wmLedger.clear()
         val out = java.nio.file.Files
           .createTempDirectory("stream_sess").toString + "/sessions"
+        val ckpt = out + "_ckpt"
         val agg = WindowOps.sessionAgg(
           Streaming.withLateness(
             Streaming.eventsStream(spark, timeSorted(dir), maxFiles), lateness),
           gap = "30 minutes")
         val t0 = System.nanoTime()
-        Streaming.sinkSessionsAppend(agg, out)
+        Streaming.sinkSessionsAppend(agg, out, Some(ckpt))
         val secs = (System.nanoTime() - t0) / 1e9
-        (secs, spark.read.parquet(out).count(), out)
+        Thread.sleep(3000) // listener events are async — drain the bus
+        // snapshot the watermark ledger NOW: the next leg clears it,
+        // and the checks run after both legs
+        val wmSnap = {
+          val b = Map.newBuilder[Long, Long]
+          wmLedger.forEach((k, v) => b += (k.longValue() -> v.longValue()))
+          b.result()
+        }
+        (secs, spark.read.parquet(out).count(), out, ckpt,
+          droppedTotal.sum(), batchTotal.sum(), wmSnap)
       }
+
+      /** The exact in-watermark event set, reconstructed from the run's
+        * own artifacts: the FileStreamSource metadata log says which
+        * slice files each micro-batch read, the progress ledger says
+        * which watermark the session operator ran that batch under, and
+        * Spark's session-window late-row rule is `session end (= ts +
+        * gap) < watermark → dropped`. Batch-aggregating exactly these
+        * survivors is what the disordered stream MUST equal.
+        */
+      def survivingEvents(ckpt: String, gapSec: Long,
+          wmOf: Map[Long, Long]): org.apache.spark.sql.DataFrame = {
+        import org.apache.spark.sql.functions.{col, lit, unix_micros}
+        val entries = scala.collection.mutable.Map[String, Long]() // path → batchId
+        for (f <- new java.io.File(s"$ckpt/sources/0").listFiles().sortBy(_.getName);
+             if f.getName.forall(_.isDigit) || f.getName.endsWith(".compact")) {
+          val src = scala.io.Source.fromFile(f)
+          try src.getLines().filter(_.startsWith("{")).foreach { l =>
+            val path = """"path":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1))
+            val bid = """"batchId":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+            for (p <- path; b <- bid) entries(p) = b
+          } finally src.close()
+        }
+        entries.groupBy(_._2).map { case (bid, m) =>
+          // progress reports the watermark ADVANCED BY batch bid; the
+          // filter inside batch bid ran under the previous batch's
+          // (calibrated: using wm(bid) over-drops vs the operator's own
+          // numRowsDroppedByWatermark; wm(bid-1) matches it exactly)
+          val wm = wmOf.getOrElse(bid - 1, 0L)
+          spark.read.parquet(m.keys.toSeq: _*)
+            .filter(unix_micros(col("ts").cast("timestamp")) + gapSec * 1000000L
+              >= lit(wm))
+        }.reduce(_ unionByName _)
+      }
+
       runSession("/root/testdata/sf0.001") // codegen warmup
-      val (tS, eS, outS) = runSession(small)
-      val (tB, eB, outB) = runSession(big)
+      val (tS, eS, outS, ckS, dS, bS, wmS) = runSession(small)
+      val (tB, eB, outB, ckB, dB, bB, wmB) = runSession(big)
       println(f"${"sink=append-parquet"}%-24s ${"t(small)"}%9s ${"t(big)"}%9s ${"ratio"}%7s ${"emitted(small)"}%15s ${"emitted(big)"}%13s")
       println(f"${"q_stream_session"}%-24s $tS%9.3f $tB%9.3f ${tB / tS}%7.2f $eS%15d $eB%13d")
-      for ((dir, out, emitted) <- Seq((small, outS, eS), (big, outB, eB))) {
+      println(s"[ledger] disorder=${disorder}s lateness='$lateness' " +
+        s"dropped_by_watermark: small=$dS/$bS batches, big=$dB/$bB batches")
+      for ((dir, out, emitted, ckpt, drops, wmSnap) <-
+           Seq((small, outS, eS, ckS, dS, wmS), (big, outB, eB, ckB, dB, wmB))) {
         // Exactness = PREFIX CLOSURE in end order: the emitted set must
         // equal the batch twin's sessions with end ≤ the max emitted
         // end — every session the stream closed, exactly once, with no
@@ -161,18 +261,150 @@ object StreamScale {
         val maxEnd = emittedDf
           .agg(org.apache.spark.sql.functions.max("session_end"))
           .head.getLong(0)
-        val batch = WindowOps.sessionAgg(
-          Tables.events(spark, dir), gap = "30 minutes")
+        // Under drops the ground truth is the sessions of the SURVIVING
+        // (in-watermark) events, reconstructed from the run's own
+        // checkpoint + watermark ledger — the stream must equal exactly
+        // that, with the dropped remainder explicitly counted above.
+        val truthEvents =
+          if (drops == 0) Tables.events(spark, dir)
+          else {
+            val surv = survivingEvents(ckpt, gapSec = 1800L, wmSnap)
+              .localCheckpoint()
+            val totalEv = Tables.events(spark, dir).count()
+            val nSurv = surv.count()
+            println(s"[ledger] $dir: events=$totalEv survivors=$nSurv " +
+              s"reconstructed_drops=${totalEv - nSurv} metric_drops=$drops " +
+              (if (totalEv - nSurv == drops) "ACCOUNTED" else "DISAGREE"))
+            surv
+          }
+        val batch = WindowOps.sessionAgg(truthEvents, gap = "30 minutes")
         val closed = batch.filter(
           org.apache.spark.sql.functions.col("session_end") <= maxEnd)
         val nClosed = closed.count()
-        val holes = closed.exceptAll(emittedDf).count()
-        val extras = emittedDf.exceptAll(closed).count()
+        val holesDf = closed.exceptAll(emittedDf).localCheckpoint()
+        val extrasDf = emittedDf.exceptAll(closed).localCheckpoint()
+        val holes = holesDf.count()
+        val extras = extrasDf.count()
         val total = batch.count()
-        println(s"[check] $dir: emitted=$emitted batch_prefix(end<=$maxEnd)=$nClosed " +
+        println(s"[check] $dir: emitted=$emitted " +
+          s"${if (drops == 0) "batch" else "survivor"}_prefix(end<=$maxEnd)=$nClosed " +
           s"holes=$holes extras=$extras open_tail=${total - nClosed} " +
-          (if (emitted == nClosed && holes == 0 && extras == 0) "EQUAL" else "MISMATCH"))
+          (if (emitted == nClosed && holes == 0 && extras == 0) "EQUAL"
+          else if (drops == 0) "MISMATCH"
+          else "RACE-RESIDUAL (verified below)"))
+        if (drops > 0 && holes > 0) {
+          // Append-mode finalization race, not data loss: a session is
+          // EMITTED the moment the watermark passes its end, while rows
+          // stay admissible until end + gap — an in-watermark straggler
+          // landing in that (end, end+gap) window cannot retract the
+          // emitted session and opens a new one. Every hole (a session
+          // the survivor-batch merges) must therefore decompose into
+          // emitted pieces CONTAINED in its span for the same user —
+          // anything else would be an actual correctness defect.
+          import org.apache.spark.sql.functions.col
+          val uncovered = holesDf.alias("h").join(emittedDf.alias("x"),
+            col("h.user_id") === col("x.user_id") &&
+              col("x.session_start") >= col("h.session_start") &&
+              col("x.session_end") <= col("h.session_end"), "left_anti").count()
+          val strayExtras = extrasDf.alias("x").join(holesDf.alias("h"),
+            col("h.user_id") === col("x.user_id") &&
+              col("x.session_start") >= col("h.session_start") &&
+              col("x.session_end") <= col("h.session_end"), "left_anti").count()
+          println(s"[check] $dir: race residual — holes without emitted " +
+            s"pieces=$uncovered stray extras=$strayExtras " +
+            (if (uncovered == 0 && strayExtras == 0)
+              "ALL holes are emission-race splits" else "UNEXPLAINED"))
+        }
       }
+      spark.stop(); return
+    }
+
+    if (args.contains("--dim-update")) {
+      // ---- the CONTINUOUSLY-UPDATED TABLE flagship leg (r15 VERDICT
+      // #2): the reference's `users` TABLE is CDC-maintained while the
+      // scored join runs (README.md:29,56-58); the r15 leg joined a
+      // frozen snapshot. Here the scored flagship runs through
+      // sinkChangelogWith — enrichment + scoring per micro-batch in
+      // batch land, dims RE-READ each batch — and a dim update lands
+      // mid-run. Every emission before the flip must equal the batch
+      // twin scored against the OLD dims, every emission after against
+      // the NEW, keyed by each state row's own _batch_id; row-count
+      // parity with the batch pivot proves nothing was lost.
+      require(maxFiles.isDefined, "--dim-update needs --max-files")
+      val reg = new graft.ml.Registry(
+        java.nio.file.Files.createTempDirectory("ss_reg").toString)
+      graft.ml.Trainer.trainAndRegister(
+        spark, "/root/testdata/sf0.001", reg, "Bot Detector", useCv = false)
+      graft.ml.Scorer.registerPredictUdf(
+        spark, reg.rootDir, preload = Seq("Bot Detector"))
+      def runRefresh(dir: String): Unit = {
+        import org.apache.spark.sql.functions.{col, lit, when, pmod, max => smax}
+        val mat = java.nio.file.Files
+          .createTempDirectory("ss_dimupd").toString
+        graft.SparkEntry.flagshipDims(spark, dir)
+          .write.mode("overwrite").parquet(s"$mat/dims_v1")
+        // the CDC update: every 10th user's country flips — visible in
+        // both the enrichment column and the model features
+        spark.read.parquet(s"$mat/dims_v1")
+          .withColumn("country", when(pmod(col("c_custkey"), lit(10)) === 0,
+            lit("UPDATED")).otherwise(col("country")))
+          .write.mode("overwrite").parquet(s"$mat/dims_v2")
+        graft.SparkEntry.flagshipOrderCounts(spark, dir)
+          .write.mode("overwrite").parquet(s"$mat/orders")
+        // single-file testdata corpora read as one batch (flip is a
+        // no-op there — only the derived multi-file corpora exercise it)
+        val nFiles = Option(new java.io.File(s"$dir/events.parquet").listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(1)
+        val flipAt = math.max(1, nFiles / maxFiles.get / 2)
+        @volatile var dimPath = s"$mat/dims_v1"
+        val out = java.nio.file.Files
+          .createTempDirectory("ss_dimupd_out").toString + "/changelog"
+        val pivot = WindowOps.hoppingPivot(
+          Streaming.withLateness(
+            Streaming.eventsStream(spark, dir, maxFiles), effLateness),
+          eventTypes = Tables.EventTypes)
+        val orders = spark.read.parquet(s"$mat/orders")
+        val t0 = System.nanoTime()
+        Streaming.sinkChangelogWith(pivot, out) { (b, id) =>
+          val scored = graft.SparkEntry.scoredFlagshipWith(
+            b.toDF(), spark.read.parquet(dimPath), orders)
+          if (id == flipAt - 1) dimPath = s"$mat/dims_v2" // update lands
+          scored
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val log = spark.read.parquet(out)
+        val state = graft.operators.Relational.latestByKey(
+          log, Seq("user_id", "w_start"), Seq("_batch_id")).localCheckpoint()
+        val batchPivot = WindowOps.hoppingPivot(
+          Tables.events(spark, dir), eventTypes = Tables.EventTypes)
+          .localCheckpoint()
+        // the two-sided twin checks sort ~50 M wide scored rows at sf10
+        // — size the verification shuffle to the state volume (the
+        // stream itself ran at 32; UNABLE_TO_ACQUIRE_MEMORY otherwise)
+        val checkWidth = math.min(2048L,
+          math.max(32L, state.count() / 200000L)).toInt
+        spark.conf.set("spark.sql.shuffle.partitions", checkWidth.toString)
+        def twin(p: String) = graft.SparkEntry.scoredFlagshipWith(
+          batchPivot, spark.read.parquet(p), orders)
+        val pre = state.filter(col("_batch_id") < flipAt).drop("_batch_id")
+        val post = state.filter(col("_batch_id") >= flipAt).drop("_batch_id")
+        val mismOld = pre.exceptAll(twin(s"$mat/dims_v1")).count()
+        val mismNew = post.exceptAll(twin(s"$mat/dims_v2")).count()
+        val nState = state.count()
+        val nBatch = batchPivot.count()
+        val nFlipped = post.filter(col("country") === "UPDATED").count()
+        println(f"[dim-update] $dir: ${secs}%.1f s, ${flipAt} flip batch of " +
+          f"${nFiles / maxFiles.get} — state=$nState batch=$nBatch " +
+          s"pre-flip rows=${nState - post.count()} post-flip rows=${post.count()} " +
+          s"(UPDATED visible in $nFlipped) " +
+          s"mismatch(old-dims)=$mismOld mismatch(new-dims)=$mismNew " +
+          (if (nState == nBatch && mismOld == 0 && mismNew == 0) "EQUAL"
+          else "MISMATCH"))
+        spark.conf.set("spark.sql.shuffle.partitions", "32") // stream width
+      }
+      runRefresh("/root/testdata/sf0.001") // warmup
+      runRefresh(small)
+      runRefresh(big)
       spark.stop(); return
     }
 
