@@ -335,6 +335,11 @@ object ZOrder {
     withZ.groupBy(zCell(col("z"), bits).as("zb"))
       .agg(count(lit(1)).as("rows"))
       .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendbuckets")
+    // one ledger row per append: how many files this batch adds (the
+    // COMPACTION axis — see zorderAppendAuto's maxAppendFiles)
+    import spark.implicits._
+    Seq(files).toDF("files")
+      .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendlog")
     withZ.repartitionByRange(files, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("append").parquet(path)
@@ -362,8 +367,18 @@ object ZOrder {
     * signal ≥ rebuildThreshold, OR on skew ≥ skewThreshold once share
     * clears minShare (a drifted sliver's product under-fires while its
     * skew is unambiguous; same-distribution skew stays ≈ 1).
-    * Tables written before `_zmeta` existed degrade to plain appends —
-    * impossible here (every ranked write emits it), kept for parity.
+    *
+    * THIRD trigger, the COMPACTION axis: every appended batch small
+    * enough to write one file spans the FULL z range (the batch is
+    * range-partitioned over its OWN rows), so a point query's file
+    * candidates grow by ~1 per such batch — a decay the share × skew
+    * product only prices once appends reach 2× the base VOLUME, while
+    * a drip of tiny batches gets there in file COUNT long before
+    * (measured: 2–5× stale-vs-rebuilt gap at share ≤ 0.5 under 1-file
+    * slices, flat under production 128 MiB slices — ZOrderDriftProbe,
+    * SCALE.md r16). The `_zmeta/appendlog` ledger counts files per
+    * append; total appended files ≥ `maxAppendFiles` fires a rebuild —
+    * the OPTIMIZE cadence every production table format schedules.
     * Returns "append" | "rebuild".
     */
   def zorderAppendAuto(
@@ -371,9 +386,22 @@ object ZOrder {
       path: String,
       rebuildThreshold: Double = 2.0,
       skewThreshold: Double = 4.0,
-      minShare: Double = 0.05): String = {
+      minShare: Double = 0.05,
+      maxAppendFiles: Long = 16L): String = {
     zorderAppendRanked(batch, path)
     val spark = batch.sparkSession
+    val appendedFiles = spark.read.parquet(s"$path/_zmeta/appendlog")
+      .agg(sum(col("files"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    if (appendedFiles >= maxAppendFiles) {
+      graft.Sessions.recordDecision("zorderAppendAuto",
+        appendedFiles.toDouble, maxAppendFiles.toDouble,
+        s"rebuild(files $appendedFiles)")
+      zorderRebuildRanked(spark, path)
+      return "rebuild"
+    }
     val base = spark.read.parquet(s"$path/_zmeta/basebuckets")
     val app = spark.read.parquet(s"$path/_zmeta/appendbuckets")
       .groupBy("zb").agg(sum(col("rows")).as("rows"))

@@ -271,6 +271,29 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.zorderAppendAuto(batch(1000, 1L << 30, 4096), dir) == "append")
   }
 
+  test("zorderAppendAuto compaction axis: a drip of tiny same-dist batches " +
+    "fires the file-count trigger, never the drift signal") {
+    val rnd = new scala.util.Random(37)
+    def batch(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zdrip").toString + "/t"
+    ZOrder.zorderWriteRanked(batch(20000), "x", "y", dir, bits = 16,
+      numFiles = 8)
+    graft.Sessions.clearDecisions()
+    // each tiny batch writes ONE file spanning the full z range; the
+    // drift signal stays cold (same distribution) while appended file
+    // count climbs to the compaction bound
+    val picks = (1 to 16).map(_ => ZOrder.zorderAppendAuto(batch(500), dir))
+    assert(picks.take(15).forall(_ == "append"),
+      s"drift trigger fired on same-dist drip: $picks")
+    assert(picks.last == "rebuild", s"file-count trigger never fired: $picks")
+    val d = graft.Sessions.decisions.filter(_.op == "zorderAppendAuto").last
+    assert(d.choice.startsWith("rebuild(files"), d.choice)
+    assert(spark.read.parquet(dir).count() == 20000L + 16 * 500)
+    // the rebuild reset the ledgers: the next tiny append is file 1/16
+    assert(ZOrder.zorderAppendAuto(batch(500), dir) == "append")
+  }
+
   test("zorderRecover: a swap interrupted at any crash point yields a " +
     "consistent table (forward past _COMMIT, back before it)") {
     val rnd = new scala.util.Random(31)

@@ -87,6 +87,27 @@ object ZOrderDriftProbe {
           f"$fires%6s $stale%7.2f%% $rebuilt%8.2f%% ${stale / rebuilt}%6.1f")
       }
     }
+
+    // COMPACTION axis: a drip of tiny same-dist batches (each writing
+    // ONE file spanning the full z range) decays pruning by file COUNT
+    // long before the share×skew product prices it — the
+    // maxAppendFiles=16 trigger's measured justification
+    val dripDir = "/tmp/zdrift_probe_drip/t"
+    ZOrder.zorderWriteRanked(gen(baseN, 0, 0), "x", "y", dripDir,
+      bits = 16, numFiles = 32)
+    val (dq0, dq1) = ((W * 40) / 100, (W * 45) / 100)
+    println(f"${"drip"}%-6s ${"slice"}%6s ${"files"}%6s ${"stale%"}%8s")
+    for (slice <- 1 to 20) {
+      ZOrder.zorderAppendRanked(
+        gen(50000L, baseN + slice * 100000000L, 0), dripDir)
+      if (slice % 4 == 0) {
+        val files = spark.read.parquet(s"$dripDir/_zmeta/appendlog")
+          .agg(sum(col("files"))).head().getLong(0)
+        println(f"${"drip"}%-6s $slice%6d $files%6d " +
+          f"${scanPct(dripDir, dq0, dq1)}%7.2f%%" +
+          (if (files >= 16) "  <- maxAppendFiles trigger point" else ""))
+      }
+    }
     spark.stop()
   }
 }
