@@ -613,6 +613,14 @@ object Similarity {
     assigned.join(coded, "neighbor_id")
       .select(col("neighbor_id"), col("cv"), col("cn"), col("codes"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+    // one ledger row per append: each batch adds ≥1 file to every cell
+    // it touches, so per-cell file count — and probed-cell open cost —
+    // grows linearly with append COUNT regardless of volume (the same
+    // compaction axis zorderAppendAuto measures; SCALE.md r16 drip
+    // table). ivfPqAppendAuto's maxAppendBatches trigger reads this.
+    import spark.implicits._
+    Seq(1).toDF("batches")
+      .coalesce(1).write.mode("append").parquet(s"$path/appendlog")
   }
 
   private val ivfPqSubdirs = Seq("data", "centroids", "codebook", "basecells")
@@ -646,6 +654,7 @@ object Similarity {
       }
       fs.delete(p(tmp), true)
       fs.delete(p(old), true)
+      fs.delete(p(s"$path/appendlog"), true) // rolled-forward rebuild: 0 appends
     } else if (fs.exists(p(tmp))) {
       fs.delete(p(tmp), true)
       fs.delete(p(old), true)
@@ -699,6 +708,8 @@ object Similarity {
     }
     fs.delete(p(tmp), true)
     fs.delete(p(old), true)
+    // the rebuilt index has zero appends: reset the compaction ledger
+    fs.delete(p(s"$path/appendlog"), true)
   }
 
   /** Append + staleness decision — the EIGHTH adaptive element.
@@ -741,7 +752,17 @@ object Similarity {
     *
     * Indexes written before `basecells` existed degrade to "append,
     * never rebuild" (signal unmeasurable), surfaced in the decision
-    * log. Returns the choice ("append" | "rebuild" | "append(nometa)").
+    * log.
+    *
+    * Third trigger (r16), the COMPACTION axis: every append batch adds
+    * ≥1 file to each cell it touches, so probed-cell file count — and
+    * per-query open cost — grows linearly with append COUNT regardless
+    * of volume, a decay the share-based signals never price for a drip
+    * of tiny batches (the z-order sibling measured 10→25 % box-scan
+    * decay over 16 one-file appends; same mechanism, SCALE.md r16).
+    * The `appendlog` ledger counts batches; `maxAppendBatches` (16)
+    * fires a compacting rebuild and both rebuild paths reset it.
+    * Returns the choice ("append" | "rebuild" | "append(nometa)").
     */
   def ivfPqAppendAuto(
       newVecs: DataFrame,
@@ -751,9 +772,19 @@ object Similarity {
       minShare: Double = 0.05,
       seed: Long = 42L,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): String = {
+      idCol: String = "vec_id",
+      maxAppendBatches: Long = 16L): String = {
     ivfPqAppendIndex(newVecs, path, vecCol, idCol)
     val spark = newVecs.sparkSession
+    // compaction axis (r16, mirrors zorderAppendAuto's third trigger):
+    // per-cell file count grows ~1 per append batch — rebuild compacts
+    val batches = spark.read.parquet(s"$path/appendlog").count()
+    if (batches >= maxAppendBatches) {
+      graft.Sessions.recordDecision("ivfPqAppendAuto", batches.toDouble,
+        maxAppendBatches.toDouble, s"rebuild(batches $batches)")
+      ivfPqRebuildIndex(spark, path, seed)
+      return "rebuild"
+    }
     val baseP = new org.apache.hadoop.fs.Path(s"$path/basecells")
     val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(baseP)) {

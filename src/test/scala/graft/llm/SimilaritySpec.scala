@@ -376,6 +376,29 @@ class SimilaritySpec extends SparkSpec {
       "appended (odd-id) vectors must be findable")
   }
 
+  test("ivfPqAppendAuto compaction axis: a drip of tiny same-dist batches " +
+    "fires the batch-count trigger, and rebuilds reset the ledger") {
+    def gen(n: Long, idOffset: Long) = {
+      val dims = (0 until 64).map(d => randn(1234 + d).cast("float"))
+      spark.range(n).select((col("id") + idOffset).as("vec_id"),
+        array(dims: _*).as("embedding")).localCheckpoint()
+    }
+    val p = java.nio.file.Files.createTempDirectory("ivfdrip").toString + "/idx"
+    Similarity.ivfPqWriteIndex(gen(1000L, 0L), p, nlist = 8, m = 16, ksub = 8)
+    graft.Sessions.clearDecisions()
+    // 20-row same-dist batches: drift signal cold, batch count climbs
+    val picks = (1 to 16).map(i =>
+      Similarity.ivfPqAppendAuto(gen(20L, 100000L * i), p))
+    assert(picks.take(15).forall(_ == "append"),
+      s"drift trigger fired on same-dist drip: $picks")
+    assert(picks.last == "rebuild", s"batch-count trigger never fired: $picks")
+    val d = graft.Sessions.decisions.filter(_.op == "ivfPqAppendAuto").last
+    assert(d.choice.startsWith("rebuild(batches"), d.choice)
+    // the rebuild compacted base + appends and reset the ledger
+    assert(spark.read.parquet(s"$p/data").count() == 1000L + 16 * 20)
+    assert(Similarity.ivfPqAppendAuto(gen(20L, 9900000L), p) == "append")
+  }
+
   test("ivfPqRecoverIndex: a swap interrupted at ANY crash point recovers " +
     "to a fully consistent index (r15 ADVICE)") {
     val emb = Tables.embeddings(spark, sf0001)
