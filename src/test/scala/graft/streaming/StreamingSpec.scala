@@ -404,6 +404,51 @@ class StreamingSpec extends SparkSpec {
     assert(state.count() == batchPivot.count())
   }
 
+  test("streaming embedding ingest maintains the IVF+PQ index per batch " +
+    "(append/rebuild auto inside foreachBatch)") {
+    // the ingest pipeline the adaptive index was built for, composed
+    // end-to-end: a vector stream arrives in micro-batches, each batch
+    // runs ivfPqAppendAuto (frozen-quantizer append + staleness /
+    // compaction decision) against the live index, and the index stays
+    // queryable across the whole corpus afterwards — index maintenance
+    // off the query path, on the ingest path, exactly where a 100 TB
+    // deployment pays it.
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, sf0001).localCheckpoint()
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val arriving = emb.filter($"vec_id" % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("stream_ivf").toString + "/idx"
+    Similarity.ivfPqWriteIndex(base, idx, nlist = 8, m = 16, ksub = 8)
+    val stage = java.nio.file.Files.createTempDirectory("stream_ivf_in").toString
+    arriving.repartition(4).write.mode("overwrite").parquet(stage)
+    graft.Sessions.clearDecisions()
+    val q = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/*.parquet")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) { Similarity.ivfPqAppendAuto(b.toDF(), idx); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every arrived vector is in the index, a decision was recorded per
+    // batch, and same-distribution ingest never forced a rebuild
+    assert(spark.read.parquet(s"$idx/data").count() == emb.count())
+    val ds = graft.Sessions.decisions.filter(_.op == "ivfPqAppendAuto")
+    assert(ds.size >= 4 && ds.forall(_.choice == "append"), ds.map(_.choice))
+    // the maintained index answers queries over old AND new vectors
+    val qs = emb.filter($"vec_id" < 5)
+    val got = Similarity.ivfPqQueryIndex(qs, idx, k = 5, nprobe = 4,
+      rerankFactor = 6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = Similarity.bruteForceTopK(qs, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"post-ingest recall=$recall")
+    assert(got.exists { case (_, n) => n % 2 == 1 },
+      "streamed (odd-id) vectors must be findable")
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct events") {
     val input = MemoryStream[(Long, Long, String)](spark)
     val df = input.toDF().toDF("event_id", "epoch", "text")
