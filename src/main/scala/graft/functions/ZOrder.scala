@@ -163,21 +163,44 @@ object ZOrder {
       xCol: String,
       yCol: String,
       bits: Int = 16,
-      zName: String = "z"): DataFrame = {
-    val rx = rankMap(df, xCol)
+      zName: String = "z"): DataFrame =
+    rankedZParts(df, xCol, yCol, bits, zName).zdf
+
+  /** The ranked-z construction with its intermediates exposed, so the
+    * cluster-write can derive the `_zmeta` anchor boundaries from the
+    * SAME rank maps it sorts by instead of recomputing them — two
+    * domain shuffles saved per write, and the frozen append boundaries
+    * are BY CONSTRUCTION the write's own mapping. `materialize` is the
+    * write path's flag: there each map feeds both the fact join and
+    * the boundary aggregation, so the zipWithIndex lineage would
+    * re-execute per consumer; the pure-query path (q_zorder_ranked's
+    * oracle) keeps the lazy single-consumer plan untouched.
+    */
+  private final case class RankedZ(
+      zdf: DataFrame, rx: DataFrame, ry: DataFrame, nx: Long, ny: Long)
+
+  private def rankedZParts(
+      df: DataFrame, xCol: String, yCol: String,
+      bits: Int, zName: String = "z",
+      materialize: Boolean = false): RankedZ = {
+    def m(d: DataFrame) = if (materialize) d.localCheckpoint() else d
+    val rxBase = m(rankMap(df, xCol))
+    val ryBase = m(rankMap(df, yCol))
+    val rx = rxBase
       .withColumnRenamed("_v", "_xv").withColumnRenamed("_r", "_xr")
-    val ry = rankMap(df, yCol)
+    val ry = ryBase
       .withColumnRenamed("_v", "_yv").withColumnRenamed("_r", "_yr")
     val nx = rx.agg(max(col("_xr"))).head()
     val ny = ry.agg(max(col("_yr"))).head()
     require(!nx.isNullAt(0) && !ny.isNullAt(0),
       s"withRankedZ: empty input or all-null keys in $xCol/$yCol")
-    df.join(rx, col(xCol).cast("long") === col("_xv"))
+    val zdf = df.join(rx, col(xCol).cast("long") === col("_xv"))
       .join(ry, col(yCol).cast("long") === col("_yv"))
       .withColumn(zName, zValue2(
         scaleTo(col("_xr"), 0L, nx.getLong(0), bits),
         scaleTo(col("_yr"), 0L, ny.getLong(0), bits), bits))
       .drop("_xv", "_xr", "_yv", "_yr")
+    RankedZ(zdf, rxBase, ryBase, nx.getLong(0), ny.getLong(0))
   }
 
   /** Cluster-write over RANK-scaled dimensions (see [[withRankedZ]]) —
@@ -202,11 +225,12 @@ object ZOrder {
       else math.max(1L, math.min(65536L,
         (graft.Sessions.statsBytes(df) + TargetBytesPerFile - 1)
           / TargetBytesPerFile)).toInt
-    withRankedZ(df, xCol, yCol, bits, "z")
+    val parts = rankedZParts(df, xCol, yCol, bits, "z", materialize = true)
+    parts.zdf
       .repartitionByRange(files, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(path)
-    writeZMeta(spark, df, xCol, yCol, path, bits)
+    writeZMeta(spark, parts, xCol, yCol, path, bits)
   }
 
   // ——— append-under-drift layer (r15 VERDICT #5: the NINTH adaptive
@@ -251,21 +275,18 @@ object ZOrder {
     */
   private def writeZMeta(
       spark: org.apache.spark.sql.SparkSession,
-      df: DataFrame, xCol: String, yCol: String,
+      parts: RankedZ, xCol: String, yCol: String,
       path: String, bits: Int): Unit = {
     val a = math.min(bits, AnchorBits)
-    def bounds(c: String): DataFrame = {
-      val rm = rankMap(df, c)
-      val n = rm.agg(max(col("_r"))).head().getLong(0)
+    def bounds(rm: DataFrame, n: Long): DataFrame =
       rm.groupBy(scaleTo(col("_r"), 0L, n, a).as("b"))
         .agg(min(col("_v")).as("lo"))
-    }
     import spark.implicits._
     Seq((xCol, yCol, bits)).toDF("xcol", "ycol", "bits")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_zmeta/meta")
-    bounds(xCol).coalesce(1)
+    bounds(parts.rx, parts.nx).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_zmeta/xbounds")
-    bounds(yCol).coalesce(1)
+    bounds(parts.ry, parts.ny).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_zmeta/ybounds")
     spark.read.parquet(path).groupBy(zCell(col("z"), bits).as("zb"))
       .agg(count(lit(1)).as("base_rows"))
