@@ -183,7 +183,10 @@ object ZOrder {
       df: DataFrame, xCol: String, yCol: String,
       bits: Int, zName: String = "z",
       materialize: Boolean = false): RankedZ = {
-    def m(d: DataFrame) = if (materialize) d.localCheckpoint() else d
+    // cache, not localCheckpoint: the write path UNPERSISTS after the
+    // metadata lands — a long-lived ingest JVM must not accumulate a
+    // checkpointed copy per write (r16 review)
+    def m(d: DataFrame) = if (materialize) d.cache() else d
     val rxBase = m(rankMap(df, xCol))
     val ryBase = m(rankMap(df, yCol))
     val rx = rxBase
@@ -226,11 +229,15 @@ object ZOrder {
         (graft.Sessions.statsBytes(df) + TargetBytesPerFile - 1)
           / TargetBytesPerFile)).toInt
     val parts = rankedZParts(df, xCol, yCol, bits, "z", materialize = true)
-    parts.zdf
-      .repartitionByRange(files, col("z"))
-      .sortWithinPartitions(col("z"))
-      .write.mode("overwrite").parquet(path)
-    writeZMeta(spark, parts, xCol, yCol, path, bits)
+    try {
+      parts.zdf
+        .repartitionByRange(files, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(path)
+      writeZMeta(spark, parts, xCol, yCol, path, bits)
+    } finally {
+      parts.rx.unpersist(); parts.ry.unpersist(); ()
+    }
   }
 
   // ——— append-under-drift layer (r15 VERDICT #5: the NINTH adaptive
@@ -310,11 +317,21 @@ object ZOrder {
     val bs = spark.read.parquet(boundsPath).orderBy("lo")
       .collect().map(r => (r.getAs[Long]("b"), r.getAs[Long]("lo")))
     val a = math.min(bits, AnchorBits)
-    val scaledVals = bs.map { case (b, _) => b << (bits - a) }
-    if (bs.length < 2) // degenerate single-anchor dimension: constant
+    // Bucketizer compares in DOUBLE space: boundary longs past 2^53 can
+    // collide after the cast (double ulp at 9e18 is 2048) and splits
+    // must be strictly increasing — collapse each equal-double run to
+    // its FIRST anchor (values between collapsed anchors floor to it,
+    // the same semantics every unseen value already gets)
+    val paired = bs.map { case (b, lo) => (lo.toDouble, b << (bits - a)) }
+      .foldLeft(Vector.empty[(Double, Long)]) {
+        case (acc, (d, _)) if acc.nonEmpty && acc.last._1 == d => acc
+        case (acc, p) => acc :+ p
+      }
+    val scaledVals = paired.map(_._2).toArray
+    if (paired.length < 2) // degenerate single-anchor dimension: constant
       return batch.withColumn(outCol, lit(scaledVals.headOption.getOrElse(0L)))
     val splits = Double.NegativeInfinity +:
-      bs.drop(1).map(_._2.toDouble) :+ Double.PositiveInfinity
+      paired.drop(1).map(_._1).toArray :+ Double.PositiveInfinity
     val tmpIn = s"__${outCol}_in"
     val tmpIdx = s"__${outCol}_idx"
     val bucketed = new org.apache.spark.ml.feature.Bucketizer()
@@ -344,26 +361,32 @@ object ZOrder {
       (meta.getString(0), meta.getString(1), meta.getInt(2))
     val clean = batch
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // cache + unpersist, not localCheckpoint: withZ feeds the bucket
+    // ledger AND the data write, but a streaming ingest JVM appending
+    // per micro-batch must not accumulate a materialized copy per
+    // batch (r16 review)
     val withZ = frozenScaled(
       frozenScaled(clean, xCol, s"$path/_zmeta/xbounds", bits, "__zx"),
       yCol, s"$path/_zmeta/ybounds", bits, "__zy")
       .withColumn("z", zValue2(col("__zx"), col("__zy"), bits))
       .drop("__zx", "__zy")
-      .localCheckpoint()
-    val files = math.max(1L, math.min(65536L,
-      (graft.Sessions.statsBytes(withZ) + TargetBytesPerFile - 1)
-        / TargetBytesPerFile)).toInt
-    withZ.groupBy(zCell(col("z"), bits).as("zb"))
-      .agg(count(lit(1)).as("rows"))
-      .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendbuckets")
-    // one ledger row per append: how many files this batch adds (the
-    // COMPACTION axis — see zorderAppendAuto's maxAppendFiles)
-    import spark.implicits._
-    Seq(files).toDF("files")
-      .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendlog")
-    withZ.repartitionByRange(files, col("z"))
-      .sortWithinPartitions(col("z"))
-      .write.mode("append").parquet(path)
+      .cache()
+    try {
+      val files = math.max(1L, math.min(65536L,
+        (graft.Sessions.statsBytes(withZ) + TargetBytesPerFile - 1)
+          / TargetBytesPerFile)).toInt
+      withZ.groupBy(zCell(col("z"), bits).as("zb"))
+        .agg(count(lit(1)).as("rows"))
+        .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendbuckets")
+      // one ledger row per append: how many files this batch adds (the
+      // COMPACTION axis — see zorderAppendAuto's maxAppendFiles)
+      import spark.implicits._
+      Seq(files).toDF("files")
+        .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendlog")
+      withZ.repartitionByRange(files, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("append").parquet(path)
+    } finally { withZ.unpersist(); () }
   }
 
   /** Append + staleness decision — the NINTH adaptive element,
@@ -469,18 +492,37 @@ object ZOrder {
     val meta = spark.read.parquet(s"$path/_zmeta/meta").head()
     val (xCol, yCol, bits) =
       (meta.getString(0), meta.getString(1), meta.getInt(2))
-    val current = spark.read.parquet(path).drop("z").localCheckpoint()
+    // NO checkpoint of `current`: materializing the FULL table to
+    // executor storage is exactly what cannot happen at 100 TB — the
+    // side build's scans re-read the live files, all of which complete
+    // before any rename moves them (r16 review)
+    val current = spark.read.parquet(path).drop("z")
     zorderWriteRanked(current, xCol, yCol, s"$path/_rebuild", bits)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/_rebuild/_COMMIT"), true)
-      .close() // build complete: point of no return
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // integrity gate before the point of no return: a gutted side
+    // build (external interference) must abort with the live table
+    // untouched, never swap in nothing
+    require(fs.exists(p(s"$path/_rebuild/_zmeta")) &&
+      fs.listStatus(p(s"$path/_rebuild"))
+        .exists(_.getPath.getName.endsWith(".parquet")),
+      s"zorderRebuildRanked: side build incomplete under $path/_rebuild — aborting swap")
+    fs.create(p(s"$path/_rebuild/_COMMIT"), true).close() // point of no return
     zorderRecover(spark, path) // the roll-forward IS the swap
   }
 
   /** Crash recovery for [[zorderRebuildRanked]]'s swap — idempotent,
     * cheap when clean (two existence probes), and the swap's own
-    * completion path. Phases are marker-disambiguated:
+    * completion path. MAINTENANCE-ONLY, single-writer by contract
+    * (DEPLOY.md): the rollback branch deletes a pre-commit `_rebuild`,
+    * which is indistinguishable from another maintainer's build in
+    * flight — appends and rebuilds against one table must be
+    * serialized (they must be anyway: the rebuild compacts what
+    * appends write), and plain READERS never call this. A roll-forward
+    * additionally refuses a commit marker whose build content is gone
+    * (throws rather than swapping in nothing). Phases are
+    * marker-disambiguated:
     *  - `_rebuild/_COMMIT` present → roll FORWARD: move every live
     *    child aside into `_old` (skipped once `_old/_CLEARED` says
     *    it already happened — part-file names are unique, but phase
@@ -498,6 +540,11 @@ object ZOrder {
     val tmp = s"$path/_rebuild"
     val old = s"$path/_old"
     if (fs.exists(p(s"$tmp/_COMMIT"))) {
+      // refuse a gutted commit: the marker without the build's content
+      // means external interference — swapping would destroy the table
+      require(fs.exists(p(s"$tmp/_zmeta")) || fs.exists(p(s"$old/_CLEARED")),
+        s"zorderRecover: $tmp carries _COMMIT but no build content — " +
+          "refusing to swap; inspect and remove _rebuild manually")
       if (!fs.exists(p(s"$old/_CLEARED"))) {
         fs.mkdirs(p(old))
         for (st <- fs.listStatus(p(path));

@@ -383,7 +383,7 @@ object Dedup {
       // only round-start vs round-end could miss a (pathological)
       // large∘small round-trip that is not yet a star forest
       def differs(x: DataFrame, y: DataFrame): Boolean =
-        x.join(y, Seq("u", "v"), "left_anti").limit(1).count() +
+        x.join(y, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
           y.join(x, Seq("u", "v"), "left_anti").limit(1).count() > 0
       converged = !differs(ls, edges) && !differs(ss, ls)
       edges = ss

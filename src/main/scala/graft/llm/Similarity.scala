@@ -626,9 +626,19 @@ object Similarity {
   private val ivfPqSubdirs = Seq("data", "centroids", "codebook", "basecells")
 
   /** Crash recovery for a [[ivfPqRebuildIndex]] swap interrupted at any
-    * point — call on open (every append/rebuild entry point does). The
-    * swap protocol writes a `_rebuild/_COMMIT` marker only after the
-    * side build is COMPLETE, so a leftover layout is unambiguous:
+    * point — run by the MAINTENANCE entry points (append/rebuild),
+    * never by readers. Maintenance is single-writer by contract
+    * (DEPLOY.md: serialize rebuilds): recovery's rollback branch
+    * deletes a pre-commit `_rebuild`, which is indistinguishable from
+    * another maintainer's build IN FLIGHT — a reader running recovery
+    * concurrently with a live rebuild would delete its side build and
+    * the rebuilder's subsequent swap would destroy the index (r16
+    * review finding). Readers ([[ivfPqQueryIndex]]) therefore never
+    * mutate: a crashed pre-commit build leaves the live index intact
+    * for them, and a crashed post-commit swap is healed by the next
+    * maintenance call (or an explicit operator invocation of this).
+    * The swap protocol writes a `_rebuild/_COMMIT` marker only after
+    * the side build is COMPLETE, so a leftover layout is unambiguous:
     *  - `_COMMIT` present → the swap was in flight; roll FORWARD (any
     *    subdir still in `_rebuild` replaces the live one — already-
     *    swapped subdirs left `_rebuild` and are kept as-is, so the
@@ -675,9 +685,10 @@ object Similarity {
     * milliseconds); what it IS is crash-safe: a `_COMMIT` marker lands
     * only after the side build completes, old subdirs are moved ASIDE
     * (`_old/`) rather than deleted mid-swap, and [[ivfPqRecoverIndex]]
-    * (run by every open) rolls an interrupted swap forward from the
-    * marker or a failed build back — no crash point loses the index
-    * (r15 ADVICE). Parameters (nlist, m, ksub) are recovered from the
+    * (run by every MAINTENANCE entry — appends and rebuilds; readers
+    * never mutate) rolls an interrupted swap forward from the marker
+    * or a failed build back — no crash point loses the index (r15
+    * ADVICE; reader-side recovery removed r16: it raced live builds). Parameters (nlist, m, ksub) are recovered from the
     * stored index so a rebuild cannot drift from the build; `seed`
     * defaults to the build default.
     */
@@ -699,6 +710,12 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val old = s"$path/_old"
+    // integrity gate before the point of no return: a missing subdir
+    // here (external interference with the side build) must abort the
+    // swap with the live index untouched, never commit a gutted layout
+    for (sub <- ivfPqSubdirs)
+      require(fs.exists(p(s"$tmp/$sub")),
+        s"ivfPqRebuildIndex: side build incomplete ($tmp/$sub missing) — aborting swap")
     fs.create(p(s"$tmp/_COMMIT"), true).close() // build complete: point of no return
     fs.delete(p(old), true)
     fs.mkdirs(p(old))
@@ -838,7 +855,7 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
-    ivfPqRecoverIndex(spark, indexPath)
+    // NO recovery here: readers must not mutate (see ivfPqRecoverIndex)
     val meta = spark.read.parquet(s"$indexPath/codebook").collect().head
     val m = meta.getInt(0)
     val ksub = meta.getInt(1)

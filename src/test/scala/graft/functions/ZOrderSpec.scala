@@ -294,6 +294,35 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.zorderAppendAuto(batch(500), dir) == "append")
   }
 
+  test("zorderAppendRanked degenerate inputs: empty and all-null batches " +
+    "are no-ops, a single-value dimension writes and appends") {
+    val rnd = new scala.util.Random(41)
+    def batch(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zedge").toString + "/t"
+    ZOrder.zorderWriteRanked(batch(2000), "x", "y", dir, bits = 16, numFiles = 4)
+    val before = spark.read.parquet(dir).count()
+    // empty batch: appends nothing, the auto has nothing to decide
+    ZOrder.zorderAppendRanked(batch(0), dir)
+    assert(spark.read.parquet(dir).count() == before)
+    assert(ZOrder.zorderAppendAuto(batch(0), dir) == "append")
+    // all-null batch: dropped entirely (matches the write's non-null rule)
+    val nulls = Seq.fill(5)((Option.empty[Long], Option.empty[Long]))
+      .toDF("x", "y")
+    ZOrder.zorderAppendRanked(nulls, dir)
+    assert(spark.read.parquet(dir).count() == before)
+    // single-distinct-value dimension: one anchor, constant scaled —
+    // the frozenScaled < 2-boundary path
+    val dir2 = java.nio.file.Files.createTempDirectory("zedge1").toString + "/t"
+    val const = spark.range(500).selectExpr("7L as x", "id as y")
+    ZOrder.zorderWriteRanked(const, "x", "y", dir2, bits = 16, numFiles = 2)
+    ZOrder.zorderAppendRanked(
+      spark.range(50).selectExpr("9L as x", "(id + 1000) as y"), dir2)
+    assert(spark.read.parquet(dir2).count() == 550)
+    // appended x=9 clamps to the single x anchor; y maps normally
+    assert(spark.read.parquet(dir2).filter(col("x") === 9).count() == 50)
+  }
+
   test("zorderRecover: a swap interrupted at any crash point yields a " +
     "consistent table (forward past _COMMIT, back before it)") {
     val rnd = new scala.util.Random(31)

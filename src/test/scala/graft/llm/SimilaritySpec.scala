@@ -438,7 +438,9 @@ class SimilaritySpec extends SparkSpec {
     fs.mkdirs(fsp(s"$pA/_old"))
     fs.rename(fsp(s"$pA/data"), fsp(s"$pA/_old/data"))
     fs.rename(fsp(s"$pA/_rebuild/data"), fsp(s"$pA/data"))
-    // query path runs recovery itself — no explicit recover call
+    // readers never mutate (r16): healing happens at the next
+    // MAINTENANCE entry — invoke recovery the way an append would
+    Similarity.ivfPqRecoverIndex(spark, pA)
     assert(results(pA) == rebuilt, "mid-swap crash must roll forward")
     assert(!fs.exists(fsp(s"$pA/_rebuild")) && !fs.exists(fsp(s"$pA/_old")))
 

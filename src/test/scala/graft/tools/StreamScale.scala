@@ -133,12 +133,21 @@ object StreamScale {
           // footer-sniffing read spec (TESTDATA ts-annotation gotcha).
           // Arrival key: event time + seeded hash jitter in
           // [0, disorder) seconds — the bounded out-of-order model
-          // (disorder=0 degenerates to exact time order).
-          val arrival = unix_micros(col("ts").cast("timestamp")) +
+          // (disorder=0 degenerates to exact time order). The raw ts is
+          // fixture-generation dependent (TESTDATA gotcha): int64 NANOS
+          // reads as LongType (cast-to-timestamp would misread it as
+          // SECONDS and saturate), micros reads as TimestampType.
+          val raw = spark.read.parquet(s"$dir/events.parquet")
+          val tsMicros =
+            if (raw.schema("ts").dataType ==
+                org.apache.spark.sql.types.LongType)
+              col("ts") / lit(1000L) // nanos → micros
+            else unix_micros(col("ts").cast("timestamp"))
+          val arrival = tsMicros +
             (if (disorder > 0)
               pmod(xxhash64(col("event_id"), lit(42)), lit(disorder * 1000000L))
             else lit(0L))
-          spark.read.parquet(s"$dir/events.parquet")
+          raw
             .withColumn("_arrival", arrival)
             .repartitionByRange(slices, col("_arrival"))
             .sortWithinPartitions("_arrival")
