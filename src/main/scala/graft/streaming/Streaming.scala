@@ -430,9 +430,20 @@ object Streaming {
       transform: (org.apache.spark.sql.Dataset[Row], Long) => DataFrame): Unit = {
     val q = streamed.writeStream
       .outputMode(OutputMode.Update())
+      // one `batch_id=N` partition dir per batch with OVERWRITE, not a
+      // blind append: foreachBatch is AT-LEAST-once, and unlike the
+      // static changelog sink — whose replayed batch re-emits IDENTICAL
+      // rows that latestByKey compaction absorbs — a replayed batch
+      // here re-reads the dims, which may have CHANGED between the
+      // attempts, appending different rows under the same batch id and
+      // making compaction nondeterministic. The per-batch overwrite
+      // (the sinkSessionsAppend discipline) keeps exactly one version
+      // of each batch under any replay; `batch_id` stays readable as
+      // the partition column (no underscore prefix: hidden-path
+      // filtering would drop `_batch_id=N` dirs from file discovery).
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        transform(batch, batchId).withColumn("_batch_id", lit(batchId))
-          .write.mode("append").parquet(path)
+        transform(batch, batchId)
+          .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -371,12 +371,12 @@ class StreamingSpec extends SparkSpec {
     }
 
     val log = spark.read.parquet(out).localCheckpoint()
-    val maxB = log.agg(max("_batch_id")).head().getLong(0)
+    val maxB = log.agg(max("batch_id")).head().getInt(0)
     assert(maxB >= 3, s"need >= 4 single-file batches, got ${maxB + 1}")
     // phase 1 (batches 0-1): only original countries, never UPDATED
-    assert(log.filter(col("_batch_id") <= 1 && col("country") === "UPDATED")
+    assert(log.filter(col("batch_id") <= 1 && col("country") === "UPDATED")
       .count() == 0, "the update leaked backwards")
-    val phase2 = log.filter(col("_batch_id") >= 2)
+    val phase2 = log.filter(col("batch_id") >= 2)
     assert(phase2.count() > 0, "no emissions after the dim update")
     // phase 2: every matched row carries the UPDATED dim
     assert(phase2.filter(col("country") =!= "UPDATED" &&
@@ -385,7 +385,7 @@ class StreamingSpec extends SparkSpec {
     assert(phase2.filter(col("country") === "UPDATED").count() > 0)
     // upsert view ≡ batch recomputed against the dims each key LAST saw
     val state = Relational.latestByKey(
-      log, Seq("user_id", "w_start"), Seq("_batch_id"))
+      log, Seq("user_id", "w_start"), Seq("batch_id"))
     val batchPivot = WindowOps.hoppingPivot(
       Tables.events(spark, sf0001), eventTypes = Tables.EventTypes)
     def enrichWith(p: String) = graft.operators.Joins.leftEnrich(
@@ -394,14 +394,33 @@ class StreamingSpec extends SparkSpec {
       .drop("c_custkey")
     val expOld = enrichWith(s"$dimsDir/v1")
     val expNew = enrichWith(s"$dimsDir/v2")
-    val mismOld = state.filter(col("_batch_id") <= 1).drop("_batch_id")
+    val mismOld = state.filter(col("batch_id") <= 1).drop("batch_id")
       .exceptAll(expOld).count()
-    val mismNew = state.filter(col("_batch_id") >= 2).drop("_batch_id")
+    val mismNew = state.filter(col("batch_id") >= 2).drop("batch_id")
       .exceptAll(expNew).count()
     assert(mismOld == 0 && mismNew == 0,
       s"upsert view diverged from per-phase batch truth: old=$mismOld new=$mismNew")
     // row-count parity with the batch pivot (nothing lost or duplicated)
     assert(state.count() == batchPivot.count())
+    // at-least-once replay where the dim CHANGED between the attempts:
+    // the per-batch overwrite keeps exactly ONE version of the batch (a
+    // blind append would leave two conflicting rows under one batch id
+    // and make compaction nondeterministic)
+    val lastDir = s"$out/batch_id=$maxB"
+    // staging must live OUTSIDE the changelog dir or partition
+    // discovery reads it as a batch_id value
+    val tmpDir = java.nio.file.Files
+      .createTempDirectory("dim_replay").toString + "/stage"
+    spark.read.parquet(lastDir).withColumn("country", lit("REPLAYED"))
+      .write.mode("overwrite").parquet(tmpDir)
+    spark.read.parquet(tmpDir).write.mode("overwrite").parquet(lastDir)
+    val replayed = spark.read.parquet(out)
+    assert(replayed.filter(col("batch_id") === maxB)
+      .filter(col("country") =!= "REPLAYED").count() == 0,
+      "replay left two versions of the batch")
+    assert(Relational.latestByKey(replayed, Seq("user_id", "w_start"),
+      Seq("batch_id")).count() == state.count(),
+      "replay changed the upsert view's cardinality")
   }
 
   test("streaming embedding ingest maintains the IVF+PQ index per batch " +

@@ -383,7 +383,7 @@ object StreamScale {
         val secs = (System.nanoTime() - t0) / 1e9
         val log = spark.read.parquet(out)
         val state = graft.operators.Relational.latestByKey(
-          log, Seq("user_id", "w_start"), Seq("_batch_id")).localCheckpoint()
+          log, Seq("user_id", "w_start"), Seq("batch_id")).localCheckpoint()
         val batchPivot = WindowOps.hoppingPivot(
           Tables.events(spark, dir), eventTypes = Tables.EventTypes)
           .localCheckpoint()
@@ -395,8 +395,8 @@ object StreamScale {
         spark.conf.set("spark.sql.shuffle.partitions", checkWidth.toString)
         def twin(p: String) = graft.SparkEntry.scoredFlagshipWith(
           batchPivot, spark.read.parquet(p), orders)
-        val pre = state.filter(col("_batch_id") < flipAt).drop("_batch_id")
-        val post = state.filter(col("_batch_id") >= flipAt).drop("_batch_id")
+        val pre = state.filter(col("batch_id") < flipAt).drop("batch_id")
+        val post = state.filter(col("batch_id") >= flipAt).drop("batch_id")
         val mismOld = pre.exceptAll(twin(s"$mat/dims_v1")).count()
         val mismNew = post.exceptAll(twin(s"$mat/dims_v2")).count()
         val nState = state.count()
