@@ -94,6 +94,17 @@ object ZOrder {
     */
   val TargetBytesPerFile: Long = 128L << 20
 
+  /** Bytes → output-file count at [[TargetBytesPerFile]], overflow-safe:
+    * an unknown-stat input reports Long.MaxValue and naive ceiling
+    * division wraps negative, silently flooring a multi-GB write to ONE
+    * file (r16 review). Clamped to [1, 65536].
+    */
+  private def filesFor(bytes: Long): Int = {
+    val b = math.min(bytes, Long.MaxValue - TargetBytesPerFile)
+    math.max(1L, math.min(65536L,
+      (b + TargetBytesPerFile - 1) / TargetBytesPerFile)).toInt
+  }
+
   def zorderWrite(
       df: DataFrame,
       xCol: String,
@@ -107,9 +118,7 @@ object ZOrder {
     require(!r.anyNull, s"zorderWrite: empty input or null keys in $xCol/$yCol")
     val files =
       if (numFiles > 0) numFiles
-      else math.max(1L, math.min(65536L,
-        (graft.Sessions.statsBytes(df) + TargetBytesPerFile - 1)
-          / TargetBytesPerFile)).toInt
+      else filesFor(graft.Sessions.statsBytes(df))
     val zx = scaleTo(col(xCol), r.getLong(0), r.getLong(1), bits)
     val zy = scaleTo(col(yCol), r.getLong(2), r.getLong(3), bits)
     df.withColumn("z", zValue2(zx, zy, bits))
@@ -225,9 +234,7 @@ object ZOrder {
     val spark = df.sparkSession
     val files =
       if (numFiles > 0) numFiles
-      else math.max(1L, math.min(65536L,
-        (graft.Sessions.statsBytes(df) + TargetBytesPerFile - 1)
-          / TargetBytesPerFile)).toInt
+      else filesFor(graft.Sessions.statsBytes(df))
     val parts = rankedZParts(df, xCol, yCol, bits, "z", materialize = true)
     try {
       parts.zdf
@@ -361,6 +368,10 @@ object ZOrder {
       (meta.getString(0), meta.getString(1), meta.getInt(2))
     val clean = batch
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // empty (or fully null-filtered) batches are a no-op: ledger rows
+    // for them would let a quiet stream's idle micro-batches alone
+    // drive the compaction trigger into a pointless full rebuild
+    if (clean.isEmpty) return
     // cache + unpersist, not localCheckpoint: withZ feeds the bucket
     // ledger AND the data write, but a streaming ingest JVM appending
     // per micro-batch must not accumulate a materialized copy per
@@ -372,9 +383,14 @@ object ZOrder {
       .drop("__zx", "__zy")
       .cache()
     try {
-      val files = math.max(1L, math.min(65536L,
-        (graft.Sessions.statsBytes(withZ) + TargetBytesPerFile - 1)
-          / TargetBytesPerFile)).toInt
+      val files = filesFor(graft.Sessions.statsBytes(withZ))
+      // DATA FIRST, ledgers second: a crash between the two leaves the
+      // signals UNDER-counting (conservative — a stale-signal append is
+      // re-priced by the next batch), whereas ledger-first would count
+      // rows that never landed and could fire a spurious full rebuild
+      withZ.repartitionByRange(files, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("append").parquet(path)
       withZ.groupBy(zCell(col("z"), bits).as("zb"))
         .agg(count(lit(1)).as("rows"))
         .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendbuckets")
@@ -383,9 +399,6 @@ object ZOrder {
       import spark.implicits._
       Seq(files).toDF("files")
         .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendlog")
-      withZ.repartitionByRange(files, col("z"))
-        .sortWithinPartitions(col("z"))
-        .write.mode("append").parquet(path)
     } finally { withZ.unpersist(); () }
   }
 
@@ -434,6 +447,15 @@ object ZOrder {
       maxAppendFiles: Long = 16L): String = {
     zorderAppendRanked(batch, path)
     val spark = batch.sparkSession
+    // ledgers may not exist yet when every append so far was empty
+    // (empty batches are no-ops and write nothing)
+    val lgP = new org.apache.hadoop.fs.Path(s"$path/_zmeta/appendlog")
+    val lgFs = lgP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!lgFs.exists(lgP)) {
+      graft.Sessions.recordDecision("zorderAppendAuto", 0.0,
+        rebuildThreshold, "append")
+      return "append"
+    }
     val appendedFiles = spark.read.parquet(s"$path/_zmeta/appendlog")
       .agg(sum(col("files"))).head() match {
         case r if r.isNullAt(0) => 0L
@@ -545,18 +567,23 @@ object ZOrder {
       require(fs.exists(p(s"$tmp/_zmeta")) || fs.exists(p(s"$old/_CLEARED")),
         s"zorderRecover: $tmp carries _COMMIT but no build content — " +
           "refusing to swap; inspect and remove _rebuild manually")
+      def renameOrThrow(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Unit =
+        require(fs.rename(src, dst),
+          s"zorderRecover: rename $src -> $dst FAILED (filesystem returned " +
+            "false) — aborting with markers intact so recovery can re-run")
       if (!fs.exists(p(s"$old/_CLEARED"))) {
         fs.mkdirs(p(old))
         for (st <- fs.listStatus(p(path));
              n = st.getPath.getName
              if n != "_rebuild" && n != "_old")
-          fs.rename(st.getPath, p(s"$old/$n"))
+          renameOrThrow(st.getPath, p(s"$old/$n"))
         fs.create(p(s"$old/_CLEARED"), true).close()
       }
       for (st <- fs.listStatus(p(tmp)); n = st.getPath.getName
            if n != "_COMMIT") {
         fs.delete(p(s"$path/$n"), true)
-        fs.rename(st.getPath, p(s"$path/$n"))
+        renameOrThrow(st.getPath, p(s"$path/$n"))
       }
       fs.delete(p(tmp), true)
       fs.delete(p(old), true)
@@ -592,9 +619,7 @@ object ZOrder {
     require(!r.anyNull, s"zorderWriteN: empty input or null keys in $cols")
     val files =
       if (numFiles > 0) numFiles
-      else math.max(1L, math.min(65536L,
-        (graft.Sessions.statsBytes(df) + TargetBytesPerFile - 1)
-          / TargetBytesPerFile)).toInt
+      else filesFor(graft.Sessions.statsBytes(df))
     val scaled = cols.zipWithIndex.map { case (c, j) =>
       scaleTo(col(c), r.getLong(2 * j), r.getLong(2 * j + 1), b)
     }

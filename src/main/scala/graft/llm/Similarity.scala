@@ -601,6 +601,9 @@ object Similarity {
       idCol: String = "vec_id"): Unit = {
     val spark = newVecs.sparkSession
     ivfPqRecoverIndex(spark, path)
+    // empty batches are a no-op: a ledger row for them would let idle
+    // micro-batches alone drive the compaction trigger into a rebuild
+    if (newVecs.isEmpty) return
     val meta = spark.read.parquet(s"$path/codebook").collect().head
     val m = meta.getInt(0)
     val ksub = meta.getInt(1)
@@ -660,11 +663,16 @@ object Similarity {
     if (fs.exists(p(s"$tmp/_COMMIT"))) {
       for (sub <- ivfPqSubdirs if fs.exists(p(s"$tmp/$sub"))) {
         fs.delete(p(s"$path/$sub"), true)
-        fs.rename(p(s"$tmp/$sub"), p(s"$path/$sub"))
+        require(fs.rename(p(s"$tmp/$sub"), p(s"$path/$sub")),
+          s"ivfPqRecoverIndex: rename $tmp/$sub failed — aborting with " +
+            "markers intact so recovery can re-run")
       }
+      // ledger reset BEFORE the marker deletes: a crash after the
+      // markers vanish but before the reset would leave a stale ≥16
+      // batch count that immediately re-fires a redundant rebuild
+      fs.delete(p(s"$path/appendlog"), true)
       fs.delete(p(tmp), true)
       fs.delete(p(old), true)
-      fs.delete(p(s"$path/appendlog"), true) // rolled-forward rebuild: 0 appends
     } else if (fs.exists(p(tmp))) {
       fs.delete(p(tmp), true)
       fs.delete(p(old), true)
@@ -720,13 +728,17 @@ object Similarity {
     fs.delete(p(old), true)
     fs.mkdirs(p(old))
     for (sub <- ivfPqSubdirs) {
-      fs.rename(p(s"$path/$sub"), p(s"$old/$sub"))
-      fs.rename(p(s"$tmp/$sub"), p(s"$path/$sub"))
+      require(fs.rename(p(s"$path/$sub"), p(s"$old/$sub")),
+        s"ivfPqRebuildIndex: rename-aside of $sub failed — aborting with " +
+          "the _COMMIT marker intact so recovery can finish the swap")
+      require(fs.rename(p(s"$tmp/$sub"), p(s"$path/$sub")),
+        s"ivfPqRebuildIndex: rename-in of $sub failed — aborting with " +
+          "the _COMMIT marker intact so recovery can finish the swap")
     }
+    // ledger reset BEFORE the marker deletes (see ivfPqRecoverIndex)
+    fs.delete(p(s"$path/appendlog"), true)
     fs.delete(p(tmp), true)
     fs.delete(p(old), true)
-    // the rebuilt index has zero appends: reset the compaction ledger
-    fs.delete(p(s"$path/appendlog"), true)
   }
 
   /** Append + staleness decision — the EIGHTH adaptive element.
@@ -795,7 +807,11 @@ object Similarity {
     val spark = newVecs.sparkSession
     // compaction axis (r16, mirrors zorderAppendAuto's third trigger):
     // per-cell file count grows ~1 per append batch — rebuild compacts
-    val batches = spark.read.parquet(s"$path/appendlog").count()
+    val logP = new org.apache.hadoop.fs.Path(s"$path/appendlog")
+    val logFs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches =
+      if (logFs.exists(logP)) spark.read.parquet(s"$path/appendlog").count()
+      else 0L
     if (batches >= maxAppendBatches) {
       graft.Sessions.recordDecision("ivfPqAppendAuto", batches.toDouble,
         maxAppendBatches.toDouble, s"rebuild(batches $batches)")

@@ -454,10 +454,16 @@ object Streaming {
     * view a document store would hold after consuming the stream.
     */
   def readChangelogState(
-      spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame =
+      spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    // [[sinkChangelog]] stamps a `_batch_id` column; [[sinkChangelogWith]]
+    // writes `batch_id=N` partition dirs — compact on whichever this
+    // changelog carries
+    val ord = if (df.columns.contains("_batch_id")) "_batch_id" else "batch_id"
     graft.operators.Relational
-      .latestByKey(spark.read.parquet(path), keyCols, Seq("_batch_id"))
-      .drop("_batch_id")
+      .latestByKey(df, keyCols, Seq(ord))
+      .drop(ord)
+  }
 
   /** The SESSION-window production sink contract, in one place: Spark
     * supports session aggregations in Append (+watermark) and Complete

@@ -243,9 +243,14 @@ object StreamScale {
           // (calibrated: using wm(bid) over-drops vs the operator's own
           // numRowsDroppedByWatermark; wm(bid-1) matches it exactly)
           val wm = wmOf.getOrElse(bid - 1, 0L)
-          spark.read.parquet(m.keys.toSeq: _*)
-            .filter(unix_micros(col("ts").cast("timestamp")) + gapSec * 1000000L
-              >= lit(wm))
+          val raw = spark.read.parquet(m.keys.toSeq: _*)
+          // same nanos-annotation guard as timeSorted: a raw int64-nanos
+          // ts cast to timestamp reads as SECONDS and saturates
+          val tsMicros =
+            if (raw.schema("ts").dataType ==
+                org.apache.spark.sql.types.LongType) col("ts") / lit(1000L)
+            else unix_micros(col("ts").cast("timestamp"))
+          raw.filter(tsMicros + gapSec * 1000000L >= lit(wm))
         }.reduce(_ unionByName _)
       }
 
