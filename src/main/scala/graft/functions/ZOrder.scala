@@ -94,16 +94,29 @@ object ZOrder {
     */
   val TargetBytesPerFile: Long = 128L << 20
 
-  /** Bytes → output-file count at [[TargetBytesPerFile]], overflow-safe:
-    * an unknown-stat input reports Long.MaxValue and naive ceiling
-    * division wraps negative, silently flooring a multi-GB write to ONE
-    * file (r16 review). Clamped to [1, 65536].
+  /** Stats at or above this are Catalyst's unknown-size sentinel
+    * (`defaultSizeInBytes` = Long.MaxValue, possibly summed with real
+    * leaf bytes), not a measurement — no real aggregate reaches 2.3 EB.
     */
-  private def filesFor(bytes: Long): Int = {
-    val b = math.min(bytes, Long.MaxValue - TargetBytesPerFile)
-    math.max(1L, math.min(65536L,
-      (b + TargetBytesPerFile - 1) / TargetBytesPerFile)).toInt
-  }
+  private val UnknownStatsFloor: Long = Long.MaxValue / 4
+
+  /** Bytes → output-file count at [[TargetBytesPerFile]], clamped to
+    * [1, 65536]. An UNKNOWN stat (an uncached RDD-backed input — e.g. a
+    * foreachBatch micro-batch with no file leaves to clamp against)
+    * must NOT map to the 65536-file ceiling: in the append path that
+    * would both request a 65536-way range shuffle per micro-batch and
+    * poison the appendlog so the very next [[zorderAppendAuto]] fires a
+    * full rebuild on every batch (r16 ADVICE). Unknown → the caller's
+    * fallback: 1 file for an append micro-batch, the session shuffle
+    * width for a one-shot write.
+    */
+  private def filesFor(bytes: Long, unknownFallback: => Int): Int =
+    if (bytes >= UnknownStatsFloor) math.max(1, unknownFallback)
+    else math.max(1L, math.min(65536L,
+      (bytes + TargetBytesPerFile - 1) / TargetBytesPerFile)).toInt
+
+  private def shuffleWidth(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
 
   def zorderWrite(
       df: DataFrame,
@@ -118,7 +131,7 @@ object ZOrder {
     require(!r.anyNull, s"zorderWrite: empty input or null keys in $xCol/$yCol")
     val files =
       if (numFiles > 0) numFiles
-      else filesFor(graft.Sessions.statsBytes(df))
+      else filesFor(graft.Sessions.statsBytes(df), shuffleWidth(df))
     val zx = scaleTo(col(xCol), r.getLong(0), r.getLong(1), bits)
     val zy = scaleTo(col(yCol), r.getLong(2), r.getLong(3), bits)
     df.withColumn("z", zValue2(zx, zy, bits))
@@ -234,7 +247,7 @@ object ZOrder {
     val spark = df.sparkSession
     val files =
       if (numFiles > 0) numFiles
-      else filesFor(graft.Sessions.statsBytes(df))
+      else filesFor(graft.Sessions.statsBytes(df), shuffleWidth(df))
     val parts = rankedZParts(df, xCol, yCol, bits, "z", materialize = true)
     try {
       parts.zdf
@@ -383,7 +396,22 @@ object ZOrder {
       .drop("__zx", "__zy")
       .cache()
     try {
-      val files = filesFor(graft.Sessions.statsBytes(withZ))
+      // MATERIALIZE the cache before sizing: a foreachBatch/LogicalRDD
+      // micro-batch has no leaf stats at all, and the unknown sentinel
+      // used to land on the 65536-file ceiling — a 65536-way shuffle
+      // per micro-batch plus an appendlog row that fired a full rebuild
+      // on the very next batch (r16 ADVICE). Once the cached batch is
+      // materialized, statsBytes reads the InMemoryRelation's ACTUAL
+      // cached bytes; if even that is unavailable, one file is the
+      // right micro-batch posture (the compaction trigger prices the
+      // accumulation).
+      withZ.count()
+      val files = filesFor(graft.Sessions.statsBytes(withZ), 1)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def partCount: Long = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
+      val before = partCount
       // DATA FIRST, ledgers second: a crash between the two leaves the
       // signals UNDER-counting (conservative — a stale-signal append is
       // re-priced by the next batch), whereas ledger-first would count
@@ -394,10 +422,13 @@ object ZOrder {
       withZ.groupBy(zCell(col("z"), bits).as("zb"))
         .agg(count(lit(1)).as("rows"))
         .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendbuckets")
-      // one ledger row per append: how many files this batch adds (the
-      // COMPACTION axis — see zorderAppendAuto's maxAppendFiles)
+      // one ledger row per append: how many files this batch ACTUALLY
+      // added — a before/after root listing, not the requested
+      // partition count, so empty range partitions (which write no
+      // file) and any sizing fallback can't inflate the COMPACTION
+      // axis (see zorderAppendAuto's maxAppendFiles; r16 ADVICE)
       import spark.implicits._
-      Seq(files).toDF("files")
+      Seq(math.max(1L, partCount - before)).toDF("files")
         .coalesce(1).write.mode("append").parquet(s"$path/_zmeta/appendlog")
     } finally { withZ.unpersist(); () }
   }
@@ -496,17 +527,25 @@ object ZOrder {
     if (rebuild) { zorderRebuildRanked(spark, path); "rebuild" } else "append"
   }
 
+  /** Side-build completeness gate for [[graft.Swap.commit]]: a rebuilt
+    * z-order table carries its `_zmeta` and at least one data file.
+    */
+  private val zIntegrity: (org.apache.hadoop.fs.FileSystem, String) => Boolean =
+    (fs, tmp) =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_zmeta")) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .exists(_.getPath.getName.endsWith(".parquet"))
+
   /** Re-cluster a ranked z-order table from its CURRENT rows: fresh
     * rank maps over base + everything appended, re-written beside the
-    * live table (`$path/_rebuild`) and swapped in. The swap is
-    * crash-safe, not reader-atomic: a `_COMMIT` marker lands only when
-    * the side build is complete, displaced files move ASIDE
-    * (`_old/`, `_CLEARED`-marked) before new files move in, and
-    * [[zorderRecover]] — run by every append/rebuild entry — rolls an
-    * interrupted swap forward from the markers or a dead build back.
-    * Underscore-prefixed directories are invisible to parquet file
-    * discovery, so a concurrent reader sees old files, new files, or a
-    * mid-swap mix — never a broken file.
+    * live table (`$path/_rebuild`) and swapped in via the engine-wide
+    * [[graft.Swap]] protocol (crash-safe at every phase boundary, NOT
+    * reader-atomic — readers needing a consistent view quiesce for the
+    * swap window; see Swap's concurrency contract). NO checkpoint of
+    * `current`: materializing the FULL table to executor storage is
+    * exactly what cannot happen at 100 TB — the side build's scans
+    * re-read the live files, all of which complete before any rename
+    * moves them (r16 review).
     */
   def zorderRebuildRanked(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
@@ -514,86 +553,20 @@ object ZOrder {
     val meta = spark.read.parquet(s"$path/_zmeta/meta").head()
     val (xCol, yCol, bits) =
       (meta.getString(0), meta.getString(1), meta.getInt(2))
-    // NO checkpoint of `current`: materializing the FULL table to
-    // executor storage is exactly what cannot happen at 100 TB — the
-    // side build's scans re-read the live files, all of which complete
-    // before any rename moves them (r16 review)
     val current = spark.read.parquet(path).drop("z")
     zorderWriteRanked(current, xCol, yCol, s"$path/_rebuild", bits)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    // integrity gate before the point of no return: a gutted side
-    // build (external interference) must abort with the live table
-    // untouched, never swap in nothing
-    require(fs.exists(p(s"$path/_rebuild/_zmeta")) &&
-      fs.listStatus(p(s"$path/_rebuild"))
-        .exists(_.getPath.getName.endsWith(".parquet")),
-      s"zorderRebuildRanked: side build incomplete under $path/_rebuild — aborting swap")
-    fs.create(p(s"$path/_rebuild/_COMMIT"), true).close() // point of no return
-    zorderRecover(spark, path) // the roll-forward IS the swap
+    graft.Swap.commit(spark, path, zIntegrity, "zorderRebuildRanked")
   }
 
-  /** Crash recovery for [[zorderRebuildRanked]]'s swap — idempotent,
-    * cheap when clean (two existence probes), and the swap's own
-    * completion path. MAINTENANCE-ONLY, single-writer by contract
-    * (DEPLOY.md): the rollback branch deletes a pre-commit `_rebuild`,
-    * which is indistinguishable from another maintainer's build in
-    * flight — appends and rebuilds against one table must be
-    * serialized (they must be anyway: the rebuild compacts what
-    * appends write), and plain READERS never call this. A roll-forward
-    * additionally refuses a commit marker whose build content is gone
-    * (throws rather than swapping in nothing). Phases are
-    * marker-disambiguated:
-    *  - `_rebuild/_COMMIT` present → roll FORWARD: move every live
-    *    child aside into `_old` (skipped once `_old/_CLEARED` says
-    *    it already happened — part-file names are unique, but phase
-    *    markers, not name forensics, decide), then move the rebuilt
-    *    children in, then delete both work dirs;
-    *  - `_rebuild` without `_COMMIT` → the side build died; the live
-    *    table was never touched — delete the partial build;
-    *  - `_old` alone → only the final cleanup was lost; delete it.
+  /** Crash recovery for [[zorderRebuildRanked]]'s swap — the shared
+    * [[graft.Swap.recover]] with the z-order integrity gate. Run by
+    * every append/rebuild entry; MAINTENANCE-ONLY and single-writer by
+    * contract (see [[graft.Swap]] for the full phase matrix and the
+    * reader-quiesce requirement).
     */
   def zorderRecover(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val tmp = s"$path/_rebuild"
-    val old = s"$path/_old"
-    if (fs.exists(p(s"$tmp/_COMMIT"))) {
-      // refuse a gutted commit: the marker without the build's content
-      // means external interference — swapping would destroy the table
-      require(fs.exists(p(s"$tmp/_zmeta")) || fs.exists(p(s"$old/_CLEARED")),
-        s"zorderRecover: $tmp carries _COMMIT but no build content — " +
-          "refusing to swap; inspect and remove _rebuild manually")
-      def renameOrThrow(src: org.apache.hadoop.fs.Path,
-          dst: org.apache.hadoop.fs.Path): Unit =
-        require(fs.rename(src, dst),
-          s"zorderRecover: rename $src -> $dst FAILED (filesystem returned " +
-            "false) — aborting with markers intact so recovery can re-run")
-      if (!fs.exists(p(s"$old/_CLEARED"))) {
-        fs.mkdirs(p(old))
-        for (st <- fs.listStatus(p(path));
-             n = st.getPath.getName
-             if n != "_rebuild" && n != "_old")
-          renameOrThrow(st.getPath, p(s"$old/$n"))
-        fs.create(p(s"$old/_CLEARED"), true).close()
-      }
-      for (st <- fs.listStatus(p(tmp)); n = st.getPath.getName
-           if n != "_COMMIT") {
-        fs.delete(p(s"$path/$n"), true)
-        renameOrThrow(st.getPath, p(s"$path/$n"))
-      }
-      fs.delete(p(tmp), true)
-      fs.delete(p(old), true)
-    } else if (fs.exists(p(tmp))) {
-      fs.delete(p(tmp), true)
-      fs.delete(p(old), true)
-    } else if (fs.exists(p(old))) {
-      fs.delete(p(old), true)
-    }
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.Swap.recover(spark, path, zIntegrity, "zorderRecover")
 
   /** N-column cluster-write ([[zValueN]] over min/max-scaled
     * dimensions) — the training-data layout shape: cluster documents on
@@ -619,7 +592,7 @@ object ZOrder {
     require(!r.anyNull, s"zorderWriteN: empty input or null keys in $cols")
     val files =
       if (numFiles > 0) numFiles
-      else filesFor(graft.Sessions.statsBytes(df))
+      else filesFor(graft.Sessions.statsBytes(df), shuffleWidth(df))
     val scaled = cols.zipWithIndex.map { case (c, j) =>
       scaleTo(col(c), r.getLong(2 * j), r.getLong(2 * j + 1), b)
     }

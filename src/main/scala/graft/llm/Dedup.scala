@@ -343,6 +343,18 @@ object Dedup {
     * physical corpus can hold (2^50 diameter), closing the r14/r15
     * scale-honesty gap.
     */
+  /** Free the storage blocks behind a `localCheckpoint()`ed frame. A
+    * local checkpoint truncates lineage — the blocks ARE the data — so
+    * this must only run once nothing will read the frame again (the
+    * iteration loop's previous round, never the returned result).
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
   def resolveClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val allNodes = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id")))
@@ -381,11 +393,27 @@ object Dedup {
         .localCheckpoint()
       // fixed point requires BOTH operations to be identity — comparing
       // only round-start vs round-end could miss a (pathological)
-      // large∘small round-trip that is not yet a star forest
-      def differs(x: DataFrame, y: DataFrame): Boolean =
-        x.join(y, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
-          y.join(x, Seq("u", "v"), "left_anti").limit(1).count() > 0
-      converged = !differs(ls, edges) && !differs(ss, ls)
+      // large∘small round-trip that is not yet a star forest. Both
+      // set-equality checks fold into ONE job (r16 ADVICE — was four
+      // anti-join counts per round): each comparison's two sides are
+      // tagged ±1 into a shared (cmp, u, v) space — every frame is a
+      // DISTINCT edge set, so a group sums to 0 iff the edge is on both
+      // sides, and any non-zero group is a difference.
+      val sided = ls.select(lit(1).as("cmp"), col("u"), col("v"), lit(1L).as("s"))
+        .union(ss.select(lit(2).as("cmp"), col("u"), col("v"), lit(1L).as("s")))
+        .union(edges.select(lit(1).as("cmp"), col("u"), col("v"), lit(-1L).as("s")))
+        .union(ls.select(lit(2).as("cmp"), col("u"), col("v"), lit(-1L).as("s")))
+      converged = sided.groupBy("cmp", "u", "v").agg(sum(col("s")).as("d"))
+        .filter(col("d") =!= 0L).limit(1).count() == 0
+      // the previous round's checkpoints are dead once this round's are
+      // materialized and compared — unpersist them, or a long
+      // resolution pins O(rounds) copies of the pair graph in executor
+      // storage for the life of the session (r16 ADVICE). The FINAL
+      // round's ss (assigned to `edges`) stays persisted: the returned
+      // DataFrame's lineage was truncated by localCheckpoint, so its
+      // blocks must outlive the loop.
+      unpersistCheckpoint(edges)
+      unpersistCheckpoint(ls)
       edges = ss
       iter += 1
     }

@@ -628,75 +628,42 @@ object Similarity {
 
   private val ivfPqSubdirs = Seq("data", "centroids", "codebook", "basecells")
 
+  /** Side-build completeness gate for [[graft.Swap.commit]]: a rebuilt
+    * IVF+PQ index carries all four index subdirs.
+    */
+  private val ivfIntegrity
+      : (org.apache.hadoop.fs.FileSystem, String) => Boolean =
+    (fs, tmp) => ivfPqSubdirs.forall(sub =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/$sub")))
+
   /** Crash recovery for a [[ivfPqRebuildIndex]] swap interrupted at any
-    * point — run by the MAINTENANCE entry points (append/rebuild),
-    * never by readers. Maintenance is single-writer by contract
-    * (DEPLOY.md: serialize rebuilds): recovery's rollback branch
-    * deletes a pre-commit `_rebuild`, which is indistinguishable from
-    * another maintainer's build IN FLIGHT — a reader running recovery
-    * concurrently with a live rebuild would delete its side build and
-    * the rebuilder's subsequent swap would destroy the index (r16
-    * review finding). Readers ([[ivfPqQueryIndex]]) therefore never
-    * mutate: a crashed pre-commit build leaves the live index intact
-    * for them, and a crashed post-commit swap is healed by the next
-    * maintenance call (or an explicit operator invocation of this).
-    * The swap protocol writes a `_rebuild/_COMMIT` marker only after
-    * the side build is COMPLETE, so a leftover layout is unambiguous:
-    *  - `_COMMIT` present → the swap was in flight; roll FORWARD (any
-    *    subdir still in `_rebuild` replaces the live one — already-
-    *    swapped subdirs left `_rebuild` and are kept as-is, so the
-    *    result is exactly the rebuilt index);
-    *  - `_rebuild` without `_COMMIT` → the build itself crashed; the
-    *    live index was never touched — roll BACK by deleting the
-    *    partial build;
-    *  - `_old` alone → the swap finished and only the final cleanup
-    *    crashed; delete it.
-    * Idempotent and cheap (four fs.exists probes when clean).
+    * point — the shared [[graft.Swap.recover]] with the IVF integrity
+    * gate (r17 unified the two hand-rolled layer protocols; see Swap
+    * for the phase matrix). Run by the MAINTENANCE entry points
+    * (append/rebuild), never by readers: maintenance is single-writer
+    * by contract (DEPLOY.md) — recovery's rollback branch deletes a
+    * pre-commit `_rebuild`, indistinguishable from another maintainer's
+    * build IN FLIGHT (r16 review finding), and readers
+    * ([[ivfPqQueryIndex]]) never mutate. The old protocol's explicit
+    * `appendlog` ledger reset is now the displace-all phase itself:
+    * the live ledger moves aside with every other child and the
+    * rebuild carries none, so a post-swap index always starts at batch
+    * count 0 — same invariant, one protocol.
     */
   def ivfPqRecoverIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val tmp = s"$path/_rebuild"
-    val old = s"$path/_old"
-    if (fs.exists(p(s"$tmp/_COMMIT"))) {
-      for (sub <- ivfPqSubdirs if fs.exists(p(s"$tmp/$sub"))) {
-        fs.delete(p(s"$path/$sub"), true)
-        require(fs.rename(p(s"$tmp/$sub"), p(s"$path/$sub")),
-          s"ivfPqRecoverIndex: rename $tmp/$sub failed — aborting with " +
-            "markers intact so recovery can re-run")
-      }
-      // ledger reset BEFORE the marker deletes: a crash after the
-      // markers vanish but before the reset would leave a stale ≥16
-      // batch count that immediately re-fires a redundant rebuild
-      fs.delete(p(s"$path/appendlog"), true)
-      fs.delete(p(tmp), true)
-      fs.delete(p(old), true)
-    } else if (fs.exists(p(tmp))) {
-      fs.delete(p(tmp), true)
-      fs.delete(p(old), true)
-    } else if (fs.exists(p(old))) {
-      // roll-forward already completed every live subdir (the swap
-      // renames _rebuild in before anything lands under _old is
-      // deleted); _old is pure leftover
-      fs.delete(p(old), true)
-    }
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.Swap.recover(spark, path, ivfIntegrity, "ivfPqRecoverIndex")
 
   /** Rebuild a written IVF+PQ index from its own stored vectors —
     * refit the coarse quantizer and PQ codebook on the CURRENT corpus
     * (base + everything appended), write side-by-side under
-    * `$path/_rebuild`, then swap subdirectories in. The swap is NOT a
-    * single atomic rename (four subdirectories move one by one — a
-    * reader racing the handful of renames can see a mixed layout for
-    * milliseconds); what it IS is crash-safe: a `_COMMIT` marker lands
-    * only after the side build completes, old subdirs are moved ASIDE
-    * (`_old/`) rather than deleted mid-swap, and [[ivfPqRecoverIndex]]
-    * (run by every MAINTENANCE entry — appends and rebuilds; readers
-    * never mutate) rolls an interrupted swap forward from the marker
-    * or a failed build back — no crash point loses the index (r15
-    * ADVICE; reader-side recovery removed r16: it raced live builds). Parameters (nlist, m, ksub) are recovered from the
+    * `$path/_rebuild`, then swap in via the engine-wide [[graft.Swap]]
+    * protocol: crash-safe at every phase boundary (SwapProtocolSpec
+    * kills at each), NOT reader-atomic — a reader racing the swap can
+    * see a mixed or momentarily partial layout, so readers needing a
+    * consistent view quiesce for the swap window (Swap's concurrency
+    * contract; reader-side recovery removed r16: it raced live
+    * builds). Parameters (nlist, m, ksub) are recovered from the
     * stored index so a rebuild cannot drift from the build; `seed`
     * defaults to the build default.
     */
@@ -711,34 +678,9 @@ object Similarity {
     val nlist = spark.read.parquet(s"$path/centroids").count().toInt
     val corpus = spark.read.parquet(s"$path/data")
       .select(col("neighbor_id"), col("cv"))
-    val tmp = s"$path/_rebuild"
-    ivfPqWriteIndex(corpus, tmp, nlist = nlist, m = m, ksub = ksub,
-      seed = seed, vecCol = "cv", idCol = "neighbor_id")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val old = s"$path/_old"
-    // integrity gate before the point of no return: a missing subdir
-    // here (external interference with the side build) must abort the
-    // swap with the live index untouched, never commit a gutted layout
-    for (sub <- ivfPqSubdirs)
-      require(fs.exists(p(s"$tmp/$sub")),
-        s"ivfPqRebuildIndex: side build incomplete ($tmp/$sub missing) — aborting swap")
-    fs.create(p(s"$tmp/_COMMIT"), true).close() // build complete: point of no return
-    fs.delete(p(old), true)
-    fs.mkdirs(p(old))
-    for (sub <- ivfPqSubdirs) {
-      require(fs.rename(p(s"$path/$sub"), p(s"$old/$sub")),
-        s"ivfPqRebuildIndex: rename-aside of $sub failed — aborting with " +
-          "the _COMMIT marker intact so recovery can finish the swap")
-      require(fs.rename(p(s"$tmp/$sub"), p(s"$path/$sub")),
-        s"ivfPqRebuildIndex: rename-in of $sub failed — aborting with " +
-          "the _COMMIT marker intact so recovery can finish the swap")
-    }
-    // ledger reset BEFORE the marker deletes (see ivfPqRecoverIndex)
-    fs.delete(p(s"$path/appendlog"), true)
-    fs.delete(p(tmp), true)
-    fs.delete(p(old), true)
+    ivfPqWriteIndex(corpus, s"$path/_rebuild", nlist = nlist, m = m,
+      ksub = ksub, seed = seed, vecCol = "cv", idCol = "neighbor_id")
+    graft.Swap.commit(spark, path, ivfIntegrity, "ivfPqRebuildIndex")
   }
 
   /** Append + staleness decision — the EIGHTH adaptive element.

@@ -426,8 +426,10 @@ class SimilaritySpec extends SparkSpec {
     val rebuilt = results(twin)
 
     // crash point A: side build COMPLETE (_COMMIT written), swap halted
-    // halfway — data swapped in, centroids/codebook/basecells still old.
-    // A reader must roll FORWARD to exactly the rebuilt index.
+    // mid-DISPLACEMENT — data already moved aside into _old, the other
+    // subdirs still live, _CLEARED not yet written (unified graft.Swap
+    // protocol, r17). Recovery must finish displacing, then roll
+    // FORWARD to exactly the rebuilt index.
     val pA = mkIndex("ivfrec_a")
     val metaA = spark.read.parquet(s"$pA/codebook").collect().head
     Similarity.ivfPqWriteIndex(
@@ -437,7 +439,6 @@ class SimilaritySpec extends SparkSpec {
     fs.create(fsp(s"$pA/_rebuild/_COMMIT"), true).close()
     fs.mkdirs(fsp(s"$pA/_old"))
     fs.rename(fsp(s"$pA/data"), fsp(s"$pA/_old/data"))
-    fs.rename(fsp(s"$pA/_rebuild/data"), fsp(s"$pA/data"))
     // readers never mutate (r16): healing happens at the next
     // MAINTENANCE entry — invoke recovery the way an append would
     Similarity.ivfPqRecoverIndex(spark, pA)
