@@ -872,4 +872,71 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed == batch)
   }
+
+  test("watermark progress semantics: a batch FILTERS with the previous " +
+    "batch's reported watermark (pins StreamScale's drop-ledger offset)") {
+    // r16 VERDICT #4. The disorder drop ledger (StreamScale
+    // survivingEvents) reconstructs per-batch admissibility from two
+    // EMPIRICAL Spark conventions, calibrated against
+    // numRowsDroppedByWatermark at 2 SFs × 2 scales:
+    //  (a) progress(b).eventTime.watermark is the value ADVANCED BY
+    //      batch b's data (the one batch b+1 will filter with);
+    //  (b) the late-row filter inside batch b therefore runs under
+    //      progress(b−1)'s value, and for session windows admissibility
+    //      is session END (ts + gap) ≥ watermark, not raw ts.
+    // A Spark upgrade shifting either convention would make the
+    // accounting tool silently lie — this fixture places one event
+    // exactly where the conventions disagree so the shift fails HERE.
+    //
+    // Timeline (epoch seconds; lateness 10 min, gap 30 min):
+    //   phase 1: (u1, 10:00)            → reported wm 09:50
+    //   phase 2: (u2, 09:30), (u1, 11:00)
+    //     filter-with-PREVIOUS (09:50): u2's end 10:00 ≥ 09:50 → KEPT
+    //     filter-with-OWN      (10:50): u2's end 10:00 <  10:50 → dropped
+    //     (raw-ts rule would also drop it: 09:30 < 09:50)
+    //   phase 3: (u3, 09:30) under wm 10:50 → end 10:00 < 10:50 → DROPPED
+    //     (a two-batch-lag convention, wm 09:50, would keep it)
+    val input = MemoryStream[(Long, Long)](spark)
+    val sess = WindowOps.sessionAgg(
+      Streaming.withLateness(
+        input.toDF().toDF("user_id", "sec")
+          .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec"),
+        "10 minutes"),
+      gap = "30 minutes")
+    val q = sess.writeStream.format("memory").queryName("wm_convention")
+      .outputMode("append").start()
+    def drops: Long = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    def maxWm: Long = q.recentProgress
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(java.time.Instant.parse(_).getEpochSecond)
+      .maxOption.getOrElse(0L)
+    input.addData((1L, 36000L))
+    q.processAllAvailable()
+    assert(maxWm == 35400L,
+      s"convention (a) shifted: expected the batch to REPORT the watermark " +
+        s"its own data advanced to (35400), got $maxWm")
+    input.addData((2L, 34200L), (1L, 39600L))
+    q.processAllAvailable()
+    assert(drops == 0L,
+      s"convention (b) shifted: the discriminating event was dropped — " +
+        "the filter no longer uses the PREVIOUS batch's watermark " +
+        "(or admissibility is no longer session-end-based); " +
+        "StreamScale.survivingEvents' wm(bid-1) reconstruction is now wrong")
+    input.addData((3L, 34200L))
+    q.processAllAvailable()
+    assert(drops == 1L,
+      s"expected exactly the re-sent stale event dropped under wm 10:50, " +
+        s"got $drops — a lag longer than one batch would over-keep")
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wm_convention")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(emitted.contains((2L, 34200L, 36000L, 1L)),
+      s"the kept-late event's session never emitted: $emitted")
+    assert(!emitted.exists(_._1 == 3L),
+      s"the dropped event's session emitted anyway: $emitted")
+  }
 }

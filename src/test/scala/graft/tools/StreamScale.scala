@@ -345,6 +345,19 @@ object StreamScale {
       // the NEW, keyed by each state row's own _batch_id; row-count
       // parity with the batch pivot proves nothing was lost.
       require(maxFiles.isDefined, "--dim-update needs --max-files")
+      // --hash-verify (r16 VERDICT #3): the per-phase twin check,
+      // re-expressed at constant row WIDTH. The default exceptAll
+      // sorts the full wide scored rows twice per phase — fine to
+      // 49.6 M state rows (sf10), but at sf100 (496 M) that sort spill
+      // exceeds this box, the same wall RestartProbe hit (its
+      // --verify=hash precedent). Here each side is projected to
+      // (user_id, w_start, xxhash64(every data column)) and the phases
+      // join on the key — still PER-KEY exact (a mismatch pinpoints a
+      // wrong row, a missing key counts as a mismatch), not a set-level
+      // checksum, at ~1/20 the shuffle bytes. Co-validated against the
+      // exceptAll twin at sf1/sf10 (identical phase counts + zero
+      // mismatches both ways — SCALE.md r17).
+      val hashVerify = args.contains("--hash-verify")
       val reg = new graft.ml.Registry(
         java.nio.file.Files.createTempDirectory("ss_reg").toString)
       graft.ml.Trainer.trainAndRegister(
@@ -387,33 +400,95 @@ object StreamScale {
         }
         val secs = (System.nanoTime() - t0) / 1e9
         val log = spark.read.parquet(out)
-        val state = graft.operators.Relational.latestByKey(
-          log, Seq("user_id", "w_start"), Seq("batch_id")).localCheckpoint()
-        val batchPivot = WindowOps.hoppingPivot(
-          Tables.events(spark, dir), eventTypes = Tables.EventTypes)
-          .localCheckpoint()
-        // the two-sided twin checks sort ~50 M wide scored rows at sf10
-        // — size the verification shuffle to the state volume (the
-        // stream itself ran at 32; UNABLE_TO_ACQUIRE_MEMORY otherwise)
-        val checkWidth = math.min(2048L,
-          math.max(32L, state.count() / 200000L)).toInt
-        spark.conf.set("spark.sql.shuffle.partitions", checkWidth.toString)
-        def twin(p: String) = graft.SparkEntry.scoredFlagshipWith(
-          batchPivot, spark.read.parquet(p), orders)
-        val pre = state.filter(col("batch_id") < flipAt).drop("batch_id")
-        val post = state.filter(col("batch_id") >= flipAt).drop("batch_id")
-        val mismOld = pre.exceptAll(twin(s"$mat/dims_v1")).count()
-        val mismNew = post.exceptAll(twin(s"$mat/dims_v2")).count()
-        val nState = state.count()
-        val nBatch = batchPivot.count()
-        val nFlipped = post.filter(col("country") === "UPDATED").count()
-        println(f"[dim-update] $dir: ${secs}%.1f s, ${flipAt} flip batch of " +
-          f"${nFiles / maxFiles.get} — state=$nState batch=$nBatch " +
-          s"pre-flip rows=${nState - post.count()} post-flip rows=${post.count()} " +
-          s"(UPDATED visible in $nFlipped) " +
-          s"mismatch(old-dims)=$mismOld mismatch(new-dims)=$mismNew " +
-          (if (nState == nBatch && mismOld == 0 && mismNew == 0) "EQUAL"
-          else "MISMATCH"))
+        if (!hashVerify) {
+          val state = graft.operators.Relational.latestByKey(
+            log, Seq("user_id", "w_start"), Seq("batch_id")).localCheckpoint()
+          val batchPivot = WindowOps.hoppingPivot(
+            Tables.events(spark, dir), eventTypes = Tables.EventTypes)
+            .localCheckpoint()
+          // the two-sided twin checks sort ~50 M wide scored rows at sf10
+          // — size the verification shuffle to the state volume (the
+          // stream itself ran at 32; UNABLE_TO_ACQUIRE_MEMORY otherwise)
+          val checkWidth = math.min(2048L,
+            math.max(32L, state.count() / 200000L)).toInt
+          spark.conf.set("spark.sql.shuffle.partitions", checkWidth.toString)
+          def twin(p: String) = graft.SparkEntry.scoredFlagshipWith(
+            batchPivot, spark.read.parquet(p), orders)
+          val pre = state.filter(col("batch_id") < flipAt).drop("batch_id")
+          val post = state.filter(col("batch_id") >= flipAt).drop("batch_id")
+          val mismOld = pre.exceptAll(twin(s"$mat/dims_v1")).count()
+          val mismNew = post.exceptAll(twin(s"$mat/dims_v2")).count()
+          val nState = state.count()
+          val nBatch = batchPivot.count()
+          val nFlipped = post.filter(col("country") === "UPDATED").count()
+          println(f"[dim-update] $dir: ${secs}%.1f s, ${flipAt} flip batch of " +
+            f"${nFiles / maxFiles.get} — state=$nState batch=$nBatch " +
+            s"pre-flip rows=${nState - post.count()} post-flip rows=${post.count()} " +
+            s"(UPDATED visible in $nFlipped) " +
+            s"mismatch(old-dims)=$mismOld mismatch(new-dims)=$mismNew " +
+            (if (nState == nBatch && mismOld == 0 && mismNew == 0) "EQUAL"
+            else "MISMATCH"))
+        } else {
+          import org.apache.spark.sql.functions.{xxhash64, count => scount, sum => ssum}
+          val batchPivot = WindowOps.hoppingPivot(
+            Tables.events(spark, dir), eventTypes = Tables.EventTypes)
+          def twin(p: String) = graft.SparkEntry.scoredFlagshipWith(
+            batchPivot, spark.read.parquet(p), orders)
+          // canonical data-column order = the twin's schema; the hash
+          // covers EVERY scored column, so per-key hash equality is row
+          // equality (bit-exact — the sf1/sf10 exceptAll legs proved
+          // the pipeline deterministic to the bit)
+          val dataCols = twin(s"$mat/dims_v1").columns
+          require(log.columns.toSet -- Seq("batch_id") == dataCols.toSet,
+            s"changelog/twin schema drift: ${log.columns.mkString(",")}")
+          def hashed(df: org.apache.spark.sql.DataFrame) =
+            df.select(col("user_id"), col("w_start"),
+              xxhash64(dataCols.map(col): _*).as("th"))
+          // size the verification shuffle from the CHANGELOG's bytes
+          // (state count is unknown until after the compaction runs)
+          val checkWidth = math.min(2048L, math.max(32L,
+            graft.Sessions.statsBytes(log) / (64L << 20))).toInt
+          spark.conf.set("spark.sql.shuffle.partitions", checkWidth.toString)
+          // the ONLY materialized verification artifact: one narrow row
+          // per state key — (key, phase, UPDATED flag, row hash)
+          val stateH = graft.operators.Relational.latestByKey(
+            log, Seq("user_id", "w_start"), Seq("batch_id"))
+            .select(col("user_id"), col("w_start"), col("batch_id"),
+              (col("country") === "UPDATED").cast("long").as("upd"),
+              xxhash64(dataCols.map(col): _*).as("h"))
+            .localCheckpoint()
+          val pre = stateH.filter(col("batch_id") < flipAt)
+          val post = stateH.filter(col("batch_id") >= flipAt)
+          // inner-join each phase to its twin's hashes: a wrong row is
+          // a hash mismatch, a key the twin lacks shrinks the matched
+          // count — both land in the phase's mismatch total
+          def phase(side: org.apache.spark.sql.DataFrame, twinH: org.apache.spark.sql.DataFrame): (Long, Long) = {
+            val r = side.join(twinH, Seq("user_id", "w_start"))
+              .agg(scount(lit(1)),
+                ssum(when(col("h") =!= col("th"), 1L).otherwise(0L))).head()
+            (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+          }
+          val nPre = pre.count()
+          val nPost = post.count()
+          val (mt1, mh1) = phase(pre, hashed(twin(s"$mat/dims_v1")))
+          val (mt2, mh2) = phase(post, hashed(twin(s"$mat/dims_v2")))
+          val mismOld = mh1 + (nPre - mt1)
+          val mismNew = mh2 + (nPost - mt2)
+          val nState = nPre + nPost
+          val nBatch = batchPivot.count()
+          val nFlipped = post.agg(ssum(col("upd"))).head() match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
+          println(f"[dim-update] $dir: ${secs}%.1f s, ${flipAt} flip batch of " +
+            f"${nFiles / maxFiles.get} — state=$nState batch=$nBatch " +
+            s"pre-flip rows=$nPre post-flip rows=$nPost " +
+            s"(UPDATED visible in $nFlipped) " +
+            s"hash-mismatch(old-dims)=$mismOld hash-mismatch(new-dims)=$mismNew " +
+            s"[hash-verify width=$checkWidth] " +
+            (if (nState == nBatch && mismOld == 0 && mismNew == 0) "EQUAL"
+            else "MISMATCH"))
+        }
         spark.conf.set("spark.sql.shuffle.partitions", "32") // stream width
       }
       runRefresh("/root/testdata/sf0.001") // warmup

@@ -54,6 +54,57 @@ object ZOrderDriftProbe {
       100.0 * scanned / spark.read.parquet(path).count()
     }
 
+    if (args.contains("--sweep")) {
+      // ——— maxAppendFiles crossover sweep (r16 VERDICT #5): every other
+      // adaptive threshold in the repo is probe-derived; 16 was
+      // calibrated by eye from the drip decay table. The trade priced
+      // here: a LOWER threshold rebuilds more often (compaction cost =
+      // re-clustering the whole table, growing with every slice) but
+      // holds the box-query scan share near the rebuilt baseline; a
+      // HIGHER one amortizes rebuilds but lets a drip of one-file
+      // batches (each spanning the FULL z range) pile unprunable file
+      // candidates onto every point query. 32 one-file drip slices per
+      // threshold, the auto making its own decisions; per slice the
+      // probe records the box-scan share, per rebuild its wall cost.
+      val sliceRows = 50000L
+      println(f"${"maxFiles"}%8s ${"rebuilds"}%9s ${"rebuild_s"}%10s " +
+        f"${"append_s"}%9s ${"mean_scan%"}%11s ${"p95_scan%"}%10s ${"end_scan%"}%10s")
+      for (t <- Seq(4L, 8L, 16L, 32L)) {
+        val dir = s"/tmp/zdrift_sweep_$t/t"
+        val root = new java.io.File(s"/tmp/zdrift_sweep_$t")
+        if (root.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(root)
+        }
+        ZOrder.zorderWriteRanked(gen(baseN, 0, 0), "x", "y", dir,
+          bits = 16, numFiles = 32)
+        val (sq0, sq1) = ((W * 40) / 100, (W * 45) / 100)
+        var rebuilds = 0
+        var rebuildSecs = 0.0
+        var appendSecs = 0.0
+        val scans = Array.newBuilder[Double]
+        for (slice <- 1 to 32) {
+          val t0 = System.nanoTime()
+          val pick = ZOrder.zorderAppendAuto(
+            gen(sliceRows, baseN + slice * 100000000L, 0), dir,
+            maxAppendFiles = t)
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (pick.startsWith("rebuild")) { rebuilds += 1; rebuildSecs += secs }
+          else appendSecs += secs
+          scans += scanPct(dir, sq0, sq1)
+        }
+        val raw = scans.result()
+        val s = raw.sorted
+        println(f"$t%8d $rebuilds%9d $rebuildSecs%10.1f $appendSecs%9.1f " +
+          f"${s.sum / s.length}%10.2f%% ${s((s.length * 95) / 100 - 1)}%9.2f%% " +
+          f"${raw.last}%9.2f%%")
+      }
+      spark.stop(); return
+    }
+
     println(f"${"mode"}%-6s ${"share"}%6s ${"skew"}%7s ${"signal"}%7s " +
       f"${"fires"}%6s ${"stale%"}%8s ${"rebuilt%"}%9s ${"gap"}%6s")
     for (mode <- Seq("same", "shift")) {

@@ -18,11 +18,22 @@ file with a per-query contention-vs-regression verdict: fresh-JVM best
 <= old driver seconds x threshold => "contention" (the box, not the
 code), else "regression" (real - go profile it).
 
+`--ledger` (r16 VERDICT #2 — automatic contention triage) compares ONE
+bench file against the per-query MEDIAN of every matching-sf row in
+BENCH_HISTORY.jsonl instead of a single prior round: the ledger median
+is epoch-stable (builder fresh-JVM pairs + the judge's idle-box rerun
+live there), so a contended driver row can't hide behind an equally
+contended predecessor, and a RAW ratio >= threshold triggers the
+fresh-JVM rerun — exactly the adjudication the r16 judge ran by hand
+when the driver's 237 s row (real: 128 s idle) read as a 2.4x breach.
+
 Usage:
   python3 tools/bench_diff.py BENCH_r07.json BENCH_r08.json [--threshold 1.5]
   python3 tools/bench_diff.py            # newest two BENCH_r*.json in repo root
   python3 tools/bench_diff.py --remeasure   # also print the re-run command
   python3 tools/bench_diff.py --run         # re-run + write TRIAGE_r{N}.json
+  python3 tools/bench_diff.py BENCH_r16.json --ledger [--run]
+                                         # vs BENCH_HISTORY per-query medians
 """
 import glob
 import json
@@ -114,12 +125,132 @@ def load_queries(path):
     raise SystemExit(f"{path}: no queries dict found")
 
 
+def _ledger_medians(path, sf=None):
+    """Per-query median seconds over every BENCH_HISTORY.jsonl row whose
+    sf matches (rows without an sf are skipped when sf is known). The
+    history is append-only across builder, driver and judge runs, so the
+    median spans measurement epochs — one loaded epoch can't move it."""
+    hist = os.path.join(os.path.dirname(os.path.abspath(path)),
+                        "BENCH_HISTORY.jsonl")
+    if not os.path.exists(hist):
+        raise SystemExit(f"--ledger needs {hist}")
+    samples = {}
+    nrows = 0
+    with open(hist) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln:
+                continue
+            try:
+                row = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if sf is not None and row.get("sf") != sf:
+                continue
+            q = row.get("queries")
+            if not isinstance(q, dict):
+                continue
+            nrows += 1
+            for name, sec in q.items():
+                samples.setdefault(name, []).append(float(sec))
+    return {q: statistics.median(v) for q, v in samples.items()}, nrows
+
+
+def _write_triage(new_path, payload):
+    rnum = re.search(r"r(\d+)", os.path.basename(new_path))
+    out = os.path.join(os.path.dirname(os.path.abspath(new_path)),
+                       f"TRIAGE_{'r' + rnum.group(1) if rnum else 'local'}.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"# wrote {out}")
+    return out
+
+
+def _rerun_and_verdict(names, baseline, new, threshold, reps=3):
+    """Fresh-JVM best-of-N per flagged query via ProfileQuery; verdict
+    per query: fresh <= baseline x threshold => the driver row was the
+    BOX (contention), else the CODE (regression — go profile it)."""
+    cmd = ["sbt", "-batch",
+           "Test/runMain graft.tools.ProfileQuery " + " ".join(names + [str(reps)])]
+    print("# fresh-JVM re-measure command:")
+    print("  " + " ".join(f"'{c}'" if " " in c else c for c in cmd))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(cmd, cwd=root, capture_output=True, text=True)
+    sys.stdout.write(proc.stdout[-2000:])
+    best = {m.group(1): float(m.group(2)) for m in re.finditer(
+        r"\[prof\] (\S+)\s+best\s+([0-9.]+) s", proc.stdout)}
+    triage = {}
+    for q in names:
+        fresh = best.get(q)
+        verdict = ("no-fresh-jvm-number" if fresh is None else
+                   "contention" if fresh <= baseline[q] * threshold else
+                   "regression")
+        triage[q] = {"baseline_sec": baseline[q],
+                     "driver_sec": new[q],
+                     "fresh_jvm_best_sec": fresh,
+                     "verdict": verdict}
+    if proc.returncode != 0:
+        print(f"# WARNING: sbt exited {proc.returncode}", file=sys.stderr)
+    return triage
+
+
+def main_ledger(new_path, threshold, argv):
+    new = load_queries(new_path)
+    with open(new_path) as f:
+        d = json.load(f)
+        if isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+    med, nrows = _ledger_medians(new_path, sf=d.get("sf"))
+    common = sorted(set(new) & set(med))
+    if not common:
+        raise SystemExit("no queries shared with the history ledger")
+    ratios = {q: new[q] / med[q] for q in common if med[q] > 0}
+    uniform = statistics.median(ratios.values())
+    flagged = {q: r for q, r in ratios.items() if r >= threshold}
+    print(f"# {os.path.basename(new_path)} vs BENCH_HISTORY.jsonl medians "
+          f"({nrows} rows, {len(common)} common queries): uniform factor "
+          f"{uniform:.2f}x, raw-ratio threshold {threshold}x")
+    print(f"# total: ledger-median {sum(med[q] for q in common):.1f}s -> "
+          f"driver {sum(new[q] for q in common):.1f}s on the common set")
+    payload = {"mode": "ledger", "new": os.path.basename(new_path),
+               "history_rows": nrows, "threshold": threshold,
+               "uniform_factor": round(uniform, 3), "queries": {}}
+    if not flagged:
+        print("OK: no row exceeds the ledger median by the threshold")
+        if "--run" in argv:
+            _write_triage(new_path, payload)
+        return 0
+    print(f"ROWS OVER LEDGER MEDIAN ({len(flagged)}):")
+    for q, r in sorted(flagged.items(), key=lambda kv: -kv[1]):
+        print(f"  {q}: ledger median {med[q]:.2f}s -> driver {new[q]:.2f}s "
+              f"({r:.2f}x)")
+    if "--run" in argv:
+        names = sorted(flagged, key=lambda q: -flagged[q])
+        payload["queries"] = _rerun_and_verdict(names, med, new, threshold)
+        _write_triage(new_path, payload)
+        for q, t in payload["queries"].items():
+            fj = t["fresh_jvm_best_sec"]
+            print(f"  {q}: driver {t['driver_sec']:.2f}s, ledger "
+                  f"{t['baseline_sec']:.2f}s, fresh-JVM "
+                  f"{fj if fj is None else format(fj, '.2f')}s -> {t['verdict']}")
+    return 1
+
+
 def main(argv):
     args = [a for a in argv if not a.startswith("--")]
     threshold = 1.5
     for a in argv:
         if a.startswith("--threshold"):
             threshold = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+    if "--ledger" in argv:
+        if not args:
+            root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            bench = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
+                           key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+            if not bench:
+                raise SystemExit("need a BENCH_r*.json file")
+            args = [bench[-1]]
+        return main_ledger(args[0], threshold, argv)
     if len(args) >= 2:
         old_path, new_path = args[0], args[1]
     else:
