@@ -323,6 +323,34 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(dir2).filter(col("x") === 9).count() == 50)
   }
 
+  test("append sizing: an RDD-backed batch with NO leaf stats writes " +
+    "micro-batch-sized files, not the 65536-file ceiling (r16 ADVICE)") {
+    // a foreachBatch micro-batch arrives as a LogicalRDD with no
+    // Catalyst stats; pre-fix the unknown sentinel mapped to 65536
+    // requested files AND poisoned the appendlog so the very next
+    // zorderAppendAuto fired a full rebuild on every batch
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def rows(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zrdd").toString + "/t"
+    ZOrder.zorderWriteRanked(rows(2000), "x", "y", dir, bits = 16, numFiles = 4)
+    val base = rows(300)
+    val rddBacked = spark.createDataFrame(base.rdd, base.schema) // stats-less leaf
+    assert(rddBacked.queryExecution.optimizedPlan.collectLeaves()
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+    ZOrder.zorderAppendRanked(rddBacked, dir)
+    val logged = spark.read.parquet(s"$dir/_zmeta/appendlog")
+      .agg(max(col("files"))).head().getLong(0)
+    assert(logged <= 4,
+      s"stats-less batch logged $logged files — sentinel leaked into sizing")
+    assert(spark.read.parquet(dir).count() == 2300)
+    // and the compaction trigger is NOT poisoned: the next auto appends
+    val more = rows(200)
+    assert(ZOrder.zorderAppendAuto(
+      spark.createDataFrame(more.rdd, more.schema), dir) == "append")
+  }
+
   test("zorderRecover: a swap interrupted at any crash point yields a " +
     "consistent table (forward past _COMMIT, back before it)") {
     val rnd = new scala.util.Random(31)
