@@ -391,12 +391,26 @@ object StreamScale {
             Streaming.eventsStream(spark, dir, maxFiles), effLateness),
           eventTypes = Tables.EventTypes)
         val orders = spark.read.parquet(s"$mat/orders")
+        // hash-verify posture: the sink projects each emission to
+        // (key, UPDATED flag, xxhash64 over EVERY scored column) —
+        // the stream itself (pivot, state, per-batch dim re-read,
+        // enrichment joins, scoring) is untouched; only the changelog
+        // row narrows from ~70 B to ~25 B. At sf100 the full-width
+        // changelog (~35 GB) plus the live RocksDB checkpoint plus
+        // sort spill exceeds this box (first attempt died ENOSPC
+        // mid-replay); the r15 decade already measured the full-width
+        // changelog wall time at sf100, so this leg's claim — phase
+        // fidelity under a mid-stream dim flip — loses nothing.
+        import org.apache.spark.sql.functions.xxhash64
         val t0 = System.nanoTime()
         Streaming.sinkChangelogWith(pivot, out) { (b, id) =>
           val scored = graft.SparkEntry.scoredFlagshipWith(
             b.toDF(), spark.read.parquet(dimPath), orders)
           if (id == flipAt - 1) dimPath = s"$mat/dims_v2" // update lands
-          scored
+          if (!hashVerify) scored
+          else scored.select(col("user_id"), col("w_start"),
+            (col("country") === lit("UPDATED")).as("upd"),
+            xxhash64(scored.columns.map(col): _*).as("h"))
         }
         val secs = (System.nanoTime() - t0) / 1e9
         val log = spark.read.parquet(out)
@@ -429,34 +443,38 @@ object StreamScale {
             (if (nState == nBatch && mismOld == 0 && mismNew == 0) "EQUAL"
             else "MISMATCH"))
         } else {
-          import org.apache.spark.sql.functions.{xxhash64, count => scount, sum => ssum}
+          import org.apache.spark.sql.functions.{count => scount, sum => ssum}
+          require(log.columns.sorted.sameElements(
+            Array("batch_id", "h", "upd", "user_id", "w_start")),
+            s"hash changelog schema drift: ${log.columns.mkString(",")}")
           val batchPivot = WindowOps.hoppingPivot(
             Tables.events(spark, dir), eventTypes = Tables.EventTypes)
           def twin(p: String) = graft.SparkEntry.scoredFlagshipWith(
             batchPivot, spark.read.parquet(p), orders)
-          // canonical data-column order = the twin's schema; the hash
-          // covers EVERY scored column, so per-key hash equality is row
-          // equality (bit-exact — the sf1/sf10 exceptAll legs proved
-          // the pipeline deterministic to the bit)
-          val dataCols = twin(s"$mat/dims_v1").columns
-          require(log.columns.toSet -- Seq("batch_id") == dataCols.toSet,
-            s"changelog/twin schema drift: ${log.columns.mkString(",")}")
+          // the twin hashes EVERY scored column in the SAME order the
+          // sink did (both DataFrames come from scoredFlagshipWith),
+          // so per-key hash equality is row equality — bit-exact: the
+          // sf1/sf10 exceptAll legs proved the pipeline deterministic
+          // to the bit, and this mode reproduces their exact phase
+          // counts at both SFs (SCALE.md r17)
           def hashed(df: org.apache.spark.sql.DataFrame) =
             df.select(col("user_id"), col("w_start"),
-              xxhash64(dataCols.map(col): _*).as("th"))
-          // size the verification shuffle from the CHANGELOG's bytes
-          // (state count is unknown until after the compaction runs)
+              org.apache.spark.sql.functions
+                .xxhash64(df.columns.map(col): _*).as("th"))
+          // size the verification shuffle from the corpus bytes — the
+          // twin pipeline (1 B-event pivot at sf100) dominates, not
+          // the narrow changelog
           val checkWidth = math.min(2048L, math.max(32L,
-            graft.Sessions.statsBytes(log) / (64L << 20))).toInt
+            graft.Sessions.statsBytes(Tables.events(spark, dir)) / (64L << 20))).toInt
           spark.conf.set("spark.sql.shuffle.partitions", checkWidth.toString)
           // the ONLY materialized verification artifact: one narrow row
-          // per state key — (key, phase, UPDATED flag, row hash)
+          // per state key — columnar-cached (compressed; unpersisted
+          // below), NOT localCheckpointed: a 496 M-row block copy on
+          // top of the resident changelog re-creates the disk pressure
+          // this mode exists to avoid
           val stateH = graft.operators.Relational.latestByKey(
             log, Seq("user_id", "w_start"), Seq("batch_id"))
-            .select(col("user_id"), col("w_start"), col("batch_id"),
-              (col("country") === "UPDATED").cast("long").as("upd"),
-              xxhash64(dataCols.map(col): _*).as("h"))
-            .localCheckpoint()
+            .persist()
           val pre = stateH.filter(col("batch_id") < flipAt)
           val post = stateH.filter(col("batch_id") >= flipAt)
           // inner-join each phase to its twin's hashes: a wrong row is
@@ -476,10 +494,11 @@ object StreamScale {
           val mismNew = mh2 + (nPost - mt2)
           val nState = nPre + nPost
           val nBatch = batchPivot.count()
-          val nFlipped = post.agg(ssum(col("upd"))).head() match {
+          val nFlipped = post.agg(ssum(col("upd").cast("long"))).head() match {
             case r if r.isNullAt(0) => 0L
             case r => r.getLong(0)
           }
+          stateH.unpersist()
           println(f"[dim-update] $dir: ${secs}%.1f s, ${flipAt} flip batch of " +
             f"${nFiles / maxFiles.get} — state=$nState batch=$nBatch " +
             s"pre-flip rows=$nPre post-flip rows=$nPost " +
@@ -490,6 +509,16 @@ object StreamScale {
             else "MISMATCH"))
         }
         spark.conf.set("spark.sql.shuffle.partitions", "32") // stream width
+        // free this leg's on-disk artifacts before the next (decade)
+        // leg starts: the sf10 changelog idling beside the sf100 run
+        // was part of the first attempt's ENOSPC
+        for (d <- Seq(mat, new java.io.File(out).getParent)) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(d))
+        }
       }
       runRefresh("/root/testdata/sf0.001") // warmup
       runRefresh(small)
