@@ -467,7 +467,13 @@ object ZOrder {
     * SCALE.md r16). The `_zmeta/appendlog` ledger counts files per
     * append; total appended files ≥ `maxAppendFiles` fires a rebuild —
     * the OPTIMIZE cadence every production table format schedules.
-    * Returns "append" | "rebuild".
+    * `maxAppendFiles = 16` is probe-swept (r17, `ZOrderDriftProbe
+    * --sweep` 4/8/16/32): each halving doubles rebuild spend and
+    * halves mean scan amplification; 16 bounds a point query's extra
+    * file opens at ~16 — a table-size-independent latency bound —
+    * while rebuild cost grows WITH table size, which at 100 TB pushes
+    * the crossover toward higher thresholds (read-heavy medium tables:
+    * pass 8). Returns "append" | "rebuild".
     */
   def zorderAppendAuto(
       batch: DataFrame,

@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   */
 object ZOrderDriftProbe {
   def main(args: Array[String]): Unit = {
-    val baseN = args.headOption.map(_.toLong).getOrElse(2000000L)
-    val sliceN = args.lift(1).map(_.toLong).getOrElse(250000L)
+    val nums = args.filterNot(_.startsWith("--"))
+    val baseN = nums.headOption.map(_.toLong).getOrElse(2000000L)
+    val sliceN = nums.lift(1).map(_.toLong).getOrElse(250000L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
