@@ -355,6 +355,22 @@ object Dedup {
       case _ => ()
     }
 
+  /** Cheap edge-set fingerprint: (|E|, XOR of xxhash64(u, v)) — a
+    * map-side partial aggregate over a checkpointed frame's blocks, no
+    * edge shuffle (XOR, not SUM: ANSI mode makes a Long sum of 2^63-
+    * scale hashes throw on overflow; XOR is order-independent and
+    * total). Every frame it sees is a DISTINCT edge set, so equal sets
+    * always fingerprint equal; the converse is only probabilistic,
+    * which is why [[resolveClusters]] confirms a fingerprint match with
+    * the exact symmetric-difference before declaring convergence — a
+    * collision can cost one early exact check, never a wrong answer.
+    */
+  private def edgeFingerprint(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   def resolveClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val allNodes = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id")))
@@ -369,6 +385,7 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
+    var fpEdges = edgeFingerprint(edges)
     while (!converged && iter < maxIter) {
       // LARGE-STAR: per node u, attach every strictly-larger neighbor to
       // m = min(Γ(u) ∪ {u}); emitted (v, m) has v > u ≥ m — canonical
@@ -393,18 +410,27 @@ object Dedup {
         .localCheckpoint()
       // fixed point requires BOTH operations to be identity — comparing
       // only round-start vs round-end could miss a (pathological)
-      // large∘small round-trip that is not yet a star forest. Both
-      // set-equality checks fold into ONE job (r16 ADVICE — was four
-      // anti-join counts per round): each comparison's two sides are
-      // tagged ±1 into a shared (cmp, u, v) space — every frame is a
-      // DISTINCT edge set, so a group sums to 0 iff the edge is on both
-      // sides, and any non-zero group is a difference.
-      val sided = ls.select(lit(1).as("cmp"), col("u"), col("v"), lit(1L).as("s"))
-        .union(ss.select(lit(2).as("cmp"), col("u"), col("v"), lit(1L).as("s")))
-        .union(edges.select(lit(1).as("cmp"), col("u"), col("v"), lit(-1L).as("s")))
-        .union(ls.select(lit(2).as("cmp"), col("u"), col("v"), lit(-1L).as("s")))
-      converged = sided.groupBy("cmp", "u", "v").agg(sum(col("s")).as("d"))
-        .filter(col("d") =!= 0L).limit(1).count() == 0
+      // large∘small round-trip that is not yet a star forest. Two-tier
+      // check: per round, [[edgeFingerprint]]s (map-side partials, no
+      // edge shuffle — fpEdges is carried from the previous round's ss)
+      // prove non-convergence cheaply; only a full fingerprint match
+      // runs the EXACT symmetric-difference — both set-equality checks
+      // folded into one tagged ±1 job (r16 ADVICE: was four anti-join
+      // counts per round; every frame is a DISTINCT edge set, so a
+      // (cmp, u, v) group sums to 0 iff the edge is on both sides).
+      // Convergence is thus declared only by the exact check, which in
+      // a normal run executes exactly once, at the true fixed point.
+      val fpLs = edgeFingerprint(ls)
+      val fpSs = edgeFingerprint(ss)
+      converged = fpLs == fpEdges && fpSs == fpLs && {
+        val sided = ls.select(lit(1).as("cmp"), col("u"), col("v"), lit(1L).as("s"))
+          .union(ss.select(lit(2).as("cmp"), col("u"), col("v"), lit(1L).as("s")))
+          .union(edges.select(lit(1).as("cmp"), col("u"), col("v"), lit(-1L).as("s")))
+          .union(ls.select(lit(2).as("cmp"), col("u"), col("v"), lit(-1L).as("s")))
+        sided.groupBy("cmp", "u", "v").agg(sum(col("s")).as("d"))
+          .filter(col("d") =!= 0L).limit(1).count() == 0
+      }
+      fpEdges = fpSs
       // the previous round's checkpoints are dead once this round's are
       // materialized and compared — unpersist them, or a long
       // resolution pins O(rounds) copies of the pair graph in executor
