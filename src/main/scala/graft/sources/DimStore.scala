@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned dimension store — publish-by-pointer-flip for tables that
+  * are UPDATED while streams join against them (the reference's
+  * CDC-maintained `users` TABLE, README.md:29,56-58).
+  *
+  * The in-place build-beside swap ([[graft.Swap]]) is crash-safe but
+  * not reader-ATOMIC: during its displace/move-in window a concurrent
+  * scan can see a partial — even momentarily empty — file set, so
+  * swapped layouts require quiesced readers (DEPLOY.md). A
+  * continuously-enriching stream (`Streaming.sinkChangelogWith`
+  * re-reading its dims every micro-batch — the live-TABLE posture the
+  * r16/r17 dim-update legs measured to sf100) cannot quiesce. This
+  * store removes the window structurally instead of contractually:
+  *
+  * {{{
+  *   $root/v00001/…parquet + _SUCCESS   immutable once complete
+  *   $root/v00002/…
+  *   $root/_CURRENT                     tiny marker naming the live one
+  * }}}
+  *
+  * [[publish]] writes the new version COMPLETELY beside the old ones,
+  * then flips `_CURRENT` (checked rename of a freshly-written marker —
+  * object-store rename can return false without throwing, the r16
+  * data-loss lesson). [[read]] resolves the marker at PLAN time: each
+  * micro-batch's enrichment join scans one immutable directory end to
+  * end, so a flip landing mid-batch changes the NEXT batch and never
+  * the files under a running scan. Readers need no coordination at any
+  * scale; at 100 TB the flip is one small-file rename regardless of
+  * table size, and version dirs are exactly the "write v2 beside v1,
+  * flip a pointer" discipline DEPLOY.md prescribes — now a primitive
+  * instead of a convention.
+  *
+  * Crash matrix (single WRITER — same contract as [[graft.Swap]];
+  * readers are always safe):
+  *  - died mid-data-write → highest version lacks `_SUCCESS`; the
+  *    marker still names the old version, which is served unchanged;
+  *    the torso is overwritten by the next publish of that number.
+  *  - died after data, before flip → a complete orphan version; the
+  *    marker wins (publish is at-least-once — re-publish flips to a
+  *    fresh number; [[prune]] retires the orphan).
+  *  - died mid-flip (old marker deleted, rename lost) → deterministic
+  *    fallback: the HIGHEST complete version, which is exactly the one
+  *    the lost flip was publishing.
+  */
+object DimStore {
+  val Marker = "_CURRENT"
+  private val VersionRe = "^v(\\d{5})$".r
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (number, path) for every version directory, ascending. */
+  private def versions(fs: FileSystem, root: String): Seq[(Int, Path)] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case VersionRe(n) => Some((n.toInt, st.getPath))
+          case _ => None
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  private def isComplete(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, "_SUCCESS"))
+
+  /** Write `df` as the next version and flip the marker to it. Returns
+    * the published version's path — stable and immutable, so callers
+    * that need a REPRODUCIBLE view (a verification twin, a backfill)
+    * pin the returned path instead of re-resolving the root.
+    * `numFiles` > 0 sizes the layout (a broadcast-sized dim wants few
+    * files; default leaves the input partitioning).
+    */
+  def publish(df: DataFrame, root: String, numFiles: Int = 0): String = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    val next = versions(fs, root).lastOption.map(_._1 + 1).getOrElse(1)
+    val name = f"v$next%05d"
+    val dir = s"$root/$name"
+    val sized = if (numFiles > 0) df.repartition(numFiles) else df
+    sized.write.mode("overwrite").parquet(dir) // _SUCCESS = completeness
+    val tmp = new Path(root, s"$Marker.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(root, Marker)
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"DimStore.publish: marker rename $tmp -> $dst FAILED (filesystem " +
+        "returned false) — data is intact, readers fall back to the " +
+        "highest complete version; re-run publish")
+    dir
+  }
+
+  /** The live version's path: the marker's target when it names a
+    * complete version, else the highest complete version (the mid-flip
+    * crash state). Throws when no complete version exists.
+    */
+  def currentPath(spark: SparkSession, root: String): String = {
+    val fs = fsOf(spark, root)
+    val m = new Path(root, Marker)
+    val marked =
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        val name =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val dir = new Path(root, name)
+        if (VersionRe.findFirstIn(name).isDefined && fs.exists(dir) &&
+          isComplete(fs, dir)) Some(dir)
+        else None
+      }
+    val resolved = marked.orElse(
+      versions(fs, root).reverse.find(v => isComplete(fs, v._2)).map(_._2))
+    require(resolved.isDefined, s"DimStore: no complete version under $root")
+    // rebuild from the caller's root so the returned string keeps the
+    // caller's scheme form (listStatus qualifies paths — `file:/tmp/…`
+    // for a bare `/tmp/…` root — and publish/pinning compare strings)
+    s"$root/${resolved.get.getName}"
+  }
+
+  /** Plan-time resolution — call PER USE (e.g. inside a foreachBatch
+    * transform, the `sinkChangelogWith` posture) so every micro-batch
+    * joins the version current at that moment: live-TABLE semantics
+    * with per-scan immutability.
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(currentPath(spark, root))
+
+  /** Retire old versions: keep the newest `keep` COMPLETE versions
+    * (and always the current one); everything older — including
+    * crashed torsos — is deleted. Single-writer contract means no
+    * publish is in flight while prune runs; size `keep` to outlive the
+    * longest reader still scanning a pinned path (retention, not
+    * coordination). Returns the number of directories removed.
+    */
+  def prune(spark: SparkSession, root: String, keep: Int = 2): Int = {
+    require(keep >= 1, s"prune keeps at least one version, got $keep")
+    val fs = fsOf(spark, root)
+    val cur = new Path(currentPath(spark, root)).getName
+    val all = versions(fs, root)
+    val keepSet = all.filter(v => isComplete(fs, v._2)).takeRight(keep)
+      .map(_._2.getName).toSet + cur
+    var removed = 0
+    for ((_, p) <- all if !keepSet.contains(p.getName))
+      if (fs.delete(p, true)) removed += 1
+    removed
+  }
+}

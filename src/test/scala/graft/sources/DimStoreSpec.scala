@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[DimStore]] — versioned publish-by-pointer-flip for continuously-
+  * updated dimension tables. Covers the crash matrix in the scaladoc
+  * (marker wins; mid-flip falls back to highest complete; torsos never
+  * served), retention, and the live-TABLE integration: a stream whose
+  * per-batch transform resolves `DimStore.read` sees a mid-run publish
+  * flip the enrichment of every later batch with no reader quiesce.
+  */
+class DimStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fs: FileSystem =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"dimstore_$tag").toString + "/dims"
+
+  private def dim(rows: (Long, String)*) =
+    rows.toSeq.toDF("k", "country")
+
+  test("publish/read roundtrip; republish flips current; pinned old " +
+    "version stays readable (immutability)") {
+    val root = tmpRoot("flip")
+    val p1 = DimStore.publish(dim(1L -> "PL", 2L -> "DE"), root)
+    assert(p1.endsWith("/v00001"))
+    assert(DimStore.currentPath(spark, root) == p1)
+    assert(DimStore.read(spark, root).count() == 2)
+
+    val p2 = DimStore.publish(dim(1L -> "UPDATED", 2L -> "DE"), root)
+    assert(p2.endsWith("/v00002"))
+    assert(DimStore.currentPath(spark, root) == p2)
+    assert(DimStore.read(spark, root)
+      .filter(col("country") === "UPDATED").count() == 1)
+    // the superseded version is immutable and still byte-readable by
+    // its pinned path — the reproducible-twin contract
+    assert(spark.read.parquet(p1)
+      .filter(col("country") === "UPDATED").count() == 0)
+  }
+
+  test("crash after data, before flip: marker wins — the orphan " +
+    "complete version is not served") {
+    val root = tmpRoot("orphan")
+    val p1 = DimStore.publish(dim(1L -> "PL"), root)
+    // simulate: the next publish died right before the marker flip —
+    // its data dir is complete (_SUCCESS) but _CURRENT still names v1
+    dim(1L -> "UPDATED").write.parquet(s"$root/v00002")
+    assert(fs.exists(new Path(s"$root/v00002/_SUCCESS")))
+    assert(DimStore.currentPath(spark, root) == p1,
+      "an unflipped publish must stay invisible")
+    // re-publish (at-least-once) lands on a FRESH number and flips
+    val p3 = DimStore.publish(dim(1L -> "UPDATED"), root)
+    assert(p3.endsWith("/v00003"))
+    assert(DimStore.currentPath(spark, root) == p3)
+  }
+
+  test("crash mid-flip (marker deleted, rename lost): deterministic " +
+    "fallback to the highest complete version") {
+    val root = tmpRoot("midflip")
+    DimStore.publish(dim(1L -> "PL"), root)
+    val p2 = DimStore.publish(dim(1L -> "UPDATED"), root)
+    fs.delete(new Path(root, DimStore.Marker), false) // the lost rename
+    assert(DimStore.currentPath(spark, root) == p2,
+      "mid-flip crash must resolve to the version the flip was publishing")
+  }
+
+  test("a torso (no _SUCCESS) is never served, even as fallback") {
+    val root = tmpRoot("torso")
+    val p1 = DimStore.publish(dim(1L -> "PL"), root)
+    // simulate a publisher killed mid-data-write: dir exists, marker
+    // untouched, no _SUCCESS
+    dim(1L -> "HALF").write.parquet(s"$root/v00002")
+    fs.delete(new Path(s"$root/v00002/_SUCCESS"), false)
+    assert(DimStore.currentPath(spark, root) == p1)
+    fs.delete(new Path(root, DimStore.Marker), false) // worst case: also mid-flip
+    assert(DimStore.currentPath(spark, root) == p1,
+      "fallback must skip incomplete versions")
+  }
+
+  test("prune keeps the newest `keep` complete versions plus current, " +
+    "removes older ones and torsos") {
+    val root = tmpRoot("prune")
+    DimStore.publish(dim(1L -> "a"), root)
+    DimStore.publish(dim(1L -> "b"), root)
+    dim(1L -> "HALF").write.parquet(s"$root/v00003") // orphan torso
+    fs.delete(new Path(s"$root/v00003/_SUCCESS"), false)
+    val p4 = DimStore.publish(dim(1L -> "c"), root)
+    val removed = DimStore.prune(spark, root, keep = 1)
+    assert(removed == 3, s"expected v1, v2 and the torso gone, removed=$removed")
+    assert(DimStore.currentPath(spark, root) == p4)
+    assert(DimStore.read(spark, root).head().getString(1) == "c")
+  }
+
+  test("live-TABLE integration: a mid-stream publish flips every later " +
+    "micro-batch's enrichment, no reader coordination") {
+    val root = tmpRoot("stream")
+    val stage = java.nio.file.Files.createTempDirectory("dimstore_ev").toString
+    val ev = graft.model.Tables.events(spark, sf0001)
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    DimStore.publish(
+      graft.SparkEntry.flagshipDims(spark, sf0001)
+        .select(col("c_custkey"), col("country")), root)
+    val out = java.nio.file.Files
+      .createTempDirectory("dimstore_out").toString + "/changelog"
+
+    val streamed = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/*.parquet")
+    val pivot = graft.operators.WindowOps.hoppingPivot(
+      streamed, eventTypes = graft.model.Tables.EventTypes)
+    graft.streaming.Streaming.sinkChangelogWith(pivot, out) { (b, id) =>
+      // the whole mechanism: resolve the CURRENT version at batch time
+      val enriched = graft.operators.Joins.leftEnrich(
+        b.toDF(), DimStore.read(spark, root), "user_id", "c_custkey")
+        .withColumn("country", coalesce(col("country"), lit("UNKNOWN")))
+        .drop("c_custkey")
+      if (id == 1) // the CDC update lands between batches 1 and 2
+        DimStore.publish(
+          spark.read.parquet(DimStore.currentPath(spark, root))
+            .withColumn("country", lit("UPDATED")), root)
+      enriched
+    }
+
+    val log = spark.read.parquet(out).localCheckpoint()
+    val maxB = log.agg(max("batch_id")).head().getInt(0)
+    assert(maxB >= 3, s"need >= 4 single-file batches, got ${maxB + 1}")
+    assert(log.filter(col("batch_id") <= 1 && col("country") === "UPDATED")
+      .count() == 0, "the publish leaked backwards")
+    val phase2 = log.filter(col("batch_id") >= 2)
+    assert(phase2.count() > 0, "no emissions after the publish")
+    assert(phase2.filter(col("country") =!= "UPDATED" &&
+      col("country") =!= "UNKNOWN").count() == 0,
+      "a post-publish emission still saw the stale dim version")
+    assert(phase2.filter(col("country") === "UPDATED").count() > 0)
+  }
+}
