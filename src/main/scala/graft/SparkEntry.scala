@@ -1015,6 +1015,26 @@ object SparkEntry {
         orders.schema.fields.map(_.copy(nullable = true))))
   }
 
+  /** Version-diff CDC generation (the write side of S5): two derived
+    * snapshots of the customer dim — v2 drops every 97th key (deletes),
+    * re-adds every 7th (inserts, absent from v1), and flips every 10th
+    * segment (updates) — diffed into the flat changelog a Debezium
+    * source would have emitted for the same transition. One full-outer
+    * key join; the oracle mirrors it with IS DISTINCT FROM.
+    */
+  private def qDimChanges(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+    val before = base.filter(col("c_custkey") % 7 =!= 0)
+    val after = base
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 10 === 0, lit("UPDATED"))
+          .otherwise(col("c_mktsegment")))
+      .filter(col("c_custkey") % 97 =!= 0)
+    Relational.tableDiff(before, after, Seq("c_custkey"))
+  }
+
   private def qJsonProps(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       col("event_id"),
@@ -2708,6 +2728,7 @@ object SparkEntry {
     "q_as_array" -> (qAsArray _),
     "q_cdc_unwrap" -> (qCdcUnwrap _),
     "q_cdc_unwrap_json" -> (qCdcUnwrapJson _),
+    "q_dim_changes" -> (qDimChanges _),
     "q_json_props" -> (qJsonProps _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_hopping_pivot" -> (qHoppingPivot _),
@@ -3882,6 +3903,27 @@ object SparkEntry {
     "q_cdc_unwrap" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+    "q_dim_changes" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal FROM customer),
+        |bef AS (SELECT * FROM base WHERE c_custkey % 7 <> 0),
+        |aft AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
+        |    c_acctbal
+        |  FROM base WHERE c_custkey % 97 <> 0)
+        |SELECT
+        |  CASE WHEN a.c_custkey IS NULL THEN 'd'
+        |       WHEN b.c_custkey IS NULL THEN 'c' ELSE 'u' END AS op,
+        |  COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN a.c_custkey IS NULL THEN b.c_nationkey ELSE a.c_nationkey END AS c_nationkey,
+        |  CASE WHEN a.c_custkey IS NULL THEN b.c_mktsegment ELSE a.c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN a.c_custkey IS NULL THEN b.c_acctbal ELSE a.c_acctbal END AS c_acctbal
+        |FROM bef b FULL JOIN aft a ON b.c_custkey = a.c_custkey
+        |WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+        |   OR a.c_nationkey IS DISTINCT FROM b.c_nationkey
+        |   OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+        |   OR a.c_acctbal IS DISTINCT FROM b.c_acctbal""".stripMargin,
     // both engines serialize the Debezium JSON envelope AND parse it back
     // — the decode path is exercised on each side, not cancelled out
     "q_cdc_unwrap_json" ->

@@ -94,6 +94,52 @@ object Relational {
   def toCdcEnvelope(df: DataFrame, opCol: Column): DataFrame =
     df.select(struct(df.columns.map(col): _*).as("after"), opCol.as("op"))
 
+  /** Version-diff CDC generator — the WRITE side of the CDC surface:
+    * [[cdcUnwrap]] CONSUMES Debezium envelopes; this PRODUCES the
+    * change set between two immutable snapshots of a table (e.g. two
+    * `graft.sources.DimStore` versions) as flat changelog rows, the
+    * batch equivalent of what a Debezium source would have emitted for
+    * the same transition (reference infra/connect/mysql-source.json).
+    *
+    * `op`: `c` = insert (key only in `after`), `u` = update (key in
+    * both, any non-key column differs NULL-SAFELY), `d` = delete (key
+    * only in `before`); unchanged keys emit nothing. Non-key columns
+    * carry the AFTER image for c/u and the BEFORE image for d — the
+    * tombstone's last-known row, what a downstream store retracts by.
+    * Presence is tracked with marker literals, not key nullness, so
+    * nullable key VALUES are still diffed correctly (a null key equals
+    * a null key under `<=>` join semantics only if the caller joins
+    * that way — here missing-side detection never misfires).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key plus a
+    * projection — no window, no driver state, both sides prune to
+    * key + compared columns at the scan. A 100 TB dim diff is exactly
+    * one co-partitioned join; pre-bucketed sides shuffle nothing.
+    */
+  def tableDiff(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "tableDiff: need at least one key column")
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"tableDiff: schemas differ — ${before.columns.mkString(",")} vs " +
+        after.columns.mkString(","))
+    val nonKeys = before.columns.filterNot(keys.contains).toSeq
+    val b = before.withColumn("__b", lit(1)).alias("b")
+    val a = after.withColumn("__a", lit(1)).alias("a")
+    val cond = keys.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _)
+    val changed = nonKeys.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(col("__a").isNull, lit("d"))
+      .when(col("__b").isNull, lit("c"))
+      .otherwise(lit("u"))
+    b.join(a, cond, "full_outer")
+      .filter(col("__a").isNull || col("__b").isNull || changed)
+      .select(op.as("op") +:
+        (keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++
+          nonKeys.map(c =>
+            when(col("__a").isNull, col(s"b.$c"))
+              .otherwise(col(s"a.$c")).as(c))): _*)
+  }
+
   /** The serialized form a Debezium topic actually carries: one JSON
     * string per record with the full `{before, after, op, ts_ms}`
     * envelope (reference infra/connect/mysql-source.json:17-19 configures

@@ -110,6 +110,60 @@ class RelationalSpec extends SparkSpec {
     assert(out("b") == ((4L, 1L, 2L, 1.0, 3.5)))
   }
 
+  test("tableDiff emits c/u/d with after-image for c/u, before-image " +
+    "for d, nothing for unchanged") {
+    val before = Seq(
+      (1L, "PL", 10.0), // unchanged
+      (2L, "DE", 20.0), // updated value
+      (3L, "FR", 30.0)  // deleted
+    ).toDF("k", "country", "bal")
+    val after = Seq(
+      (1L, "PL", 10.0),
+      (2L, "DE", 25.0),
+      (4L, "ES", 40.0)  // inserted
+    ).toDF("k", "country", "bal")
+    val out = Relational.tableDiff(before, after, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("u", 2L, "DE", 25.0),  // after image
+      ("d", 3L, "FR", 30.0),  // before image (the tombstone's last row)
+      ("c", 4L, "ES", 40.0)))
+  }
+
+  test("tableDiff change detection is null-safe both directions; " +
+    "composes with cdcUnwrap semantics (d filtered, c/u applied)") {
+    val before = Seq(
+      (1L, Option("x")), (2L, Option.empty[String]), (3L, Option("z"))
+    ).toDF("k", "v")
+    val after = Seq(
+      (1L, Option.empty[String]), (2L, Option("y")), (3L, Option("z"))
+    ).toDF("k", "v")
+    val out = Relational.tableDiff(before, after, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.get(2)))
+    assert(out.toSeq == Seq(("u", 1L, null), ("u", 2L, "y")),
+      "null→value and value→null must both register as updates; " +
+        "null<=>null must not")
+    // applying the changelog to `before` reproduces `after` exactly:
+    // upserts (c/u) replace, tombstones (d) retract — the downstream
+    // document-store contract the CDC surface feeds
+    val diff = Relational.tableDiff(before, after, Seq("k"))
+    val applied = before.join(diff, Seq("k"), "left_anti")
+      .unionByName(diff.filter(col("op") =!= "d").drop("op"))
+    assert(applied.exceptAll(after).count() == 0 &&
+      after.exceptAll(applied).count() == 0)
+  }
+
+  test("tableDiff multi-column key; identical tables diff to empty") {
+    val t = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k1", "k2", "v")
+    assert(Relational.tableDiff(t, t, Seq("k1", "k2")).count() == 0)
+    val moved = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k1", "k2", "v")
+    val ops = Relational.tableDiff(t, moved, Seq("k1", "k2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // a key-move is a delete of the old key and an insert of the new
+    assert(ops == Set(("d", 1L, "b"), ("c", 2L, "b")))
+  }
+
   test("riCheck counts planted orphans, zero on intact edges") {
     import spark.implicits._
     val fact = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk")
