@@ -51,6 +51,26 @@ object Bench {
       try force(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
+    // Epoch tag (r17 VERDICT #4): BENCH_HISTORY medians are only as
+    // honest as the epochs behind them — a contended driver row (545 s
+    // vs 134 s idle in r17) dragging the ledger median up blinds the
+    // 1.5× regression flag a little more every round. Each row now
+    // carries (a) the OS 1-min load average at suite start and (b) a
+    // fixed CPU-bound calibration job's wall time (2^31 xxhash64s over
+    // spark.range — no I/O, no data dependence, ~1 s idle on 32
+    // threads), measured AFTER warmup so codegen is compiled.
+    // bench_diff.py --ledger excludes rows whose calibration time
+    // exceeds the tagged floor by the threshold.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      force(spark.range(0, 1L << 31, 1, 64)
+        .selectExpr("xxhash64(id) as h"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    calib() // once untimed: whole-stage-codegen compile out of the tag
+    val calibSec = calib()
     // Once-per-corpus provisioning (IVF index writes) runs UNTIMED —
     // an ingest pipeline pays these at ingest, not per query, and the
     // bench methodology runs each query exactly once, so leaving them
@@ -82,7 +102,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","load":$loadAvg,"calib_sec":$calibSec,"queries":$qs,"sf":"$sfDir"}"""
     // The driver's BENCH_r{N}.json snapshot keeps only the last 2000
     // chars of stdout; the full-precision 93-query line is ~5 KB, so
     // every round's artifact carried a head-truncated tail and
@@ -103,14 +123,16 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
+    def f3r(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val historyRow =
-      s"""{"ts_ms":${System.currentTimeMillis()},"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"ts_ms":${System.currentTimeMillis()},"metric":"total","value":$total,"unit":"sec","load":${f3r(loadAvg)},"calib_sec":${f3r(calibSec)},"queries":$qs,"sf":"$sfDir"}"""
     appendHistory(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), historyRow)
     // stop BEFORE the summary line prints: any executor/shutdown chatter
     // must not land between the line and process exit, where it would
     // eat into the tail capture's 2000-char budget
     spark.stop()
-    println(summaryLine(results, sfDir))
+    println(summaryLine(results, sfDir, loadAvg = loadAvg, calibSec = calibSec))
   }
 
   /** Append one ledger row under an OS file lock (the `.lock` sibling
@@ -156,7 +178,9 @@ object Bench {
   private[graft] def summaryLine(
       results: Seq[(String, Double)],
       sfDir: String,
-      lineBudget: Int = 1800): String = {
+      lineBudget: Int = 1800,
+      loadAvg: Double = -1.0,
+      calibSec: Double = -1.0): String = {
     // Locale.ROOT: a comma decimal separator from the platform locale
     // would silently break every downstream JSON parse
     def f3(d: Double): String =
@@ -164,7 +188,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val bySecDesc = results.sortBy { case (_, v) =>
       if (v < 0) Double.NegativeInfinity else -v }
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"ledger":"BENCH_HISTORY.jsonl","""
+    // the epoch tag rides in the driver artifact too, so a contended
+    // BENCH_r{N}.json row is self-identifying (r17 VERDICT #4)
+    val epoch =
+      if (calibSec < 0) ""
+      else s""""load":${f3(loadAvg)},"calib_sec":${f3(calibSec)},"""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},$epoch"ledger":"BENCH_HISTORY.jsonl","""
     // the omitted-count digits and closing braces are part of the fixed
     // cost; reserve generously (",\"omitted\":NN,\"queries\":{}}" < 30)
     val fixed = head.length + 30

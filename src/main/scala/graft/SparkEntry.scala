@@ -1035,6 +1035,28 @@ object SparkEntry {
     Relational.tableDiff(before, after, Seq("c_custkey"))
   }
 
+  /** CDC loop CLOSED in batch (r17 VERDICT #3): the engine reproduces
+    * v2 as `cdcApply(v1, tableDiff(v1, v2))` — diff generation and
+    * application composed end to end, the full Debezium→store
+    * transition — while the ORACLE derives v2 directly from the base
+    * table. Hash equality therefore proves the whole loop (inserts
+    * land, updates replace, tombstones retract, untouched rows
+    * survive) with no engine-side shortcut possible.
+    */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+    val before = base.filter(col("c_custkey") % 7 =!= 0)
+    val after = base
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 10 === 0, lit("UPDATED"))
+          .otherwise(col("c_mktsegment")))
+      .filter(col("c_custkey") % 97 =!= 0)
+    Relational.cdcApply(before,
+      Relational.tableDiff(before, after, Seq("c_custkey")), Seq("c_custkey"))
+  }
+
   private def qJsonProps(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       col("event_id"),
@@ -2729,6 +2751,7 @@ object SparkEntry {
     "q_cdc_unwrap" -> (qCdcUnwrap _),
     "q_cdc_unwrap_json" -> (qCdcUnwrapJson _),
     "q_dim_changes" -> (qDimChanges _),
+    "q_cdc_apply" -> (qCdcApply _),
     "q_json_props" -> (qJsonProps _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_hopping_pivot" -> (qHoppingPivot _),
@@ -2903,7 +2926,8 @@ object SparkEntry {
     "q17_small_qty_revenue", "q19_disjunctive", "q21_blame_supplier",
     "q22_idle_customers", "q_phrase_search", "q_cms_term_counts",
     "q2_min_cost_supplier", "q9_nation_profit", "q11_important_parts",
-    "q12_late_priority", "q16_supplier_count", "q20_dominant_supplier")
+    "q12_late_priority", "q16_supplier_count", "q20_dominant_supplier",
+    "q_dim_changes")
 
   /** Shared DuckDB CTE chain for the exact ngram-Jaccard dedup family:
     * string shingles → all-pairs exact Jaccard → symmetric edges →
@@ -3924,6 +3948,13 @@ object SparkEntry {
         |   OR a.c_nationkey IS DISTINCT FROM b.c_nationkey
         |   OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
         |   OR a.c_acctbal IS DISTINCT FROM b.c_acctbal""".stripMargin,
+    // the engine reproduces v2 as cdcApply(v1, tableDiff(v1, v2)); the
+    // oracle derives v2 DIRECTLY — hash equality proves the closed loop
+    "q_cdc_apply" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
+        |  c_acctbal
+        |FROM customer WHERE c_custkey % 97 <> 0""".stripMargin,
     // both engines serialize the Debezium JSON envelope AND parse it back
     // — the decode path is exercised on each side, not cancelled out
     "q_cdc_unwrap_json" ->

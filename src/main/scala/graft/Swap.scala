@@ -66,7 +66,12 @@ import org.apache.spark.sql.SparkSession
   * recovery with the old binary before this code touches it — the
   * unified roll-forward would displace already-swapped-in children
   * whose `_rebuild` copies are gone. Clean tables (no work dirs) and
-  * pre-commit crashes carry no such state and upgrade freely.
+  * pre-commit crashes carry no such state and upgrade freely. This is
+  * ENFORCED at runtime, not just documented: [[recover]] detects the
+  * legacy signature (`_old` without `_CLEARED` while no `_COMMIT`
+  * exists — unreachable under this protocol) and throws with the
+  * instruction instead of deleting the displaced children (r17
+  * VERDICT #5).
   */
 object Swap {
   val RebuildDir = "_rebuild"
@@ -115,6 +120,24 @@ object Swap {
     val fs = fsOf(spark, path)
     val tmp = s"$path/$RebuildDir"
     val old = s"$path/$OldDir"
+    // Runtime guard for the upgrade note above: under THIS protocol,
+    // `_old` is only ever created after `_rebuild/_COMMIT` exists, and
+    // `_CLEARED` outlives `_COMMIT` (cleanup deletes `_rebuild` first) —
+    // so `_old` without `_CLEARED` and without `_COMMIT` is unreachable
+    // here and can only be a pre-r17 per-layer partial swap (or external
+    // tampering). Rolling forward would displace already-swapped-in
+    // children whose `_rebuild` copies are gone — the data-loss class
+    // the note warns about — so throw with the instruction instead of
+    // silently deleting `_old`.
+    if (fs.exists(p(old)) && !fs.exists(p(s"$old/$ClearedMarker")) &&
+        !fs.exists(p(s"$tmp/$CommitMarker")))
+      throw new IllegalStateException(
+        s"$op: $old exists without $ClearedMarker and $tmp carries no " +
+          s"$CommitMarker — this is a pre-r17 per-layer mid-swap state " +
+          "(or external tampering), not a state this protocol produces. " +
+          "Finish recovery with the binary that started the swap (see " +
+          "Swap upgrade note), or restore the displaced children from " +
+          s"$old manually; refusing to touch the table")
     def renameOrThrow(src: Path, dst: Path): Unit =
       require(fs.rename(src, dst),
         s"$op: rename $src -> $dst FAILED (filesystem returned false) — " +

@@ -123,21 +123,54 @@ object Relational {
       s"tableDiff: schemas differ — ${before.columns.mkString(",")} vs " +
         after.columns.mkString(","))
     val nonKeys = before.columns.filterNot(keys.contains).toSeq
-    val b = before.withColumn("__b", lit(1)).alias("b")
-    val a = after.withColumn("__a", lit(1)).alias("a")
+    // presence markers must not shadow an input column (withColumn
+    // REPLACES a same-named column, silently corrupting the diff) —
+    // grow underscores until the names are free of the input schema
+    var mb = "__b"; var ma = "__a"
+    while (before.columns.contains(mb)) mb = "_" + mb
+    while (before.columns.contains(ma)) ma = "_" + ma
+    val b = before.withColumn(mb, lit(1)).alias("b")
+    val a = after.withColumn(ma, lit(1)).alias("a")
     val cond = keys.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _)
     val changed = nonKeys.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val op = when(col("__a").isNull, lit("d"))
-      .when(col("__b").isNull, lit("c"))
+    val op = when(col(ma).isNull, lit("d"))
+      .when(col(mb).isNull, lit("c"))
       .otherwise(lit("u"))
     b.join(a, cond, "full_outer")
-      .filter(col("__a").isNull || col("__b").isNull || changed)
+      .filter(col(ma).isNull || col(mb).isNull || changed)
       .select(op.as("op") +:
         (keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++
           nonKeys.map(c =>
-            when(col("__a").isNull, col(s"b.$c"))
+            when(col(ma).isNull, col(s"b.$c"))
               .otherwise(col(s"a.$c")).as(c))): _*)
+  }
+
+  /** Apply a [[tableDiff]]-shaped changelog to a snapshot — the READ
+    * side that closes the CDC loop: `cdcApply(v1, tableDiff(v1, v2))`
+    * reproduces v2 EXACTLY (upserts replace, tombstones retract —
+    * the document-store consumption contract of the reference's
+    * Debezium→ksql→Mongo chain, infra/connect/mysql-source.json →
+    * mongo-sink.json). The changelog carries `op` plus the snapshot's
+    * full schema; keys touched by ANY op leave the snapshot (anti-join)
+    * and c/u rows re-enter with their after-image.
+    *
+    * Scale shape: one left-anti equi-join on the key plus a union —
+    * no window, no driver state; pre-bucketed sides co-partition the
+    * anti-join shuffle-free, and the union is free (no exchange).
+    */
+  def cdcApply(snapshot: DataFrame, changelog: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "cdcApply: need at least one key column")
+    require(changelog.columns.contains("op"),
+      "cdcApply: changelog must carry the tableDiff `op` column")
+    // null-safe key match, same as tableDiff's join: a null key VALUE
+    // is still one upsert key, not an unmatchable row
+    val s = snapshot.alias("s")
+    val touched = changelog.select(keys.map(col): _*).distinct().alias("t")
+    val cond = keys.map(k => col(s"s.$k") <=> col(s"t.$k")).reduce(_ && _)
+    s.join(touched, cond, "left_anti")
+      .unionByName(changelog.filter(col("op") =!= lit("d")).drop("op"))
   }
 
   /** The serialized form a Debezium topic actually carries: one JSON

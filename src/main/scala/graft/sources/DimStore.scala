@@ -48,7 +48,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DimStore {
   val Marker = "_CURRENT"
-  private val VersionRe = "^v(\\d{5})$".r
+  // 5+ digits: %05d pads below 100000 and grows naturally past it, so
+  // version numbering never silently stops at v99999.
+  private val VersionRe = "^v(\\d{5,})$".r
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,7 +83,11 @@ object DimStore {
   def publish(df: DataFrame, root: String, numFiles: Int = 0): String = {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
-    val next = versions(fs, root).lastOption.map(_._1 + 1).getOrElse(1)
+    // next from COMPLETE versions only: a crashed torso (data dir, no
+    // _SUCCESS) is reused and overwritten by the next publish — the
+    // crash-matrix claim above — instead of lingering until prune.
+    val next = versions(fs, root).filter(v => isComplete(fs, v._2))
+      .lastOption.map(_._1 + 1).getOrElse(1)
     val name = f"v$next%05d"
     val dir = s"$root/$name"
     val sized = if (numFiles > 0) df.repartition(numFiles) else df
@@ -105,9 +111,14 @@ object DimStore {
   def currentPath(spark: SparkSession, root: String): String = {
     val fs = fsOf(spark, root)
     val m = new Path(root, Marker)
+    // No exists() pre-check: publish's delete(dst) -> rename(tmp, dst)
+    // flip has a gap where the marker is momentarily absent, and
+    // exists-then-open would race it (FileNotFoundException in a live
+    // micro-batch). Open directly and treat FNF as "no marker" — the
+    // highest-complete-version fallback below is exactly the lost-flip
+    // answer, so concurrent readers stay coordination-free.
     val marked =
-      if (!fs.exists(m)) None
-      else {
+      try {
         val in = fs.open(m)
         val name =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -116,7 +127,7 @@ object DimStore {
         if (VersionRe.findFirstIn(name).isDefined && fs.exists(dir) &&
           isComplete(fs, dir)) Some(dir)
         else None
-      }
+      } catch { case _: java.io.FileNotFoundException => None }
     val resolved = marked.orElse(
       versions(fs, root).reverse.find(v => isComplete(fs, v._2)).map(_._2))
     require(resolved.isDefined, s"DimStore: no complete version under $root")

@@ -174,10 +174,40 @@ class SwapProtocolSpec extends SparkSpec {
     "current content kept") {
     val dir = tmpDir("swap_p6")
     writeGen(dir, 2, withLedger = false)
+    // faithful cleanup-lost state: displacement COMPLETED, so _CLEARED
+    // is present alongside the displaced children (an _old without
+    // _CLEARED is the pre-r17 legacy signature — guarded test below)
     fs.mkdirs(fsp(s"$dir/_old/junk"))
+    fs.create(fsp(s"$dir/_old/_CLEARED"), true).close()
     recoverTwice(dir)
     assertClean(dir)
     assert(genOf(dir) == 2)
+  }
+
+  test("legacy guard: _old without _CLEARED and no _COMMIT — a pre-r17 " +
+    "per-layer mid-swap state — throws instead of deleting displaced data") {
+    // the hazard: under the OLD per-layer protocols a crash mid-swap
+    // left displaced live children in _old with no _CLEARED marker;
+    // the unified roll-forward's rollback/cleanup branches would
+    // delete _old (= the only surviving copy). recover must detect the
+    // signature (unreachable under the unified protocol) and refuse.
+    val dir = tmpDir("swap_legacy")
+    writeGen(dir, 2, withLedger = false)
+    displace(dir, Seq("_meta")) // legacy partial swap: child aside, no marker
+    val e = intercept[IllegalStateException] {
+      Swap.recover(spark, dir, genIntegrity, "spec")
+    }
+    assert(e.getMessage.contains("pre-r17"))
+    assert(fs.exists(fsp(s"$dir/_old/_meta")),
+      "the displaced child must survive the refusal")
+    // same refusal when a stale pre-commit _rebuild also sits there
+    // (the rollback branch would otherwise delete _old as 'stale')
+    writeGen(s"$dir/_rebuild", 3, withLedger = false)
+    val e2 = intercept[IllegalStateException] {
+      Swap.recover(spark, dir, genIntegrity, "spec")
+    }
+    assert(e2.getMessage.contains("pre-r17"))
+    assert(fs.exists(fsp(s"$dir/_old/_meta")))
   }
 
   test("gutted commit: _COMMIT present but the build content vanished " +

@@ -154,6 +154,23 @@ class RelationalSpec extends SparkSpec {
       after.exceptAll(applied).count() == 0)
   }
 
+  test("tableDiff survives input columns named like its presence " +
+    "markers (__a/__b) — markers are derived collision-free") {
+    // before the fix, withColumn("__b", …) REPLACED the data column:
+    // op classification and the output projection silently corrupted
+    val before = Seq((1L, "x", "keepB"), (2L, "y", "delB"))
+      .toDF("k", "__a", "__b")
+    val after = Seq((1L, "x2", "keepB"), (3L, "z", "newB"))
+      .toDF("k", "__a", "__b")
+    val out = Relational.tableDiff(before, after, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("u", 1L, "x2", "keepB"),
+      ("d", 2L, "y", "delB"),
+      ("c", 3L, "z", "newB")))
+  }
+
   test("tableDiff multi-column key; identical tables diff to empty") {
     val t = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k1", "k2", "v")
     assert(Relational.tableDiff(t, t, Seq("k1", "k2")).count() == 0)

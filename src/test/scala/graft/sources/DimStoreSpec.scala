@@ -87,13 +87,54 @@ class DimStoreSpec extends SparkSpec {
     val root = tmpRoot("prune")
     DimStore.publish(dim(1L -> "a"), root)
     DimStore.publish(dim(1L -> "b"), root)
-    dim(1L -> "HALF").write.parquet(s"$root/v00003") // orphan torso
-    fs.delete(new Path(s"$root/v00003/_SUCCESS"), false)
-    val p4 = DimStore.publish(dim(1L -> "c"), root)
+    DimStore.publish(dim(1L -> "c"), root)
+    // a torso ABOVE every complete version (a publisher killed mid-write
+    // after v3): lingers only until prune, never served
+    dim(1L -> "HALF").write.parquet(s"$root/v00004")
+    fs.delete(new Path(s"$root/v00004/_SUCCESS"), false)
     val removed = DimStore.prune(spark, root, keep = 1)
     assert(removed == 3, s"expected v1, v2 and the torso gone, removed=$removed")
-    assert(DimStore.currentPath(spark, root) == p4)
+    assert(DimStore.currentPath(spark, root).endsWith("/v00003"))
     assert(DimStore.read(spark, root).head().getString(1) == "c")
+  }
+
+  test("a crashed torso's number is REUSED and overwritten by the next " +
+    "publish (next allocates from complete versions only)") {
+    val root = tmpRoot("reuse")
+    DimStore.publish(dim(1L -> "a"), root)
+    // publisher killed mid-data-write at v2: dir exists, no _SUCCESS
+    dim(1L -> "HALF").write.parquet(s"$root/v00002")
+    fs.delete(new Path(s"$root/v00002/_SUCCESS"), false)
+    val p2 = DimStore.publish(dim(1L -> "b"), root)
+    assert(p2.endsWith("/v00002"), s"torso number must be reused, got $p2")
+    assert(DimStore.currentPath(spark, root) == p2)
+    assert(DimStore.read(spark, root).head().getString(1) == "b",
+      "the torso's half-written content must be fully overwritten")
+  }
+
+  test("version numbering survives v99999 -> v100000 (no silent " +
+    "permanent staleness at the 5-digit pad boundary)") {
+    val root = tmpRoot("rollover")
+    // fabricate a complete v99999 directly (publishing 10^5 versions
+    // would be absurd); content is a real 1-row parquet so reads work
+    dim(1L -> "old").write.parquet(s"$root/v99999")
+    val p = DimStore.publish(dim(1L -> "new"), root)
+    assert(p.endsWith("/v100000"), s"expected 6-digit rollover, got $p")
+    assert(DimStore.currentPath(spark, root) == p)
+    assert(DimStore.read(spark, root).head().getString(1) == "new")
+    // and the next one keeps counting
+    assert(DimStore.publish(dim(1L -> "next"), root).endsWith("/v100001"))
+  }
+
+  test("currentPath tolerates a vanishing marker (publish's delete -> " +
+    "rename gap): no exists/open race, falls back cleanly") {
+    val root = tmpRoot("toctou")
+    val p1 = DimStore.publish(dim(1L -> "a"), root)
+    // simulate the mid-gap observation: marker absent entirely — the
+    // read path must not throw FileNotFoundException (it opens without
+    // an exists() pre-check and treats FNF as "no marker")
+    fs.delete(new Path(root, DimStore.Marker), false)
+    assert(DimStore.currentPath(spark, root) == p1)
   }
 
   test("live-TABLE integration: a mid-stream publish flips every later " +

@@ -127,6 +127,65 @@ class StreamingSpec extends SparkSpec {
     assert(state == Map("a" -> "v2", "b" -> "x1"))
   }
 
+  test("CDC loop closed: DimStore v1→v2, tableDiff changelog streamed " +
+    "through the upsert path, compacted state ≡ v2 (Debezium→ksql→store)") {
+    // the end-to-end transition the reference runs via Debezium → ksql
+    // → Mongo (infra/connect/mysql-source.json → README.md:29): publish
+    // two dim versions, DIFF them into the changelog a CDC source would
+    // have emitted, stream that changelog through the TABLE upsert
+    // path, and assert the recovered store state equals a straight read
+    // of v2 — write side, wire, and read side in one loop.
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_loop").toString + "/dims"
+    val v1 = Seq((1L, "PL", 10.0), (2L, "DE", 20.0), (3L, "FR", 30.0))
+      .toDF("k", "country", "bal")
+    val v2 = Seq((1L, "PL", 10.0), (2L, "DE", 25.0), (4L, "ES", 40.0))
+      .toDF("k", "country", "bal") // u@2, d@3, c@4, untouched 1
+    val p1 = graft.sources.DimStore.publish(v1, root)
+    val p2 = graft.sources.DimStore.publish(v2, root)
+
+    // the WIRE: Debezium's initial snapshot ('r' reads, here as creates
+    // at seq 0) followed by the version diff (seq 1) — seq is the
+    // changelog offset the upsert orders by, so arrival interleaving
+    // within a micro-batch cannot elect a stale row
+    val diff = Relational.tableDiff(
+      spark.read.parquet(p1), spark.read.parquet(p2), Seq("k"))
+    def asWire(df: org.apache.spark.sql.DataFrame, seq: Long) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), seq)).toSeq
+    val snapshot = asWire(
+      spark.read.parquet(p1).select(lit("c").as("op"), col("k"),
+        col("country"), col("bal")), 0L)
+    val incremental = asWire(diff, 1L)
+
+    val input = MemoryStream[(String, Long, String, Double, Long)](spark)
+    val wire = input.toDF().toDF("op", "k", "country", "bal", "seq")
+    val out = java.nio.file.Files
+      .createTempDirectory("cdc_loop_out").toString + "/changelog"
+    val q = Streaming.changelogWriter(
+      Streaming.latestByKeyStream(wire, "k", Seq("seq")), out).start()
+    input.addData(snapshot: _*) // micro-batch 0: the initial snapshot
+    q.processAllAvailable()
+    input.addData(incremental: _*) // micro-batch 1: the v1→v2 changelog
+    q.processAllAvailable()
+    q.stop()
+
+    // the STORE: compact the Update-mode changelog, retract tombstones
+    val state = Streaming.readChangelogState(spark, out, Seq("k"))
+      .filter(col("op") =!= "d").drop("op", "seq")
+    val want = spark.read.parquet(p2)
+    assert(state.exceptAll(want).count() == 0 &&
+      want.exceptAll(state).count() == 0,
+      "streamed CDC apply must reproduce v2 exactly")
+    // and the batch read side agrees with the store: cdcApply ≡ v2 too
+    val applied = Relational.cdcApply(
+      spark.read.parquet(p1), diff, Seq("k"))
+    assert(applied.exceptAll(want).count() == 0 &&
+      want.exceptAll(applied).count() == 0)
+    // DimStore's live pointer already serves v2 — three agreeing views
+    assert(graft.sources.DimStore.currentPath(spark, root) == p2)
+  }
+
   test("streaming scoring: model transform over the flagship stream") {
     val reg = new graft.ml.Registry(
       java.nio.file.Files.createTempDirectory("stream_reg").toString)

@@ -336,14 +336,31 @@ object StreamScale {
           // sf0.1 / sf1, each verified contained in an open-tail
           // session, DuckDB cross-check); containment anywhere else
           // would be a fabricated session — a real defect.
-          val residual = holesDf.unionByName(
-            batch.filter(col("session_end") > maxEnd))
-          val strayExtras = extrasDf.alias("x").join(residual.alias("h"),
-            col("h.user_id") === col("x.user_id") &&
-              col("x.session_start") >= col("h.session_start") &&
-              col("x.session_end") <= col("h.session_end"), "left_anti").count()
+          // two-tier containment so the open-tail tolerance stays
+          // VISIBLE per run (r17 ADVICE): an extra explained by a
+          // CLOSED hole is the ordinary emission-race split; one only
+          // explainable by an OPEN-TAIL session (end > maxEnd) is the
+          // rarer still-open-merge case and is counted separately —
+          // a jump in that tier flags a fabricated-fragment defect
+          // that the combined check would have absorbed silently.
+          def contained(xs: org.apache.spark.sql.DataFrame,
+              hs: org.apache.spark.sql.DataFrame, anti: Boolean) =
+            xs.alias("x").join(hs.alias("h"),
+              col("h.user_id") === col("x.user_id") &&
+                col("x.session_start") >= col("h.session_start") &&
+                col("x.session_end") <= col("h.session_end"),
+              if (anti) "left_anti" else "left_semi")
+          val unexplainedByClosed =
+            contained(extrasDf, holesDf, anti = true).localCheckpoint()
+          val openTail = batch.filter(col("session_end") > maxEnd)
+          val inOpenTail =
+            contained(unexplainedByClosed, openTail, anti = false).count()
+          val strayExtras =
+            contained(unexplainedByClosed, openTail, anti = true).count()
           println(s"[check] $dir: race residual — holes without emitted " +
-            s"pieces=$uncovered stray extras=$strayExtras " +
+            s"pieces=$uncovered extras_in_closed_holes=" +
+            s"${extras - unexplainedByClosed.count()} " +
+            s"extras_in_open_tail=$inOpenTail stray extras=$strayExtras " +
             (if (uncovered == 0 && strayExtras == 0)
               "ALL holes are emission-race splits" else "UNEXPLAINED"))
         }
@@ -386,14 +403,23 @@ object StreamScale {
         import org.apache.spark.sql.functions.{col, lit, when, pmod, max => smax}
         val mat = java.nio.file.Files
           .createTempDirectory("ss_dimupd").toString
-        graft.SparkEntry.flagshipDims(spark, dir)
-          .write.mode("overwrite").parquet(s"$mat/dims_v1")
+        // the dim lives in a DimStore (r17 VERDICT #2): the stream
+        // resolves the _CURRENT pointer per micro-batch — the shipped
+        // production posture (DEPLOY.md), not a probe-local @volatile
+        // flip — and the update lands mid-run as a real publish.
+        // publish returns the IMMUTABLE version path, pinned for the
+        // batch twins below.
+        val dimRoot = s"$mat/dims"
+        val v1Path = graft.sources.DimStore.publish(
+          graft.SparkEntry.flagshipDims(spark, dir), dimRoot)
         // the CDC update: every 10th user's country flips — visible in
-        // both the enrichment column and the model features
-        spark.read.parquet(s"$mat/dims_v1")
+        // both the enrichment column and the model features. Staged to
+        // plain parquet up front so the mid-stream publish is a pure
+        // copy+flip (the primitive's cost, not the transform's).
+        spark.read.parquet(v1Path)
           .withColumn("country", when(pmod(col("c_custkey"), lit(10)) === 0,
             lit("UPDATED")).otherwise(col("country")))
-          .write.mode("overwrite").parquet(s"$mat/dims_v2")
+          .write.mode("overwrite").parquet(s"$mat/dims_v2_staged")
         graft.SparkEntry.flagshipOrderCounts(spark, dir)
           .write.mode("overwrite").parquet(s"$mat/orders")
         // single-file testdata corpora read as one batch (flip is a
@@ -401,7 +427,7 @@ object StreamScale {
         val nFiles = Option(new java.io.File(s"$dir/events.parquet").listFiles())
           .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(1)
         val flipAt = math.max(1, nFiles / maxFiles.get / 2)
-        @volatile var dimPath = s"$mat/dims_v1"
+        @volatile var v2Path: String = null
         val out = java.nio.file.Files
           .createTempDirectory("ss_dimupd_out").toString + "/changelog"
         val pivot = WindowOps.hoppingPivot(
@@ -422,9 +448,14 @@ object StreamScale {
         import org.apache.spark.sql.functions.xxhash64
         val t0 = System.nanoTime()
         Streaming.sinkChangelogWith(pivot, out) { (b, id) =>
+          // per-batch pointer resolution: each micro-batch's join scans
+          // the version current AT PLAN TIME (immutable dir), so the
+          // publish below flips the NEXT batch, never a running scan
           val scored = graft.SparkEntry.scoredFlagshipWith(
-            b.toDF(), spark.read.parquet(dimPath), orders)
-          if (id == flipAt - 1) dimPath = s"$mat/dims_v2" // update lands
+            b.toDF(), graft.sources.DimStore.read(spark, dimRoot), orders)
+          if (id == flipAt - 1) // update lands: real publish + flip
+            v2Path = graft.sources.DimStore.publish(
+              spark.read.parquet(s"$mat/dims_v2_staged"), dimRoot)
           if (!hashVerify) scored
           else scored.select(col("user_id"), col("w_start"),
             (col("country") === lit("UPDATED")).as("upd"),
@@ -448,8 +479,8 @@ object StreamScale {
             batchPivot, spark.read.parquet(p), orders)
           val pre = state.filter(col("batch_id") < flipAt).drop("batch_id")
           val post = state.filter(col("batch_id") >= flipAt).drop("batch_id")
-          val mismOld = pre.exceptAll(twin(s"$mat/dims_v1")).count()
-          val mismNew = post.exceptAll(twin(s"$mat/dims_v2")).count()
+          val mismOld = pre.exceptAll(twin(v1Path)).count()
+          val mismNew = post.exceptAll(twin(v2Path)).count()
           val nState = state.count()
           val nBatch = batchPivot.count()
           val nFlipped = post.filter(col("country") === "UPDATED").count()
@@ -506,8 +537,8 @@ object StreamScale {
           }
           val nPre = pre.count()
           val nPost = post.count()
-          val (mt1, mh1) = phase(pre, hashed(twin(s"$mat/dims_v1")))
-          val (mt2, mh2) = phase(post, hashed(twin(s"$mat/dims_v2")))
+          val (mt1, mh1) = phase(pre, hashed(twin(v1Path)))
+          val (mt2, mh2) = phase(post, hashed(twin(v2Path)))
           val mismOld = mh1 + (nPre - mt1)
           val mismNew = mh2 + (nPost - mt2)
           val nState = nPre + nPost

@@ -125,17 +125,27 @@ def load_queries(path):
     raise SystemExit(f"{path}: no queries dict found")
 
 
-def _ledger_medians(path, sf=None):
+def _ledger_medians(path, sf=None, epoch_bound=1.5):
     """Per-query median seconds over every BENCH_HISTORY.jsonl row whose
-    sf matches (rows without an sf are skipped when sf is known). The
-    history is append-only across builder, driver and judge runs, so the
-    median spans measurement epochs — one loaded epoch can't move it."""
+    sf matches (rows without an sf are skipped when sf is known), with
+    EPOCH HYGIENE (r17 VERDICT #4): contended-epoch rows are excluded
+    before the median, or every loaded driver run drags the per-query
+    medians up and blinds the 1.5x flag a little more.
+
+    A row is judged contended by its explicit epoch tag when it carries
+    one — "calib_sec", a fixed CPU-bound calibration job Bench times at
+    suite start; > epoch_bound x the tagged floor means the box, not the
+    code. Untagged (legacy) rows fall back to a proxy: the row's median
+    per-query ratio against the ELEMENTWISE MIN across all rows (the
+    idle envelope) — a uniform >bound inflation is load (a real code
+    regression is selective and barely moves a 96-query median ratio).
+    If everything is excluded, the least-inflated row is kept so the
+    median never goes empty."""
     hist = os.path.join(os.path.dirname(os.path.abspath(path)),
                         "BENCH_HISTORY.jsonl")
     if not os.path.exists(hist):
         raise SystemExit(f"--ledger needs {hist}")
-    samples = {}
-    nrows = 0
+    rows = []
     with open(hist) as f:
         for ln in f:
             ln = ln.strip()
@@ -147,13 +157,53 @@ def _ledger_medians(path, sf=None):
                 continue
             if sf is not None and row.get("sf") != sf:
                 continue
-            q = row.get("queries")
-            if not isinstance(q, dict):
+            if not isinstance(row.get("queries"), dict):
                 continue
-            nrows += 1
-            for name, sec in q.items():
+            rows.append(row)
+    if not rows:
+        return {}, 0
+    mins = {}
+    for row in rows:
+        for name, sec in row["queries"].items():
+            sec = float(sec)
+            if sec >= 0 and (name not in mins or sec < mins[name]):
+                mins[name] = sec
+    calibs = [float(r["calib_sec"]) for r in rows
+              if isinstance(r.get("calib_sec"), (int, float))
+              and float(r["calib_sec"]) > 0]
+    calib_floor = min(calibs) if calibs else None
+
+    def proxy_factor(row):
+        rat = [float(s) / mins[q] for q, s in row["queries"].items()
+               if mins.get(q, 0) > 0 and float(s) >= 0]
+        return statistics.median(rat) if rat else 1.0
+
+    kept, dropped = [], []
+    for row in rows:
+        tag = row.get("calib_sec")
+        if isinstance(tag, (int, float)) and float(tag) > 0 and calib_floor:
+            contended = float(tag) > calib_floor * epoch_bound
+            why = f"calib {float(tag):.2f}s vs floor {calib_floor:.2f}s"
+        else:
+            pf = proxy_factor(row)
+            contended = pf > epoch_bound
+            why = f"proxy uniform factor {pf:.2f}x vs idle envelope"
+        (dropped if contended else kept).append((row, why))
+    if not kept:  # never let hygiene empty the ledger
+        best = min(rows, key=proxy_factor)
+        kept = [(best, "least-inflated fallback")]
+        dropped = [(r, w) for r, w in dropped if r is not best]
+    if dropped:
+        print(f"# epoch hygiene: excluded {len(dropped)}/{len(rows)} "
+              f"contended ledger rows (bound {epoch_bound}x): " + "; ".join(
+                  f"total={r.get('value', 0):.1f}s ({w})" for r, w in dropped),
+              file=sys.stderr)
+    samples = {}
+    for row, _ in kept:
+        for name, sec in row["queries"].items():
+            if float(sec) >= 0:
                 samples.setdefault(name, []).append(float(sec))
-    return {q: statistics.median(v) for q, v in samples.items()}, nrows
+    return {q: statistics.median(v) for q, v in samples.items()}, len(kept)
 
 
 def _write_triage(new_path, payload):
@@ -226,6 +276,13 @@ def main_ledger(new_path, threshold, argv, reps=3):
         if isinstance(d.get("parsed"), dict):
             d = d["parsed"]
     med, nrows = _ledger_medians(new_path, sf=d.get("sf"))
+    # the new row's own epoch tag, when Bench stamped one: a contended
+    # new row is self-identifying before any per-query flag fires
+    tag = d.get("calib_sec")
+    if isinstance(tag, (int, float)) and float(tag) > 0:
+        print(f"# new row epoch tag: calib_sec={float(tag):.2f}s "
+              f"load={d.get('load', '?')} — ratios below are suspect if "
+              "this exceeds the ledger's tagged floor")
     common = sorted(set(new) & set(med))
     if not common:
         raise SystemExit("no queries shared with the history ledger")
