@@ -349,7 +349,7 @@ object Dedup {
     * iteration loop's previous round, never the returned result).
     */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
+    if (df != null) df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(false); ()
       case _ => ()
@@ -393,6 +393,12 @@ object Dedup {
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val lsMins = adj.groupBy("u").agg(min(col("v")).as("nmin"))
         .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      // EAGER: ls feeds two downstream stages (ssMins' shuffle map and
+      // the join's map) that one job schedules CONCURRENTLY — lazily
+      // checkpointed, both compute every ls partition before blocks
+      // exist, doubling the round's heaviest pipeline (measured 2.5 s
+      // → 4.5 s); the dedicated materialization job is the cheaper of
+      // the two evils here, unlike single-consumer ss below
       val ls = adj.join(lsMins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
@@ -400,14 +406,22 @@ object Dedup {
         .localCheckpoint()
       // SMALL-STAR: per node u over its SMALLER neighbors N(u) (the
       // canonical edges grouped at their big end), attach N(u) ∪ {u}
-      // to m = min(N(u)); emitted edges stay canonical
+      // to m = min(N(u)); emitted edges stay canonical.
+      // LAZY localCheckpoint: the fingerprint job right below
+      // materializes the blocks, so ss costs ONE Spark job per round
+      // instead of two (eager checkpoint + separate agg — the job-count
+      // overhead that made the r17 gating a net loss at suite SFs).
+      // localCheckpoint, not persist(): DataFrame persist caches via
+      // InMemoryRelation's COLUMNAR encode, whose per-round build cost
+      // dwarfs the saved job at iterative-loop sizes (measured 2.7 s →
+      // 9.5 s); checkpoint blocks are raw rows.
       val ssMins = ls.groupBy("u").agg(min(col("v")).as("m"))
       val ss = ls.join(ssMins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .union(ssMins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // fixed point requires BOTH operations to be identity — comparing
       // only round-start vs round-end could miss a (pathological)
       // large∘small round-trip that is not yet a star forest. Two-tier
@@ -442,10 +456,12 @@ object Dedup {
       // the previous round's checkpoints are dead once this round's are
       // materialized and compared — unpersist them, or a long
       // resolution pins O(rounds) copies of the pair graph in executor
-      // storage for the life of the session (r16 ADVICE). The FINAL
-      // round's ss (assigned to `edges`) stays persisted: the returned
-      // DataFrame's lineage was truncated by localCheckpoint, so its
-      // blocks must outlive the loop.
+      // storage for the life of the session (r16 ADVICE). ss's lazy
+      // checkpoint was materialized by the fingerprint job above, so
+      // its blocks are self-contained and this round's ls can go too.
+      // The FINAL round's ss (assigned to `edges`) stays persisted: the
+      // returned DataFrame's lineage was truncated by localCheckpoint,
+      // so its blocks must outlive the loop.
       unpersistCheckpoint(edges)
       unpersistCheckpoint(ls)
       edges = ss
