@@ -375,7 +375,19 @@ object ZOrder {
     */
   def zorderAppendRanked(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
-    zorderRecover(spark, path)
+    // generation-versioned root (r18): appends land INSIDE the live
+    // generation (additive — readers tolerate new files the same way
+    // they do on a flat table), and there is no swap state to recover;
+    // flat legacy roots keep the Swap recovery gate.
+    val live =
+      if (graft.sources.DimStore.isVersionedRoot(spark, path))
+        zorderResolve(spark, path)
+      else { zorderRecover(spark, path); path }
+    appendRankedInto(batch, live)
+  }
+
+  private def appendRankedInto(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
     val meta = spark.read.parquet(s"$path/_zmeta/meta").head()
     val (xCol, yCol, bits) =
       (meta.getString(0), meta.getString(1), meta.getInt(2))
@@ -482,18 +494,26 @@ object ZOrder {
       skewThreshold: Double = 4.0,
       minShare: Double = 0.05,
       maxAppendFiles: Long = 16L): String = {
-    zorderAppendRanked(batch, path)
     val spark = batch.sparkSession
+    // resolve the generation ONCE: the append below lands in it, the
+    // ledgers are read from it, and a fired rebuild publishes the NEXT
+    // generation (flat legacy roots: live == path, rebuild swaps)
+    val versioned = graft.sources.DimStore.isVersionedRoot(spark, path)
+    val live = if (versioned) zorderResolve(spark, path) else path
+    def rebuildNow(): Unit =
+      if (versioned) { zorderRebuildVersioned(spark, path); () }
+      else zorderRebuildRanked(spark, path)
+    zorderAppendRanked(batch, path)
     // ledgers may not exist yet when every append so far was empty
     // (empty batches are no-ops and write nothing)
-    val lgP = new org.apache.hadoop.fs.Path(s"$path/_zmeta/appendlog")
+    val lgP = new org.apache.hadoop.fs.Path(s"$live/_zmeta/appendlog")
     val lgFs = lgP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!lgFs.exists(lgP)) {
       graft.Sessions.recordDecision("zorderAppendAuto", 0.0,
         rebuildThreshold, "append")
       return "append"
     }
-    val appendedFiles = spark.read.parquet(s"$path/_zmeta/appendlog")
+    val appendedFiles = spark.read.parquet(s"$live/_zmeta/appendlog")
       .agg(sum(col("files"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
@@ -502,11 +522,11 @@ object ZOrder {
       graft.Sessions.recordDecision("zorderAppendAuto",
         appendedFiles.toDouble, maxAppendFiles.toDouble,
         s"rebuild(files $appendedFiles)")
-      zorderRebuildRanked(spark, path)
+      rebuildNow()
       return "rebuild"
     }
-    val base = spark.read.parquet(s"$path/_zmeta/basebuckets")
-    val app = spark.read.parquet(s"$path/_zmeta/appendbuckets")
+    val base = spark.read.parquet(s"$live/_zmeta/basebuckets")
+    val app = spark.read.parquet(s"$live/_zmeta/appendbuckets")
       .groupBy("zb").agg(sum(col("rows")).as("rows"))
     val r = app.agg(sum(col("rows")), max(col("rows"))).head()
     if (r.isNullAt(0)) { // empty batch ledger: nothing to decide
@@ -530,7 +550,7 @@ object ZOrder {
       else f"rebuild(skew $skew%.1f)"
     graft.Sessions.recordDecision("zorderAppendAuto", signal,
       rebuildThreshold, choice)
-    if (rebuild) { zorderRebuildRanked(spark, path); "rebuild" } else "append"
+    if (rebuild) { rebuildNow(); "rebuild" } else "append"
   }
 
   /** Side-build completeness gate for [[graft.Swap.commit]]: a rebuilt
@@ -555,6 +575,9 @@ object ZOrder {
     */
   def zorderRebuildRanked(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    require(!graft.sources.DimStore.isVersionedRoot(spark, path),
+      s"$path is a generation-versioned root — use zorderRebuildVersioned " +
+        "(reader-atomic); the in-place swap is for flat legacy tables")
     zorderRecover(spark, path)
     val meta = spark.read.parquet(s"$path/_zmeta/meta").head()
     val (xCol, yCol, bits) =
@@ -573,6 +596,80 @@ object ZOrder {
   def zorderRecover(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     graft.Swap.recover(spark, path, zIntegrity, "zorderRecover")
+
+  // ——— GENERATION-VERSIONED roots: reader-ATOMIC rebuilds (r17 #7) ———
+  //
+  // The swap protocol's one contractual weakness is the reader-quiesce
+  // window (displace/move-in briefly exposes a partial file set). A
+  // versioned root removes it STRUCTURALLY, the DimStore way: each
+  // rebuild publishes a complete new GENERATION (`$root/vNNNNN/…` with
+  // its own `_zmeta`) beside the live one and flips `$root/_CURRENT`;
+  // readers resolve the pointer at plan time and scan one immutable
+  // generation end to end, so a rebuild landing mid-query changes the
+  // NEXT query, never a running scan. Appends stay IN-PLACE inside the
+  // live generation — additive file writes readers tolerate exactly as
+  // on a flat table — so the append cadence and ledgers are untouched,
+  // and every generation's fresh `_zmeta` resets them on rebuild for
+  // free. Cost vs the swap: the superseded generation lingers until
+  // [[graft.sources.DimStore.prune]] (a retention window for pinned
+  // readers — bounded extra disk, the price of atomicity). Flat legacy
+  // roots keep the Swap path; every entry point takes either layout.
+
+  /** z-order completeness as a [[graft.sources.DimStore.Complete]]:
+    * a servable generation has its `_zmeta` and ≥ 1 data file.
+    */
+  private val zComplete: graft.sources.DimStore.Complete =
+    (fs, dir) => zIntegrity(fs, dir.toString)
+
+  /** The live data directory of a z-order root: versioned roots
+    * resolve through `_CURRENT` (mid-flip crash falls back to the
+    * highest complete generation), flat legacy tables resolve to
+    * themselves. Call PER QUERY (plan-time resolution = per-scan
+    * immutability).
+    */
+  def zorderResolve(
+      spark: org.apache.spark.sql.SparkSession, root: String): String =
+    if (graft.sources.DimStore.isVersionedRoot(spark, root))
+      graft.sources.DimStore.currentPath(spark, root, zComplete)
+    else root
+
+  /** [[zorderWriteRanked]] into a fresh generation of a versioned root
+    * (creating the root on first call); returns the generation's
+    * immutable path. The flip is the publish's last step, so a crash
+    * anywhere in the build leaves the previous generation live.
+    */
+  def zorderWriteRankedVersioned(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      root: String,
+      bits: Int = 16,
+      numFiles: Int = 0): String =
+    graft.sources.DimStore.publishWith(df.sparkSession, root, zComplete)(
+      dir => zorderWriteRanked(df, xCol, yCol, dir, bits, numFiles))
+
+  /** Reader-atomic rebuild: re-cluster the live generation's current
+    * rows (base + appends) into the NEXT generation and flip. Readers
+    * never quiesce; `keep` generations are retained for readers pinned
+    * to a superseded path (retire with prune's retention contract).
+    */
+  def zorderRebuildVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      keep: Int = 2): String = {
+    val live = graft.sources.DimStore.currentPath(spark, root, zComplete)
+    val meta = spark.read.parquet(s"$live/_zmeta/meta").head()
+    val (xCol, yCol, bits) =
+      (meta.getString(0), meta.getString(1), meta.getInt(2))
+    // NO checkpoint of `current`, same as the flat rebuild: the build's
+    // scans re-read the live generation's files, which are immutable —
+    // here not even a later rename can touch them before prune
+    val current = spark.read.parquet(live).drop("z")
+    val out = graft.sources.DimStore.publishWith(spark, root, zComplete)(
+      dir => zorderWriteRanked(current, xCol, yCol, dir, bits))
+    graft.sources.DimStore.prune(spark, root, keep, zComplete)
+    out
+  }
 
   /** N-column cluster-write ([[zValueN]] over min/max-scaled
     * dimensions) — the training-data layout shape: cluster documents on

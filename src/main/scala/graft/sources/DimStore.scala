@@ -52,6 +52,17 @@ object DimStore {
   // version numbering never silently stops at v99999.
   private val VersionRe = "^v(\\d{5,})$".r
 
+  /** Layer-pluggable completeness: what makes a version dir SERVABLE.
+    * The default (parquet's `_SUCCESS`) fits plain-DataFrame versions;
+    * layers with richer layouts (a z-order generation needs its
+    * `_zmeta` too) pass their own so a crash between the data write
+    * and the sidecar write can never yield a complete-but-gutted
+    * version.
+    */
+  type Complete = (FileSystem, Path) => Boolean
+  val SuccessComplete: Complete =
+    (fs, dir) => fs.exists(new Path(dir, "_SUCCESS"))
+
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -70,8 +81,15 @@ object DimStore {
       .sortBy(_._1)
   }
 
-  private def isComplete(fs: FileSystem, dir: Path): Boolean =
-    fs.exists(new Path(dir, "_SUCCESS"))
+  /** Whether `root` is a versioned store at all: a `_CURRENT` marker or
+    * any vNNNNN child. Lets layers accept BOTH layouts (a flat legacy
+    * table resolves to itself; a versioned root resolves through the
+    * pointer).
+    */
+  def isVersionedRoot(spark: SparkSession, root: String): Boolean = {
+    val fs = fsOf(spark, root)
+    fs.exists(new Path(root, Marker)) || versions(fs, root).nonEmpty
+  }
 
   /** Write `df` as the next version and flip the marker to it. Returns
     * the published version's path — stable and immutable, so callers
@@ -81,17 +99,37 @@ object DimStore {
     * files; default leaves the input partitioning).
     */
   def publish(df: DataFrame, root: String, numFiles: Int = 0): String = {
-    val spark = df.sparkSession
+    val sized = if (numFiles > 0) df.repartition(numFiles) else df
+    publishWith(df.sparkSession, root)(dir =>
+      sized.write.mode("overwrite").parquet(dir)) // _SUCCESS = complete
+  }
+
+  /** [[publish]] with the version CONTENT written by the caller — the
+    * generalization that lets any layered layout (a z-order generation,
+    * an IVF index) ride the same pointer-flip protocol: `build(dir)`
+    * writes the complete layout into the freshly-allocated version dir,
+    * `complete` judges servability (pass the layer's integrity gate so
+    * a crash between the data write and a sidecar write never yields a
+    * complete-but-gutted version), and the marker flips only after the
+    * built version passes it. Same crash matrix as [[publish]].
+    */
+  def publishWith(
+      spark: SparkSession,
+      root: String,
+      complete: Complete = SuccessComplete)(build: String => Unit): String = {
     val fs = fsOf(spark, root)
-    // next from COMPLETE versions only: a crashed torso (data dir, no
-    // _SUCCESS) is reused and overwritten by the next publish — the
-    // crash-matrix claim above — instead of lingering until prune.
-    val next = versions(fs, root).filter(v => isComplete(fs, v._2))
+    // next from COMPLETE versions only: a crashed torso (data dir that
+    // fails `complete`) is reused and overwritten by the next publish —
+    // the crash-matrix claim above — instead of lingering until prune.
+    val next = versions(fs, root).filter(v => complete(fs, v._2))
       .lastOption.map(_._1 + 1).getOrElse(1)
     val name = f"v$next%05d"
     val dir = s"$root/$name"
-    val sized = if (numFiles > 0) df.repartition(numFiles) else df
-    sized.write.mode("overwrite").parquet(dir) // _SUCCESS = completeness
+    fs.delete(new Path(dir), true) // clear a reused torso's half-build
+    build(dir)
+    require(complete(fs, new Path(dir)),
+      s"DimStore.publishWith: build left $dir INCOMPLETE — refusing to " +
+        "flip the marker; readers keep the previous version")
     val tmp = new Path(root, s"$Marker.tmp")
     val out = fs.create(tmp, true)
     try out.write(name.getBytes("UTF-8")) finally out.close()
@@ -108,8 +146,12 @@ object DimStore {
     * complete version, else the highest complete version (the mid-flip
     * crash state). Throws when no complete version exists.
     */
-  def currentPath(spark: SparkSession, root: String): String = {
+  def currentPath(
+      spark: SparkSession,
+      root: String,
+      complete: Complete = SuccessComplete): String = {
     val fs = fsOf(spark, root)
+    def isComplete(dir: Path): Boolean = complete(fs, dir)
     val m = new Path(root, Marker)
     // No exists() pre-check: publish's delete(dst) -> rename(tmp, dst)
     // flip has a gap where the marker is momentarily absent, and
@@ -125,11 +167,11 @@ object DimStore {
           finally in.close()
         val dir = new Path(root, name)
         if (VersionRe.findFirstIn(name).isDefined && fs.exists(dir) &&
-          isComplete(fs, dir)) Some(dir)
+          isComplete(dir)) Some(dir)
         else None
       } catch { case _: java.io.FileNotFoundException => None }
     val resolved = marked.orElse(
-      versions(fs, root).reverse.find(v => isComplete(fs, v._2)).map(_._2))
+      versions(fs, root).reverse.find(v => isComplete(v._2)).map(_._2))
     require(resolved.isDefined, s"DimStore: no complete version under $root")
     // rebuild from the caller's root so the returned string keeps the
     // caller's scheme form (listStatus qualifies paths — `file:/tmp/…`
@@ -152,12 +194,13 @@ object DimStore {
     * longest reader still scanning a pinned path (retention, not
     * coordination). Returns the number of directories removed.
     */
-  def prune(spark: SparkSession, root: String, keep: Int = 2): Int = {
+  def prune(spark: SparkSession, root: String, keep: Int = 2,
+      complete: Complete = SuccessComplete): Int = {
     require(keep >= 1, s"prune keeps at least one version, got $keep")
     val fs = fsOf(spark, root)
-    val cur = new Path(currentPath(spark, root)).getName
+    val cur = new Path(currentPath(spark, root, complete)).getName
     val all = versions(fs, root)
-    val keepSet = all.filter(v => isComplete(fs, v._2)).takeRight(keep)
+    val keepSet = all.filter(v => complete(fs, v._2)).takeRight(keep)
       .map(_._2.getName).toSet + cur
     var removed = 0
     for ((_, p) <- all if !keepSet.contains(p.getName))

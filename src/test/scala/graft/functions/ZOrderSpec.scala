@@ -405,4 +405,104 @@ class ZOrderSpec extends SparkSpec {
       .count(f => f.getName.endsWith(".parquet"))
     assert(files == 1, s"expected 1 auto-sized file, got $files")
   }
+
+  // ——— generation-versioned roots: reader-atomic rebuilds (r17 #7) ———
+
+  test("versioned root: write/resolve parity, in-place append, " +
+    "reader-ATOMIC rebuild (pinned generation survives), prune retires") {
+    val rnd = new scala.util.Random(47)
+    def batch(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong)).toDF("x", "y")
+    val root = java.nio.file.Files
+      .createTempDirectory("zver").toString + "/t"
+    val g1 = ZOrder.zorderWriteRankedVersioned(
+      batch(20000), "x", "y", root, bits = 16, numFiles = 8)
+    assert(g1.endsWith("/v00001"))
+    assert(ZOrder.zorderResolve(spark, root) == g1)
+    assert(spark.read.parquet(g1).count() == 20000)
+    // appends land INSIDE the live generation, same entry point as flat
+    ZOrder.zorderAppendRanked(batch(2000), root)
+    assert(spark.read.parquet(ZOrder.zorderResolve(spark, root))
+      .count() == 22000)
+    // the atomicity claim itself: a reader pinned to the live
+    // generation is untouched by a rebuild landing under it
+    val pinned = spark.read.parquet(g1)
+    val g2 = ZOrder.zorderRebuildVersioned(spark, root)
+    assert(g2.endsWith("/v00002"))
+    assert(ZOrder.zorderResolve(spark, root) == g2)
+    assert(pinned.count() == 22000,
+      "the superseded generation must stay fully readable (no displace)")
+    assert(spark.read.parquet(g2).count() == 22000)
+    // per-file disjoint z ranges hold in the rebuilt generation
+    val ranges = spark.read.parquet(g2)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    if (ranges.length > 1)
+      ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping z-ranges in new generation")
+      }
+    // the in-place swap entry refuses versioned roots
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zorderRebuildRanked(spark, root)
+    }
+    assert(e.getMessage.contains("zorderRebuildVersioned"))
+    // retention: prune to 1 retires the superseded generation
+    graft.sources.DimStore.prune(spark, root, keep = 1)
+    assert(!new java.io.File(g1).exists(), "pruned generation must be gone")
+    assert(spark.read.parquet(ZOrder.zorderResolve(spark, root))
+      .count() == 22000)
+  }
+
+  test("versioned root: the compaction drip fires a reader-atomic " +
+    "rebuild — new generation, fresh ledgers, appends continue") {
+    val rnd = new scala.util.Random(53)
+    def batch(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong)).toDF("x", "y")
+    val root = java.nio.file.Files
+      .createTempDirectory("zverdrip").toString + "/t"
+    ZOrder.zorderWriteRankedVersioned(batch(20000), "x", "y", root,
+      bits = 16, numFiles = 8)
+    graft.Sessions.clearDecisions()
+    val picks = (1 to 16).map(_ => ZOrder.zorderAppendAuto(batch(500), root))
+    assert(picks.take(15).forall(_ == "append"), picks.toString)
+    assert(picks.last == "rebuild", picks.toString)
+    val live = ZOrder.zorderResolve(spark, root)
+    assert(live.endsWith("/v00002"),
+      s"auto-rebuild must publish the next generation, live=$live")
+    assert(spark.read.parquet(live).count() == 20000L + 16 * 500)
+    // a new generation starts with fresh ledgers (no appendlog at all)
+    assert(!new java.io.File(s"$live/_zmeta/appendlog").exists(),
+      "new generation must not inherit the append ledger")
+    assert(ZOrder.zorderAppendAuto(batch(500), root) == "append")
+  }
+
+  test("versioned root crash matrix: a torso generation is never " +
+    "served, its number is reused, and a lost flip falls back") {
+    val rnd = new scala.util.Random(59)
+    def batch(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong)).toDF("x", "y")
+    val root = java.nio.file.Files
+      .createTempDirectory("zvercrash").toString + "/t"
+    val g1 = ZOrder.zorderWriteRankedVersioned(batch(20000), "x", "y",
+      root, bits = 16, numFiles = 8)
+    // a rebuild killed mid-build: data landed, _zmeta never written —
+    // _SUCCESS exists (parquet wrote it) but the LAYER completeness
+    // (zIntegrity) correctly rejects the gutted generation
+    batch(10).write.parquet(s"$root/v00002")
+    assert(ZOrder.zorderResolve(spark, root) == g1,
+      "a generation without _zmeta must never be served")
+    // the next rebuild REUSES the torso's number and completes it
+    val g2 = ZOrder.zorderRebuildVersioned(spark, root)
+    assert(g2.endsWith("/v00002"))
+    assert(spark.read.parquet(g2).count() == 20000)
+    // lost flip: marker gone — resolve falls back to the highest
+    // COMPLETE generation, which is the one the flip was publishing
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      root, graft.sources.DimStore.Marker), false)
+    assert(ZOrder.zorderResolve(spark, root) == g2)
+  }
 }
