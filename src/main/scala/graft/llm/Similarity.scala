@@ -303,12 +303,15 @@ object Similarity {
     */
   def ivfQueryIndex(
       queries: DataFrame,
-      indexPath: String,
+      root: String,
       k: Int = 5,
       nprobe: Int = 4,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
+    // plan-time generation resolution (r18): a rebuild flipping the
+    // pointer mid-query never changes the files under this scan
+    val indexPath = ivfResolve(spark, root)
     val centroids = spark.read.parquet(s"$indexPath/centroids")
     // materialize the (tiny: queries × nprobe) probe relation ONCE — it
     // feeds both the IN-list collect and the final join, and without the
@@ -600,7 +603,22 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit = {
     val spark = newVecs.sparkSession
-    ivfPqRecoverIndex(spark, path)
+    // generation-versioned root (r18): appends land INSIDE the live
+    // generation (additive) and there is no swap state to recover;
+    // flat legacy roots keep the Swap recovery gate.
+    val live =
+      if (graft.sources.DimStore.isVersionedRoot(spark, path))
+        ivfResolve(spark, path)
+      else { ivfPqRecoverIndex(spark, path); path }
+    appendIndexInto(newVecs, live, vecCol, idCol)
+  }
+
+  private def appendIndexInto(
+      newVecs: DataFrame,
+      path: String,
+      vecCol: String,
+      idCol: String): Unit = {
+    val spark = newVecs.sparkSession
     // empty batches are a no-op: a ledger row for them would let idle
     // micro-batches alone drive the compaction trigger into a rebuild
     if (newVecs.isEmpty) return
@@ -654,6 +672,73 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     graft.Swap.recover(spark, path, ivfIntegrity, "ivfPqRecoverIndex")
 
+  // ——— GENERATION-VERSIONED roots: reader-ATOMIC rebuilds (r17 #7) ———
+  // Same adoption as the z-order layer (see ZOrder's section + the
+  // DEPLOY.md decision page): rebuilds publish a complete new
+  // generation (`$root/vNNNNN/{data,centroids,codebook,basecells}`)
+  // and flip `$root/_CURRENT`; readers resolve the pointer at plan
+  // time, so no quiesce window exists. Appends stay in-place inside
+  // the live generation; a fresh generation carries no `appendlog`,
+  // so the compaction ledger resets on rebuild for free.
+
+  /** IVF+PQ completeness as a [[graft.sources.DimStore.Complete]]:
+    * all four index subdirs present.
+    */
+  private val ivfComplete: graft.sources.DimStore.Complete =
+    (fs, dir) => ivfIntegrity(fs, dir.toString)
+
+  /** The live index directory of an IVF root: versioned roots resolve
+    * through `_CURRENT` (mid-flip crash falls back to the highest
+    * complete generation), flat legacy indexes resolve to themselves.
+    */
+  def ivfResolve(
+      spark: org.apache.spark.sql.SparkSession, root: String): String =
+    if (graft.sources.DimStore.isVersionedRoot(spark, root))
+      graft.sources.DimStore.currentPath(spark, root, ivfComplete)
+    else root
+
+  /** [[ivfPqWriteIndex]] into a fresh generation of a versioned root
+    * (creating the root on first call); returns the generation's
+    * immutable path.
+    */
+  def ivfPqWriteIndexVersioned(
+      corpus: DataFrame,
+      root: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      trainFraction: Option[Double] = None): String =
+    graft.sources.DimStore.publishWith(corpus.sparkSession, root,
+      ivfComplete)(dir => ivfPqWriteIndex(corpus, dir, nlist, m, ksub,
+      seed, vecCol, idCol, trainFraction))
+
+  /** Reader-atomic rebuild: refit quantizer + codebook on the live
+    * generation's current vectors (base + appends) into the NEXT
+    * generation and flip. Readers never quiesce; `keep` generations
+    * are retained for readers pinned to a superseded path.
+    */
+  def ivfPqRebuildVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      seed: Long = 42L,
+      keep: Int = 2): String = {
+    val live = graft.sources.DimStore.currentPath(spark, root, ivfComplete)
+    val meta = spark.read.parquet(s"$live/codebook").collect().head
+    val m = meta.getInt(0)
+    val ksub = meta.getInt(1)
+    val nlist = spark.read.parquet(s"$live/centroids").count().toInt
+    val corpus = spark.read.parquet(s"$live/data")
+      .select(col("neighbor_id"), col("cv"))
+    val out = graft.sources.DimStore.publishWith(spark, root, ivfComplete)(
+      dir => ivfPqWriteIndex(corpus, dir, nlist = nlist, m = m, ksub = ksub,
+        seed = seed, vecCol = "cv", idCol = "neighbor_id"))
+    graft.sources.DimStore.prune(spark, root, keep, ivfComplete)
+    out
+  }
+
   /** Rebuild a written IVF+PQ index from its own stored vectors —
     * refit the coarse quantizer and PQ codebook on the CURRENT corpus
     * (base + everything appended), write side-by-side under
@@ -671,6 +756,9 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       seed: Long = 42L): Unit = {
+    require(!graft.sources.DimStore.isVersionedRoot(spark, path),
+      s"$path is a generation-versioned root — use ivfPqRebuildVersioned " +
+        "(reader-atomic); the in-place swap is for flat legacy indexes")
     ivfPqRecoverIndex(spark, path)
     val meta = spark.read.parquet(s"$path/codebook").collect().head
     val m = meta.getInt(0)
@@ -745,31 +833,39 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id",
       maxAppendBatches: Long = 16L): String = {
-    ivfPqAppendIndex(newVecs, path, vecCol, idCol)
     val spark = newVecs.sparkSession
+    // resolve the generation ONCE: the append lands in it, the ledgers
+    // are read from it, and a fired rebuild publishes the NEXT
+    // generation (flat legacy roots: live == path, rebuild swaps)
+    val versioned = graft.sources.DimStore.isVersionedRoot(spark, path)
+    val live = if (versioned) ivfResolve(spark, path) else path
+    def rebuildNow(): Unit =
+      if (versioned) { ivfPqRebuildVersioned(spark, path, seed); () }
+      else ivfPqRebuildIndex(spark, path, seed)
+    ivfPqAppendIndex(newVecs, path, vecCol, idCol)
     // compaction axis (r16, mirrors zorderAppendAuto's third trigger):
     // per-cell file count grows ~1 per append batch — rebuild compacts
-    val logP = new org.apache.hadoop.fs.Path(s"$path/appendlog")
+    val logP = new org.apache.hadoop.fs.Path(s"$live/appendlog")
     val logFs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batches =
-      if (logFs.exists(logP)) spark.read.parquet(s"$path/appendlog").count()
+      if (logFs.exists(logP)) spark.read.parquet(s"$live/appendlog").count()
       else 0L
     if (batches >= maxAppendBatches) {
       graft.Sessions.recordDecision("ivfPqAppendAuto", batches.toDouble,
         maxAppendBatches.toDouble, s"rebuild(batches $batches)")
-      ivfPqRebuildIndex(spark, path, seed)
+      rebuildNow()
       return "rebuild"
     }
-    val baseP = new org.apache.hadoop.fs.Path(s"$path/basecells")
+    val baseP = new org.apache.hadoop.fs.Path(s"$live/basecells")
     val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(baseP)) {
       graft.Sessions.recordDecision("ivfPqAppendAuto", -1.0, rebuildThreshold,
         "append(nometa)")
       return "append(nometa)"
     }
-    val base = spark.read.parquet(s"$path/basecells")
+    val base = spark.read.parquet(s"$live/basecells")
     val nlist = base.count()
-    val now = spark.read.parquet(s"$path/data").groupBy("cell")
+    val now = spark.read.parquet(s"$live/data").groupBy("cell")
       .count().withColumnRenamed("count", "now_rows")
     val r = now.join(base, Seq("cell"), "left")
       .select(col("now_rows"),
@@ -792,7 +888,7 @@ object Similarity {
       if (bySignal) "rebuild(signal)"
       else if (bySkew) f"rebuild(skew=$skew%.1f)"
       else "append")
-    if (rebuild) { ivfPqRebuildIndex(spark, path, seed); "rebuild" }
+    if (rebuild) { rebuildNow(); "rebuild" }
     else "append"
   }
 
@@ -806,14 +902,16 @@ object Similarity {
     */
   def ivfPqQueryIndex(
       queries: DataFrame,
-      indexPath: String,
+      root: String,
       k: Int = 5,
       nprobe: Int = 4,
       rerankFactor: Int = 4,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
-    // NO recovery here: readers must not mutate (see ivfPqRecoverIndex)
+    // NO recovery here: readers must not mutate (see ivfPqRecoverIndex);
+    // versioned roots resolve to the live generation at plan time (r18)
+    val indexPath = ivfResolve(spark, root)
     val meta = spark.read.parquet(s"$indexPath/codebook").collect().head
     val m = meta.getInt(0)
     val ksub = meta.getInt(1)
@@ -900,7 +998,9 @@ object Similarity {
     val spark = queries.sparkSession
     val indexReady = indexPath.exists { p =>
       try {
-        val cp = new org.apache.hadoop.fs.Path(s"$p/centroids")
+        // versioned roots resolve to the live generation (throws when
+        // no complete generation exists → not ready, brute)
+        val cp = new org.apache.hadoop.fs.Path(s"${ivfResolve(spark, p)}/centroids")
         cp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cp)
       } catch { case scala.util.control.NonFatal(_) => false }
     }

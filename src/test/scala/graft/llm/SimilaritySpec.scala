@@ -455,8 +455,11 @@ class SimilaritySpec extends SparkSpec {
     assert(!fs.exists(fsp(s"$pB/_rebuild")))
     assert(results(pB) == live, "pre-commit crash must leave the live index")
 
-    // crash point C: swap finished, only the _old cleanup was lost
+    // crash point C: swap finished, only the _old cleanup was lost —
+    // displacement completed, so _CLEARED is present (an _old WITHOUT
+    // it is the pre-r17 legacy signature recover now refuses, r18)
     fs.mkdirs(fsp(s"$pB/_old/centroids"))
+    fs.create(fsp(s"$pB/_old/_CLEARED"), true).close()
     Similarity.ivfPqRecoverIndex(spark, pB)
     assert(!fs.exists(fsp(s"$pB/_old")))
     assert(results(pB) == live)
@@ -604,4 +607,71 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ——— generation-versioned roots: reader-atomic rebuilds (r17 #7) ———
+
+  test("versioned IVF root: write/resolve parity, in-place append, " +
+    "reader-atomic auto-rebuild with fresh ledgers, crash fallbacks") {
+    def gen(n: Long, idOffset: Long, activeFrom: Int) = {
+      val dims = (0 until 64).map { d =>
+        val g = randn(4321 + d)
+        (if (d >= activeFrom && d < activeFrom + 32) g else g * lit(0.02))
+          .cast("float")
+      }
+      spark.range(n).select((col("id") + idOffset).as("vec_id"),
+        array(dims: _*).as("embedding")).localCheckpoint()
+    }
+    val base = gen(1000L, 0L, 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("ivfver").toString + "/idx"
+    val g1 = Similarity.ivfPqWriteIndexVersioned(
+      base, root, nlist = 16, m = 16, ksub = 8)
+    assert(g1.endsWith("/v00001"))
+    assert(Similarity.ivfResolve(spark, root) == g1)
+    // reads resolve through the pointer: the query answers from gen 1
+    val q = base.filter(col("vec_id") < 4).localCheckpoint()
+    val out1 = Similarity.ivfPqQueryIndex(q, root, k = 3, nprobe = 4)
+    assert(out1.count() == 12)
+    // appends land INSIDE the live generation
+    Similarity.ivfPqAppendIndex(gen(200L, 1000000L, 0), root)
+    assert(spark.read.parquet(s"$g1/data").count() == 1200)
+    // drifted ingest fires the auto-rebuild, which must publish the
+    // NEXT generation (reader-atomic) and reset the append ledger
+    assert(Similarity.ivfPqAppendAuto(gen(500L, 2000000L, 32), root)
+      == "rebuild")
+    val live = Similarity.ivfResolve(spark, root)
+    assert(live.endsWith("/v00002"),
+      s"auto-rebuild must publish the next generation, live=$live")
+    assert(spark.read.parquet(s"$live/data").count() == 1700)
+    assert(!new java.io.File(s"$live/appendlog").exists(),
+      "new generation must not inherit the append ledger")
+    // the superseded generation stays fully readable (keep=2) with the
+    // content it held at supersession (base + both appends — appends
+    // mutate the LIVE generation; immutability starts at supersession)
+    assert(spark.read.parquet(s"$g1/data").count() == 1700)
+    // the in-place swap entry refuses versioned roots
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRebuildIndex(spark, root)
+    }
+    assert(e.getMessage.contains("ivfPqRebuildVersioned"))
+    // the rebuilt generation answers queries through the same root path
+    val out2 = Similarity.ivfPqQueryIndex(q, root, k = 3, nprobe = 4)
+    assert(out2.count() == 12)
+    // crash matrix: a gutted generation (missing subdirs) is never
+    // served; a lost flip falls back to the highest complete generation
+    gen(5L, 0L, 0).write.parquet(s"$root/v00003/data")
+    assert(Similarity.ivfResolve(spark, root) == live,
+      "a generation without all four subdirs must never be served")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      root, graft.sources.DimStore.Marker), false)
+    assert(Similarity.ivfResolve(spark, root) == live)
+    // simTopKAuto sees a versioned root as a ready index
+    graft.Sessions.clearDecisions()
+    val auto = Similarity.simTopKAuto(
+      base.filter(col("vec_id") < 30), base, k = 3,
+      indexPath = Some(root), queryThreshold = 8L)
+    assert(auto.count() > 0)
+    assert(graft.Sessions.decisions.last.choice == "ivfIndex")
+  }
 }
