@@ -478,6 +478,39 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.zorderAppendAuto(batch(500), root) == "append")
   }
 
+  test("versioned root: a reader RACING rebuilds never sees a partial " +
+    "layout — the atomicity claim under actual concurrency") {
+    // the exact scenario the in-place swap contractually cannot survive
+    // (displace/move-in exposes a partial, momentarily empty file set —
+    // Swap's scaladoc): a reader loop resolving + scanning while
+    // rebuilds land under it. With generation dirs every resolve pins
+    // one immutable directory, and keep=2 retention outlives any scan
+    // that started within the previous rebuild cycle.
+    val rnd = new scala.util.Random(61)
+    val root = java.nio.file.Files
+      .createTempDirectory("zverrace").toString + "/t"
+    ZOrder.zorderWriteRankedVersioned(
+      Seq.fill(20000)((rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+        .toDF("x", "y"), "x", "y", root, bits = 16, numFiles = 8)
+    @volatile var stop = false
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val scans = new java.util.concurrent.atomic.AtomicLong
+    val reader = new Thread(() => {
+      try while (!stop) {
+        val n = spark.read.parquet(ZOrder.zorderResolve(spark, root)).count()
+        if (n != 20000) throw new AssertionError(s"partial read: $n rows")
+        scans.incrementAndGet(); ()
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    try (1 to 3).foreach(_ => ZOrder.zorderRebuildVersioned(spark, root))
+    finally { stop = true; reader.join(30000) }
+    assert(failure.get() == null,
+      s"racing reader failed: ${Option(failure.get()).map(_.toString)}")
+    assert(scans.get() >= 3, s"reader only completed ${scans.get()} scans")
+    assert(ZOrder.zorderResolve(spark, root).endsWith("/v00004"))
+  }
+
   test("versioned root crash matrix: a torso generation is never " +
     "served, its number is reused, and a lost flip falls back") {
     val rnd = new scala.util.Random(59)
