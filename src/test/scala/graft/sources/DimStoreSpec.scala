@@ -126,6 +126,33 @@ class DimStoreSpec extends SparkSpec {
     assert(DimStore.publish(dim(1L -> "next"), root).endsWith("/v100001"))
   }
 
+  test("publishWith: the marker never flips to a build that fails the " +
+    "layer's completeness gate; the failed torso's number is reused") {
+    val root = tmpRoot("pubwith")
+    // a layer with its own completeness sidecar (one root, ONE gate —
+    // mixing gates on a root would misclassify real versions as torsos)
+    val gate: DimStore.Complete =
+      (f, dir) => f.exists(new Path(dir, "_LAYER_OK"))
+    // build crashes conceptually: data written, sidecar never lands —
+    // publishWith must refuse to flip and the root stays unservable
+    val e = intercept[IllegalArgumentException] {
+      DimStore.publishWith(spark, root, gate)(dir =>
+        dim(1L -> "half").write.parquet(dir))
+    }
+    assert(e.getMessage.contains("INCOMPLETE"))
+    intercept[IllegalArgumentException] {
+      DimStore.currentPath(spark, root, gate)
+    }
+    // the next publish REUSES the torso's number and completes it
+    val p1 = DimStore.publishWith(spark, root, gate) { dir =>
+      dim(1L -> "whole").write.parquet(dir)
+      fs.create(new Path(s"$dir/_LAYER_OK"), true).close()
+    }
+    assert(p1.endsWith("/v00001"), s"torso number must be reused, got $p1")
+    assert(DimStore.currentPath(spark, root, gate) == p1)
+    assert(spark.read.parquet(p1).head().getString(1) == "whole")
+  }
+
   test("currentPath tolerates a vanishing marker (publish's delete -> " +
     "rename gap): no exists/open race, falls back cleanly") {
     val root = tmpRoot("toctou")
