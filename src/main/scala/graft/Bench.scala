@@ -51,6 +51,28 @@ object Bench {
       try force(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
+    // Ramp pin (r18 VERDICT #3): q_corpus_clusters' ledger row showed a
+    // 2× spread across QUIET epochs (judge anchors 2.90/4.06 s vs
+    // builder 2.0–2.5 s), blinding the 1.5× regression flag for that
+    // row two rounds running. Instrumented attribution (ProfileQuery
+    // per-rep job counts, r19): the query runs only 10 jobs — not
+    // job-floor-bound — but is the suite's ONLY MLlib k-means user, so
+    // its hot loops ride a C2 compilation ramp 8–12 reps long
+    // (monotonic 3.8 → 2.2 s fresh-JVM descent, SCALE.md r18) that the
+    // sf0.001 warmup's trivial sizes barely advance. The suite's single
+    // timed rep therefore samples a STEEP ramp segment whose position
+    // varies with JVM-global compile state — exactly the observed
+    // spread. One untimed rep at the bench SF moves the timed rep onto
+    // the plateau (intra-JVM plateau spread measured ≤1.3×), at ~2.5 s
+    // suite cost. Scoped to the ramp-bound query so every other row
+    // keeps the cold-at-SF methodology the ledger medians were built
+    // on; the pinned row lands inside the existing quiet median band
+    // (~2.2–2.5 s), so no ledger discontinuity.
+    Seq("q_corpus_clusters").foreach { n =>
+      if (names.contains(n))
+        try force(SparkEntry.queries(n)(spark, sfDir))
+        catch { case _: Throwable => () }
+    }
     // Epoch tag (r17 VERDICT #4): BENCH_HISTORY medians are only as
     // honest as the epochs behind them — a contended driver row (545 s
     // vs 134 s idle in r17) dragging the ledger median up blinds the
@@ -70,7 +92,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calib() // once untimed: whole-stage-codegen compile out of the tag
-    val calibSec = calib()
+    val calibOpen = calib()
     // Once-per-corpus provisioning (IVF index writes) runs UNTIMED —
     // an ingest pipeline pays these at ingest, not per query, and the
     // bench methodology runs each query exactly once, so leaving them
@@ -99,6 +121,15 @@ object Bench {
       // fast run
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // Closing calibration (r18 VERDICT #7): the opening tag alone
+    // leaves a blind window — a box that becomes contended MID-suite
+    // after a clean calibration gets a clean tag on a dirty row (the
+    // r18 156.0 s row was caught only because contention overlapped
+    // calibration). Re-measuring the same fixed job at suite END and
+    // stamping max(open, close) bounds the window: contention anywhere
+    // in [open, close] that persists to either endpoint lands in the
+    // tag. ~2 s cost on an idle box.
+    val calibSec = epochTag(calibOpen, calib())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -167,6 +198,16 @@ object Bench {
         } finally lockCh.close()
       } catch { case scala.util.control.NonFatal(_) => () }
     }
+
+  /** The epoch tag from the opening and closing calibration runs: the
+    * MAX — a row is only as clean as its dirtiest calibrated endpoint,
+    * so contention at suite start OR suite end both surface (an
+    * average would dilute a dirty close behind a clean open and could
+    * sneak a half-contended row under the 1.5× exclusion bound).
+    * BenchSpec pins this.
+    */
+  private[graft] def epochTag(open: Double, close: Double): Double =
+    math.max(open, close)
 
   /** The tail-capture-safe stdout ledger line: entries sorted by seconds
     * descending (failures, -1, always FIRST — a crashed query must never

@@ -861,6 +861,37 @@ object SparkEntry {
       "l_partkey", "l_suppkey", bits = 16, zName = "zvalue")
       .select(col("l_orderkey"), col("l_linenumber"), col("zvalue"))
 
+  /** Write (once per process+dir) the generation-versioned z-order root
+    * q_zorder_versioned reads — the ingest-time step, split out so
+    * Bench provisions it untimed (same rationale as
+    * [[provisionSimTopkAuto]]). Returns the root.
+    */
+  private[graft] def provisionZorderVersioned(s: SparkSession, dir: String): String = {
+    val dirTag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_zver_fixture_${ProcessHandle.current().pid()}_$dirTag"
+    if (!graft.sources.DimStore.isVersionedRoot(s, root))
+      graft.functions.ZOrder.zorderWriteRankedVersioned(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", root, bits = 16)
+    root
+  }
+
+  /** The VERSIONED-root read path on the bench ledger (r18 VERDICT #6):
+    * resolve `_CURRENT` at plan time (the 0.72 ms/resolve the
+    * VersionedRootProbe measured — now a ledger row, so a resolve-cost
+    * regression lands in BENCH_HISTORY, not just the probe) and scan
+    * the live generation. The generation stores zorderWriteRanked's
+    * layout, whose z is bit-identical to q_zorder_ranked's — shared
+    * oracle.
+    */
+  private def qZorderVersioned(s: SparkSession, dir: String): DataFrame = {
+    val root = provisionZorderVersioned(s, dir)
+    s.read.parquet(graft.functions.ZOrder.zorderResolve(s, root))
+      .select(col("l_orderkey"), col("l_linenumber"), col("z").as("zvalue"))
+  }
+
   /** Benchmark decontamination with the broadcast-Bloom prefilter —
     * same relation as q_decontaminate (shared oracle), ~1/contamination
     * of the shingle shuffle at scale.
@@ -1787,7 +1818,9 @@ object SparkEntry {
     * ingest pipeline where index maintenance is not on the query path.
     */
   private[graft] val provisions: Map[String, (SparkSession, String) => Unit] =
-    Map("q_sim_topk_auto" -> ((s, dir) => { provisionSimTopkAuto(s, dir); () }))
+    Map(
+      "q_sim_topk_auto" -> ((s, dir) => { provisionSimTopkAuto(s, dir); () }),
+      "q_zorder_versioned" -> ((s, dir) => { provisionZorderVersioned(s, dir); () }))
 
   private def qSimTopkAuto(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -2732,6 +2765,7 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_zorder_scaled" -> (qZorderScaled _),
     "q_zorder_ranked" -> (qZorderRanked _),
+    "q_zorder_versioned" -> (qZorderVersioned _),
     "q_bloom_decontaminate" -> (qBloomDecontaminate _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_funnel" -> (qFunnel _),
@@ -2906,7 +2940,7 @@ object SparkEntry {
     "q_stats_profile", "q_lm_score", "q_top_ngrams", "q_sim_pq",
     "q18_large_orders", "q_fuzzy_match", "q_retention_cohort",
     "q_bloom_decontaminate", "q_decontam_auto", "q_zorder",
-    "q_zorder_ranked", "q_funnel",
+    "q_zorder_ranked", "q_zorder_versioned", "q_funnel",
     "q_resample",
     "q10_returned_customers", "q7_volume_shipping", "q_window_suite",
     "q_boilerplate", "q_oov_rate", "q_semantic_dedup", "q_mad", "q_scd2",
@@ -5070,5 +5104,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "q_sim_topk_auto" -> oracleSqlBase("q_sim_topk"),
     "q_range_lookup_auto" -> oracleSqlBase("q_range_lookup"),
-    "q_stream_auto_state" -> oracleSqlBase("q_stream_hopping_pivot"))
+    "q_stream_auto_state" -> oracleSqlBase("q_stream_hopping_pivot"),
+    // the versioned-root read path stores zorderWriteRanked's layout,
+    // whose z is bit-identical to the ranked construction — roundtrip
+    // through publish/resolve/scan must reproduce it exactly
+    "q_zorder_versioned" -> oracleSqlBase("q_zorder_ranked"))
 }

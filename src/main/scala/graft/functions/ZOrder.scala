@@ -616,10 +616,17 @@ object ZOrder {
   // roots keep the Swap path; every entry point takes either layout.
 
   /** z-order completeness as a [[graft.sources.DimStore.Complete]]:
-    * a servable generation has its `_zmeta` and ≥ 1 data file.
+    * a servable generation has its `_zmeta`, ≥ 1 data file, AND the
+    * terminal [[graft.sources.DimStore.GenMarker]]. The marker is
+    * load-bearing: writeZMeta lands meta/xbounds/ybounds/basebuckets
+    * as four separate jobs after the data write, so a crash after the
+    * data + `meta` jobs leaves a generation that an existence-only
+    * gate judges complete but whose appends/auto-decisions fail on
+    * the missing sidecars (r18 ADVICE — same class as the IVF gate).
+    * Build closures stamp the marker after ALL `_zmeta` children land.
     */
   private val zComplete: graft.sources.DimStore.Complete =
-    (fs, dir) => zIntegrity(fs, dir.toString)
+    graft.sources.DimStore.stamped((fs, dir) => zIntegrity(fs, dir.toString))
 
   /** The live data directory of a z-order root: versioned roots
     * resolve through `_CURRENT` (mid-flip crash falls back to the
@@ -645,8 +652,11 @@ object ZOrder {
       root: String,
       bits: Int = 16,
       numFiles: Int = 0): String =
-    graft.sources.DimStore.publishWith(df.sparkSession, root, zComplete)(
-      dir => zorderWriteRanked(df, xCol, yCol, dir, bits, numFiles))
+    graft.sources.DimStore.publishWith(df.sparkSession, root, zComplete) {
+      dir =>
+        zorderWriteRanked(df, xCol, yCol, dir, bits, numFiles)
+        graft.sources.DimStore.stamp(df.sparkSession, dir) // terminal
+    }
 
   /** Reader-atomic rebuild: re-cluster the live generation's current
     * rows (base + appends) into the NEXT generation and flip. Readers
@@ -665,8 +675,11 @@ object ZOrder {
     // scans re-read the live generation's files, which are immutable —
     // here not even a later rename can touch them before prune
     val current = spark.read.parquet(live).drop("z")
-    val out = graft.sources.DimStore.publishWith(spark, root, zComplete)(
-      dir => zorderWriteRanked(current, xCol, yCol, dir, bits))
+    val out = graft.sources.DimStore.publishWith(spark, root, zComplete) {
+      dir =>
+        zorderWriteRanked(current, xCol, yCol, dir, bits)
+        graft.sources.DimStore.stamp(spark, dir) // terminal artifact
+    }
     graft.sources.DimStore.prune(spark, root, keep, zComplete)
     out
   }

@@ -682,10 +682,19 @@ object Similarity {
   // so the compaction ledger resets on rebuild for free.
 
   /** IVF+PQ completeness as a [[graft.sources.DimStore.Complete]]:
-    * all four index subdirs present.
+    * all four index subdirs present AND the generation's terminal
+    * [[graft.sources.DimStore.GenMarker]]. The marker matters: the
+    * index is written by four jobs and Spark creates each output dir
+    * at job setup, so a build crashed during the LAST job leaves all
+    * four dirs present with only `_temporary` content — an existence-
+    * only gate would classify that torso COMPLETE, let currentPath's
+    * lost-marker fallback serve it, and spend a prune retention slot
+    * on it (r18 ADVICE). The build closures stamp the marker as their
+    * final step, so completeness is witnessed by a terminal artifact,
+    * not directory existence.
     */
   private val ivfComplete: graft.sources.DimStore.Complete =
-    (fs, dir) => ivfIntegrity(fs, dir.toString)
+    graft.sources.DimStore.stamped((fs, dir) => ivfIntegrity(fs, dir.toString))
 
   /** The live index directory of an IVF root: versioned roots resolve
     * through `_CURRENT` (mid-flip crash falls back to the highest
@@ -712,8 +721,11 @@ object Similarity {
       idCol: String = "vec_id",
       trainFraction: Option[Double] = None): String =
     graft.sources.DimStore.publishWith(corpus.sparkSession, root,
-      ivfComplete)(dir => ivfPqWriteIndex(corpus, dir, nlist, m, ksub,
-      seed, vecCol, idCol, trainFraction))
+      ivfComplete) { dir =>
+      ivfPqWriteIndex(corpus, dir, nlist, m, ksub, seed, vecCol, idCol,
+        trainFraction)
+      graft.sources.DimStore.stamp(corpus.sparkSession, dir) // terminal
+    }
 
   /** Reader-atomic rebuild: refit quantizer + codebook on the live
     * generation's current vectors (base + appends) into the NEXT
@@ -732,9 +744,12 @@ object Similarity {
     val nlist = spark.read.parquet(s"$live/centroids").count().toInt
     val corpus = spark.read.parquet(s"$live/data")
       .select(col("neighbor_id"), col("cv"))
-    val out = graft.sources.DimStore.publishWith(spark, root, ivfComplete)(
-      dir => ivfPqWriteIndex(corpus, dir, nlist = nlist, m = m, ksub = ksub,
-        seed = seed, vecCol = "cv", idCol = "neighbor_id"))
+    val out = graft.sources.DimStore.publishWith(spark, root, ivfComplete) {
+      dir =>
+        ivfPqWriteIndex(corpus, dir, nlist = nlist, m = m, ksub = ksub,
+          seed = seed, vecCol = "cv", idCol = "neighbor_id")
+        graft.sources.DimStore.stamp(spark, dir) // terminal artifact
+    }
     graft.sources.DimStore.prune(spark, root, keep, ivfComplete)
     out
   }

@@ -34,8 +34,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * flip a pointer" discipline DEPLOY.md prescribes — now a primitive
   * instead of a convention.
   *
-  * Crash matrix (single WRITER — same contract as [[graft.Swap]];
-  * readers are always safe):
+  * Crash matrix (single WRITER — same contract as [[graft.Swap]],
+  * now runtime-ENFORCED by the [[WriterLock]] tripwire; readers are
+  * always safe). A writer that died at ANY point leaves the lock
+  * behind, so the re-publish throws until the dead writer is
+  * confirmed and the lock cleared — detection, deliberately, over
+  * silently proceeding into a possibly-live writer's build:
   *  - died mid-data-write → highest version lacks `_SUCCESS`; the
   *    marker still names the old version, which is served unchanged;
   *    the torso is overwritten by the next publish of that number.
@@ -52,6 +56,37 @@ object DimStore {
   // version numbering never silently stops at v99999.
   private val VersionRe = "^v(\\d{5,})$".r
 
+  /** Terminal completion artifact for MULTI-JOB version layouts. A
+    * single-job parquet version's `_SUCCESS` is already its terminal
+    * artifact, but a layered layout (an IVF index's four subdirs, a
+    * z-order generation's `_zmeta` sidecars) is written by several
+    * jobs, and Spark creates each output directory at job SETUP —
+    * before any file commits. An existence-only completeness gate
+    * (`all subdirs present`) therefore classifies a build that crashed
+    * during its LAST job as complete: every dir exists, the last holds
+    * only `_temporary` content (r18 ADVICE). Layers close this by
+    * stamping [[GenMarker]] as the FINAL step of their build closure
+    * and gating through [[stamped]], which requires the marker IN
+    * ADDITION to the layer's structural check — a crash anywhere in
+    * the build leaves no marker, so the torso is never judged
+    * complete, its number is reused by the next publish, and
+    * [[currentPath]]'s lost-marker fallback can never serve it.
+    */
+  val GenMarker = "_GEN_COMPLETE"
+
+  /** Single-writer tripwire (r18 VERDICT #5): two concurrent
+    * [[publishWith]] calls compute the same `next` from the same
+    * complete-version listing, then both delete + build into the SAME
+    * version directory — interleaved writers corrupt the build, and
+    * the completeness gate can pass on the union of two half-builds.
+    * The lock file turns that silent corruption into a throw at the
+    * second writer's entry. Create-exclusive is atomic on HDFS and
+    * local filesystems; on stores without atomic create (S3 without
+    * conditional writes) this degrades to best-effort detection — a
+    * tripwire for the documented single-writer contract, not a mutex.
+    */
+  val WriterLock = "_WRITER_LOCK"
+
   /** Layer-pluggable completeness: what makes a version dir SERVABLE.
     * The default (parquet's `_SUCCESS`) fits plain-DataFrame versions;
     * layers with richer layouts (a z-order generation needs its
@@ -62,6 +97,22 @@ object DimStore {
   type Complete = (FileSystem, Path) => Boolean
   val SuccessComplete: Complete =
     (fs, dir) => fs.exists(new Path(dir, "_SUCCESS"))
+
+  /** Require the layer's structural check AND the [[GenMarker]]
+    * terminal artifact — the completeness gate for multi-job layouts
+    * (see GenMarker's crash rationale). Build closures stamp the
+    * marker with [[stamp]] as their last step.
+    */
+  def stamped(layer: Complete): Complete =
+    (fs, dir) => fs.exists(new Path(dir, GenMarker)) && layer(fs, dir)
+
+  /** Write the [[GenMarker]] terminal artifact — the build closure's
+    * FINAL step for layouts gated through [[stamped]].
+    */
+  def stamp(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.create(new Path(dir, GenMarker), true).close()
+  }
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,11 +148,26 @@ object DimStore {
     * pin the returned path instead of re-resolving the root.
     * `numFiles` > 0 sizes the layout (a broadcast-sized dim wants few
     * files; default leaves the input partitioning).
+    *
+    * Retention is WIRED, not manual (r18 VERDICT #4): after the flip,
+    * versions older than the newest `keep` are retired — the
+    * continuously-published dim posture (`sinkChangelogWith` re-
+    * publishing on every CDC batch) would otherwise grow the root by
+    * one complete version per publish, unbounded on exactly the path
+    * the store was built for. Same default as the index layers'
+    * rebuilds (keep=2: the live version plus one predecessor for
+    * readers pinned to a superseded path — a reader's pin outlives
+    * exactly one publish, which a per-micro-batch [[read]] always
+    * satisfies). `keep = 0` disables auto-prune for roots whose old
+    * versions are retired on an external cadence.
     */
-  def publish(df: DataFrame, root: String, numFiles: Int = 0): String = {
+  def publish(df: DataFrame, root: String, numFiles: Int = 0,
+      keep: Int = 2): String = {
     val sized = if (numFiles > 0) df.repartition(numFiles) else df
-    publishWith(df.sparkSession, root)(dir =>
+    val out = publishWith(df.sparkSession, root)(dir =>
       sized.write.mode("overwrite").parquet(dir)) // _SUCCESS = complete
+    if (keep > 0) prune(df.sparkSession, root, keep)
+    out
   }
 
   /** [[publish]] with the version CONTENT written by the caller — the
@@ -118,28 +184,61 @@ object DimStore {
       root: String,
       complete: Complete = SuccessComplete)(build: String => Unit): String = {
     val fs = fsOf(spark, root)
-    // next from COMPLETE versions only: a crashed torso (data dir that
-    // fails `complete`) is reused and overwritten by the next publish —
-    // the crash-matrix claim above — instead of lingering until prune.
-    val next = versions(fs, root).filter(v => complete(fs, v._2))
-      .lastOption.map(_._1 + 1).getOrElse(1)
-    val name = f"v$next%05d"
-    val dir = s"$root/$name"
-    fs.delete(new Path(dir), true) // clear a reused torso's half-build
-    build(dir)
-    require(complete(fs, new Path(dir)),
-      s"DimStore.publishWith: build left $dir INCOMPLETE — refusing to " +
-        "flip the marker; readers keep the previous version")
-    val tmp = new Path(root, s"$Marker.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(name.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(root, Marker)
-    fs.delete(dst, false)
-    require(fs.rename(tmp, dst),
-      s"DimStore.publish: marker rename $tmp -> $dst FAILED (filesystem " +
-        "returned false) — data is intact, readers fall back to the " +
-        "highest complete version; re-run publish")
-    dir
+    // single-writer tripwire (see WriterLock): create-exclusive — a
+    // second in-flight publish fails HERE, before it can race the
+    // version allocation below. Released on every non-crash exit (the
+    // lock guards concurrency, not crash state); a writer that died
+    // hard leaves it behind, and the throw's message says how to clear
+    // it once the dead writer is confirmed gone.
+    fs.mkdirs(new Path(root))
+    val lock = new Path(root, WriterLock)
+    val lockOut =
+      try fs.create(lock, false)
+      catch { case e: java.io.IOException =>
+        val holder =
+          try {
+            val in = fs.open(lock)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          } catch { case _: java.io.IOException => "<unreadable>" }
+        throw new IllegalStateException(
+          s"DimStore.publishWith: $lock exists (held by $holder) — " +
+            "another publish is in flight against this root, which the " +
+            "single-writer contract forbids (two writers allocate the " +
+            "same version number and interleave into one directory). " +
+            "If the holder crashed, delete the lock file and re-publish.",
+          e)
+      }
+    try lockOut.write(
+      s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}"
+        .getBytes("UTF-8"))
+    finally lockOut.close()
+    try {
+      // next from COMPLETE versions only: a crashed torso (data dir that
+      // fails `complete`) is reused and overwritten by the next publish —
+      // the crash-matrix claim above — instead of lingering until prune.
+      val next = versions(fs, root).filter(v => complete(fs, v._2))
+        .lastOption.map(_._1 + 1).getOrElse(1)
+      val name = f"v$next%05d"
+      val dir = s"$root/$name"
+      fs.delete(new Path(dir), true) // clear a reused torso's half-build
+      build(dir)
+      require(complete(fs, new Path(dir)),
+        s"DimStore.publishWith: build left $dir INCOMPLETE — refusing to " +
+          "flip the marker; readers keep the previous version")
+      val tmp = new Path(root, s"$Marker.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(name.getBytes("UTF-8")) finally out.close()
+      val dst = new Path(root, Marker)
+      fs.delete(dst, false)
+      require(fs.rename(tmp, dst),
+        s"DimStore.publish: marker rename $tmp -> $dst FAILED (filesystem " +
+          "returned false) — data is intact, readers fall back to the " +
+          "highest complete version; re-run publish")
+      dir
+    } finally {
+      fs.delete(lock, false); ()
+    }
   }
 
   /** The live version's path: the marker's target when it names a

@@ -54,4 +54,15 @@ class BenchSpec extends AnyFunSuite {
     assert(json.get("queries").get("q_a").asDouble == 1.235)
     assert(json.get("value").asDouble == 1.335)
   }
+
+  test("epoch tag is the MAX of opening and closing calibration — " +
+    "contention at either suite endpoint surfaces in the tag") {
+    // clean open, contended close (the mid-suite blind window the
+    // closing calibration exists to bound) — the dirty endpoint wins
+    assert(Bench.epochTag(2.2, 7.9) == 7.9)
+    // contended open, clean close (contention decayed) — still tagged
+    assert(Bench.epochTag(218.7, 2.3) == 218.7)
+    // idle both ends: the tag is the floor-scale number
+    assert(Bench.epochTag(2.2, 2.3) == 2.3)
+  }
 }

@@ -486,6 +486,15 @@ class ZOrderSpec extends SparkSpec {
     // rebuilds land under it. With generation dirs every resolve pins
     // one immutable directory, and keep=2 retention outlives any scan
     // that started within the previous rebuild cycle.
+    //
+    // SCOPE (r18 ADVICE): the atomicity claim is REBUILD-only. Appends
+    // mutate the live generation in place — tolerated ADDITIVE
+    // visibility, same as appending files to any flat parquet table —
+    // so a reader racing an APPEND can see the batch partially
+    // committed, and this test's fixed-row-count assertion would be
+    // wrong with concurrent appends in the loop. Rebuilds are the only
+    // operation the generation protocol promises atomicity for; that
+    // is what this test races.
     val rnd = new scala.util.Random(61)
     val root = java.nio.file.Files
       .createTempDirectory("zverrace").toString + "/t"
@@ -537,5 +546,35 @@ class ZOrderSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(
       root, graft.sources.DimStore.Marker), false)
     assert(ZOrder.zorderResolve(spark, root) == g2)
+  }
+
+  test("versioned root: a build crashed between the data write and the " +
+    "last _zmeta sidecar — structurally 'complete' to an existence " +
+    "gate — is rejected by the terminal marker (r18 ADVICE)") {
+    val rnd = new scala.util.Random(67)
+    def batch(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong)).toDF("x", "y")
+    val root = java.nio.file.Files
+      .createTempDirectory("zvergut").toString + "/t"
+    val g1 = ZOrder.zorderWriteRankedVersioned(batch(5000), "x", "y",
+      root, bits = 16, numFiles = 4)
+    // the crash state the r18 ADVICE named: data parquet landed and
+    // `_zmeta` exists (meta written, xbounds/ybounds/basebuckets jobs
+    // never finished) — zIntegrity alone would pass this, and appends
+    // against it would fail on the missing sidecars
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batch(100).write.parquet(s"$root/v00002")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v00002/_zmeta"))
+    assert(ZOrder.zorderResolve(spark, root) == g1,
+      "a marker-less generation must never be served")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      root, graft.sources.DimStore.Marker), false)
+    assert(ZOrder.zorderResolve(spark, root) == g1,
+      "lost-marker fallback must skip a marker-less generation too")
+    // the next rebuild reuses the torso's number and completes it
+    val g2 = ZOrder.zorderRebuildVersioned(spark, root)
+    assert(g2.endsWith("/v00002"))
+    assert(spark.read.parquet(g2).count() == 5000)
   }
 }

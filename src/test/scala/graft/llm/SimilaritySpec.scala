@@ -674,4 +674,37 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.count() > 0)
     assert(graft.Sessions.decisions.last.choice == "ivfIndex")
   }
+
+  test("versioned IVF root: a build crashed during its LAST job — all " +
+    "four subdirs present, no terminal marker — is a torso, not a " +
+    "complete generation (existence-only gate defect, r18 ADVICE)") {
+    val base = spark.range(500).select(col("id").as("vec_id"),
+      array((0 until 16).map(d => randn(100 + d).cast("float")): _*)
+        .as("embedding")).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("ivfgut").toString + "/idx"
+    val g1 = Similarity.ivfPqWriteIndexVersioned(
+      base, root, nlist = 4, m = 4, ksub = 8)
+    // fabricate the crash state Spark actually produces: every output
+    // dir exists (created at job SETUP), the last-written one holds
+    // only uncommitted content — no data files, no GenMarker
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sub <- Seq("data", "centroids", "codebook", "basecells"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v00002/$sub"))
+    // the gutted torso is never served — by the marker, not by luck
+    assert(Similarity.ivfResolve(spark, root) == g1)
+    // ...even when the flip is ALSO lost (the lost-marker fallback the
+    // r18 ADVICE showed could serve the torso under the old gate)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      root, graft.sources.DimStore.Marker), false)
+    assert(Similarity.ivfResolve(spark, root) == g1,
+      "lost-marker fallback must skip a marker-less generation")
+    // and the next publish REUSES the torso's number (no retention slot
+    // spent on it)
+    val g2 = Similarity.ivfPqRebuildVersioned(spark, root)
+    assert(g2.endsWith("/v00002"), s"torso number must be reused, got $g2")
+    assert(Similarity.ivfResolve(spark, root) == g2)
+    assert(spark.read.parquet(s"$g2/data").count() == 500)
+  }
 }

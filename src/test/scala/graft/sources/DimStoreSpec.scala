@@ -85,9 +85,11 @@ class DimStoreSpec extends SparkSpec {
   test("prune keeps the newest `keep` complete versions plus current, " +
     "removes older ones and torsos") {
     val root = tmpRoot("prune")
-    DimStore.publish(dim(1L -> "a"), root)
-    DimStore.publish(dim(1L -> "b"), root)
-    DimStore.publish(dim(1L -> "c"), root)
+    // keep=0 disables publish-side auto-prune so the manual-prune
+    // contract is exercised on a root holding all three versions
+    DimStore.publish(dim(1L -> "a"), root, keep = 0)
+    DimStore.publish(dim(1L -> "b"), root, keep = 0)
+    DimStore.publish(dim(1L -> "c"), root, keep = 0)
     // a torso ABOVE every complete version (a publisher killed mid-write
     // after v3): lingers only until prune, never served
     dim(1L -> "HALF").write.parquet(s"$root/v00004")
@@ -151,6 +153,75 @@ class DimStoreSpec extends SparkSpec {
     assert(p1.endsWith("/v00001"), s"torso number must be reused, got $p1")
     assert(DimStore.currentPath(spark, root, gate) == p1)
     assert(spark.read.parquet(p1).head().getString(1) == "whole")
+  }
+
+  test("publish auto-prunes: continuous publishes keep the root bounded " +
+    "at `keep` versions, and a reader pinned across ONE publish " +
+    "survives the prune window") {
+    val root = tmpRoot("autoprune")
+    DimStore.publish(dim(1L -> "a"), root) // default keep=2
+    val p2 = DimStore.publish(dim(1L -> "b"), root)
+    // pin p2 (the per-micro-batch read posture: a pin outlives at most
+    // one publish), then publish v3 — auto-prune retires v1 only
+    val p3 = DimStore.publish(dim(1L -> "c"), root)
+    val left = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("v")).sorted
+    assert(left.sameElements(Array("v00002", "v00003")),
+      s"auto-prune must bound the root at keep=2, got ${left.mkString(",")}")
+    assert(spark.read.parquet(p2).head().getString(1) == "b",
+      "the pinned superseded version must survive the prune window")
+    assert(DimStore.currentPath(spark, root) == p3)
+    // keep=0 disables: the next two publishes accumulate
+    DimStore.publish(dim(1L -> "d"), root, keep = 0)
+    DimStore.publish(dim(1L -> "e"), root, keep = 0)
+    assert(fs.listStatus(new Path(root))
+      .count(_.getPath.getName.startsWith("v")) == 4)
+  }
+
+  test("single-writer tripwire: a second in-flight publish throws at " +
+    "entry instead of interleaving into the same version directory") {
+    val root = tmpRoot("lock")
+    DimStore.publish(dim(1L -> "a"), root)
+    // writer 1 enters publishWith and parks inside its build closure;
+    // writer 2 must fail fast with the contract message
+    val w1Entered = new java.util.concurrent.CountDownLatch(1)
+    val w1Release = new java.util.concurrent.CountDownLatch(1)
+    val w1 = new Thread(() => {
+      DimStore.publishWith(spark, root) { dir =>
+        w1Entered.countDown()
+        w1Release.await()
+        dim(1L -> "b").write.parquet(dir)
+      }
+      ()
+    })
+    w1.start()
+    w1Entered.await()
+    val e = intercept[IllegalStateException] {
+      DimStore.publish(dim(1L -> "RACER"), root)
+    }
+    assert(e.getMessage.contains("single-writer"))
+    w1Release.countDown()
+    w1.join()
+    // writer 1 finished cleanly: lock released, root publishable again
+    assert(!fs.exists(new Path(root, DimStore.WriterLock)))
+    val p3 = DimStore.publish(dim(1L -> "c"), root)
+    assert(DimStore.currentPath(spark, root) == p3)
+  }
+
+  test("writer lock is released when the build FAILS (the lock guards " +
+    "concurrency, not crash state)") {
+    val root = tmpRoot("lockfail")
+    intercept[RuntimeException] {
+      DimStore.publishWith(spark, root)(_ => throw new RuntimeException("boom"))
+    }
+    assert(!fs.exists(new Path(root, DimStore.WriterLock)),
+      "a failed (non-crashed) build must release the lock")
+    // and a STALE lock (hard-crashed writer) is detected, not raced
+    fs.create(new Path(root, DimStore.WriterLock), true).close()
+    val e = intercept[IllegalStateException] {
+      DimStore.publish(dim(1L -> "x"), root)
+    }
+    assert(e.getMessage.contains("delete the lock"))
   }
 
   test("currentPath tolerates a vanishing marker (publish's delete -> " +

@@ -42,6 +42,20 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
+    // Per-rep Spark-job counter: iterative queries (MLlib k-means fit,
+    // star contraction) run DOZENS of sub-100 ms jobs, so their wall is
+    // jobs × scheduling floor, not bytes — the job count makes that
+    // attribution visible per rep (r18 VERDICT #3: q_corpus_clusters'
+    // 2× in-suite spread needed a variance-source instrument).
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      })
+
     for (name <- names) {
       val q = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name' — see SparkEntry.queries"))
@@ -64,9 +78,14 @@ object ProfileQuery {
         // count), scales with the query's own input for derived
         // sf10/sf100 runs — the no-knob posture DEPLOY.md prescribes
         graft.Sessions.autosizeFor(df)
+        jobCount.set(0L)
         force(df)
+        val jobs = jobCount.get() // listener lag ≲ a few events; jobs
+        // are counted at START so a rep's own jobs are all in by the
+        // time its force() returns
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[prof] $name%-32s run$i  $sec%8.3f s")
+        println(f"[prof] $name%-32s run$i  $sec%8.3f s  ($jobs jobs, ${
+          if (jobs > 0) f"${sec * 1000 / jobs}%.0f" else "-"} ms/job)")
         sec
       }
       // steady-state: memo warm from the last rep — what a long-lived

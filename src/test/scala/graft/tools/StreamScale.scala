@@ -393,6 +393,23 @@ object StreamScale {
       // exceptAll twin at sf1/sf10 (identical phase counts + zero
       // mismatches both ways — SCALE.md r17).
       val hashVerify = args.contains("--hash-verify")
+      // --dim-posture=volatile|store (default store): the r19 A/B that
+      // isolates the shipped DimStore posture's cost from epoch factors
+      // (r18 VERDICT #1 — the sf10 DimStore leg walled 451.9/598.3 s vs
+      // r17's 97.7 s volatile-flip rendition, with corpus, heap, and
+      // RocksDB state all differing between the observations).
+      // `volatile` reproduces the r16/r17 probe convention exactly: the
+      // dim is pre-staged plain parquet, the per-batch transform reads a
+      // @volatile path variable, and the mid-run update is a pure
+      // variable flip (no copy, no marker). `store` is the shipped
+      // primitive: per-batch DimStore.read pointer resolution and a REAL
+      // mid-stream publish (dim rewrite + checked flip). Run both on one
+      // box, same heap, same derived corpus, back to back — the posture
+      // delta then decomposes via the phase breakdown printed per leg
+      // (publish wall, cumulative per-batch resolve wall, residual).
+      val posture = opt("dim-posture").getOrElse("store")
+      require(posture == "store" || posture == "volatile",
+        s"--dim-posture must be store|volatile, got $posture")
       val reg = new graft.ml.Registry(
         java.nio.file.Files.createTempDirectory("ss_reg").toString)
       graft.ml.Trainer.trainAndRegister(
@@ -408,10 +425,18 @@ object StreamScale {
         // production posture (DEPLOY.md), not a probe-local @volatile
         // flip — and the update lands mid-run as a real publish.
         // publish returns the IMMUTABLE version path, pinned for the
-        // batch twins below.
+        // batch twins below. Under --dim-posture=volatile the staged
+        // parquet IS the dim (the r16/r17 probe convention, kept as
+        // the A/B control arm).
         val dimRoot = s"$mat/dims"
-        val v1Path = graft.sources.DimStore.publish(
-          graft.SparkEntry.flagshipDims(spark, dir), dimRoot)
+        val v1Staged = s"$mat/dims_v1_staged"
+        graft.SparkEntry.flagshipDims(spark, dir)
+          .write.mode("overwrite").parquet(v1Staged)
+        val v1Path =
+          if (posture == "store")
+            graft.sources.DimStore.publish(
+              spark.read.parquet(v1Staged), dimRoot)
+          else v1Staged
         // the CDC update: every 10th user's country flips — visible in
         // both the enrichment column and the model features. Staged to
         // plain parquet up front so the mid-stream publish is a pure
@@ -446,22 +471,51 @@ object StreamScale {
         // changelog wall time at sf100, so this leg's claim — phase
         // fidelity under a mid-stream dim flip — loses nothing.
         import org.apache.spark.sql.functions.xxhash64
+        // phase-wall instrumentation (r18 VERDICT #1): the posture delta
+        // must decompose, not be attributed — publish wall (the one
+        // mid-stream dim rewrite + flip), cumulative per-batch dim
+        // resolve/read-plan wall (marker read + file listing + schema;
+        // the scan itself runs inside the batch either way), batches.
+        val publishNanos = new java.util.concurrent.atomic.AtomicLong
+        val resolveNanos = new java.util.concurrent.atomic.AtomicLong
+        val nBatches = new java.util.concurrent.atomic.AtomicLong
+        @volatile var volatileDimPath = v1Path // the r16/r17 control arm
         val t0 = System.nanoTime()
         Streaming.sinkChangelogWith(pivot, out) { (b, id) =>
+          nBatches.incrementAndGet()
           // per-batch pointer resolution: each micro-batch's join scans
           // the version current AT PLAN TIME (immutable dir), so the
           // publish below flips the NEXT batch, never a running scan
+          val rt0 = System.nanoTime()
+          val dims =
+            if (posture == "store") graft.sources.DimStore.read(spark, dimRoot)
+            else spark.read.parquet(volatileDimPath)
+          resolveNanos.addAndGet(System.nanoTime() - rt0)
           val scored = graft.SparkEntry.scoredFlagshipWith(
-            b.toDF(), graft.sources.DimStore.read(spark, dimRoot), orders)
-          if (id == flipAt - 1) // update lands: real publish + flip
-            v2Path = graft.sources.DimStore.publish(
-              spark.read.parquet(s"$mat/dims_v2_staged"), dimRoot)
+            b.toDF(), dims, orders)
+          if (id == flipAt - 1) { // update lands
+            val pt0 = System.nanoTime()
+            if (posture == "store") // real publish + flip
+              v2Path = graft.sources.DimStore.publish(
+                spark.read.parquet(s"$mat/dims_v2_staged"), dimRoot)
+            else { // the probe convention: a pure variable flip
+              volatileDimPath = s"$mat/dims_v2_staged"
+              v2Path = volatileDimPath
+            }
+            publishNanos.addAndGet(System.nanoTime() - pt0); ()
+          }
           if (!hashVerify) scored
           else scored.select(col("user_id"), col("w_start"),
             (col("country") === lit("UPDATED")).as("upd"),
             xxhash64(scored.columns.map(col): _*).as("h"))
         }
         val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[dim-update] $dir posture=$posture heap=${
+          Runtime.getRuntime.maxMemory / (1L << 30)}g breakdown: " +
+          f"publish=${publishNanos.get / 1e9}%.2f s " +
+          f"resolve_total=${resolveNanos.get / 1e9}%.2f s over " +
+          f"${nBatches.get} batches " +
+          f"(${resolveNanos.get / 1e6 / math.max(1, nBatches.get)}%.1f ms/batch)")
         val log = spark.read.parquet(out)
         if (!hashVerify) {
           val state = graft.operators.Relational.latestByKey(

@@ -34,6 +34,10 @@ Usage:
   python3 tools/bench_diff.py --run         # re-run + write TRIAGE_r{N}.json
   python3 tools/bench_diff.py BENCH_r16.json --ledger [--run]
                                          # vs BENCH_HISTORY per-query medians
+  python3 tools/bench_diff.py --ledger --calib-floor 2.20
+                  # pin the idle calibration floor (also GRAFT_CALIB_FLOOR
+                  # env) instead of trusting the historical min; and
+                  # --proxy-bound N for the untagged-row proxy test
 """
 import glob
 import json
@@ -125,7 +129,8 @@ def load_queries(path):
     raise SystemExit(f"{path}: no queries dict found")
 
 
-def _ledger_medians(path, sf=None, epoch_bound=1.5):
+def _ledger_medians(path, sf=None, epoch_bound=1.5, calib_floor=None,
+                    proxy_bound=None):
     """Per-query median seconds over every BENCH_HISTORY.jsonl row whose
     sf matches (rows without an sf are skipped when sf is known), with
     EPOCH HYGIENE (r17 VERDICT #4): contended-epoch rows are excluded
@@ -134,11 +139,23 @@ def _ledger_medians(path, sf=None, epoch_bound=1.5):
 
     A row is judged contended by its explicit epoch tag when it carries
     one — "calib_sec", a fixed CPU-bound calibration job Bench times at
-    suite start; > epoch_bound x the tagged floor means the box, not the
-    code. Untagged (legacy) rows fall back to a proxy: the row's median
+    suite start AND end (max wins since r19); > epoch_bound x the floor
+    means the box, not the code. The floor defaults to min(calib_sec)
+    over the same history, which fails two ways (r18 ADVICE): an
+    all-contended early history excludes nothing, and one anomalously
+    fast calib after a box/JVM change mass-excludes legitimate older
+    epochs. `calib_floor` (CLI --calib-floor / env GRAFT_CALIB_FLOOR;
+    this box's documented idle constant is 2.20) pins it explicitly,
+    with the historical min as fallback.
+
+    Untagged (legacy) rows fall back to a proxy: the row's median
     per-query ratio against the ELEMENTWISE MIN across all rows (the
     idle envelope) — a uniform >bound inflation is load (a real code
     regression is selective and barely moves a 96-query median ratio).
+    The proxy statistic has a different spread than the calib ratio (a
+    quiet row's median still sits above the best-ever envelope, while
+    calib is a tight fixed job), so it takes its own `proxy_bound`
+    (--proxy-bound; defaults to epoch_bound for continuity).
     If everything is excluded, the least-inflated row is kept so the
     median never goes empty."""
     hist = os.path.join(os.path.dirname(os.path.abspath(path)),
@@ -168,10 +185,13 @@ def _ledger_medians(path, sf=None, epoch_bound=1.5):
             sec = float(sec)
             if sec >= 0 and (name not in mins or sec < mins[name]):
                 mins[name] = sec
-    calibs = [float(r["calib_sec"]) for r in rows
-              if isinstance(r.get("calib_sec"), (int, float))
-              and float(r["calib_sec"]) > 0]
-    calib_floor = min(calibs) if calibs else None
+    if calib_floor is None:
+        calibs = [float(r["calib_sec"]) for r in rows
+                  if isinstance(r.get("calib_sec"), (int, float))
+                  and float(r["calib_sec"]) > 0]
+        calib_floor = min(calibs) if calibs else None
+    if proxy_bound is None:
+        proxy_bound = epoch_bound
 
     def proxy_factor(row):
         rat = [float(s) / mins[q] for q, s in row["queries"].items()
@@ -186,7 +206,7 @@ def _ledger_medians(path, sf=None, epoch_bound=1.5):
             why = f"calib {float(tag):.2f}s vs floor {calib_floor:.2f}s"
         else:
             pf = proxy_factor(row)
-            contended = pf > epoch_bound
+            contended = pf > proxy_bound
             why = f"proxy uniform factor {pf:.2f}x vs idle envelope"
         (dropped if contended else kept).append((row, why))
     if not kept:  # never let hygiene empty the ledger
@@ -279,13 +299,16 @@ def _rerun_and_verdict(names, baseline, new, threshold, reps=3):
     return triage
 
 
-def main_ledger(new_path, threshold, argv, reps=3):
+def main_ledger(new_path, threshold, argv, reps=3, calib_floor=None,
+                proxy_bound=None):
     new = load_queries(new_path)
     with open(new_path) as f:
         d = json.load(f)
         if isinstance(d.get("parsed"), dict):
             d = d["parsed"]
-    med, nrows = _ledger_medians(new_path, sf=d.get("sf"))
+    med, nrows = _ledger_medians(new_path, sf=d.get("sf"),
+                                 calib_floor=calib_floor,
+                                 proxy_bound=proxy_bound)
     # the new row's own epoch tag, when Bench stamped one: a contended
     # new row is self-identifying before any per-query flag fires
     tag = d.get("calib_sec")
@@ -339,11 +362,21 @@ def main(argv):
     # median — the r16 triage's first pass at reps=3 mislabeled three
     # contention rows as regressions that reps=6 cleared.
     reps = 3
+    # explicit idle calibration floor: CLI wins, then env, then the
+    # historical min fallback inside _ledger_medians (r18 ADVICE)
+    calib_floor = None
+    if os.environ.get("GRAFT_CALIB_FLOOR"):
+        calib_floor = float(os.environ["GRAFT_CALIB_FLOOR"])
+    proxy_bound = None
     for a in argv:
         if a.startswith("--threshold"):
             threshold = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
         if a.startswith("--reps"):
             reps = int(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+        if a.startswith("--calib-floor"):
+            calib_floor = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+        if a.startswith("--proxy-bound"):
+            proxy_bound = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
     if "--ledger" in argv:
         if not args:
             root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -352,7 +385,8 @@ def main(argv):
             if not bench:
                 raise SystemExit("need a BENCH_r*.json file")
             args = [bench[-1]]
-        return main_ledger(args[0], threshold, argv, reps)
+        return main_ledger(args[0], threshold, argv, reps,
+                           calib_floor=calib_floor, proxy_bound=proxy_bound)
     if len(args) >= 2:
         old_path, new_path = args[0], args[1]
     else:
