@@ -410,6 +410,27 @@ object StreamScale {
       val posture = opt("dim-posture").getOrElse("store")
       require(posture == "store" || posture == "volatile",
         s"--dim-posture must be store|volatile, got $posture")
+      // per-batch wall ledger: attribution for the decade-wall spread
+      // (r18 VERDICT #1) needs to know whether cost is flat per batch
+      // (corpus/scoring-bound) or grows with batch id (state-store
+      // compaction / checkpoint replay) — one progress line per batch.
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            val st = p.stateOperators.headOption
+            println(f"[dim-batch] id=${p.batchId} rows=${p.numInputRows} " +
+              f"batch_ms=${p.batchDuration} " +
+              f"addBatch_ms=${Option(p.durationMs.get("addBatch")).getOrElse(-1L)} " +
+              f"commit_ms=${Option(p.durationMs.get("commitOffsets")).getOrElse(-1L)} " +
+              f"state_rows=${st.map(_.numRowsTotal).getOrElse(-1L)} " +
+              f"state_commit_ms=${st.map(_.allUpdatesTimeMs).getOrElse(-1L)}/" +
+              f"${st.map(_.commitTimeMs).getOrElse(-1L)}")
+          }
+        })
       val reg = new graft.ml.Registry(
         java.nio.file.Files.createTempDirectory("ss_reg").toString)
       graft.ml.Trainer.trainAndRegister(
