@@ -28,6 +28,12 @@ object SweepProf {
     val results = graft.SparkEntry.benchQueries.flatMap { q =>
       graft.SparkEntry.queries.get(q).map { f =>
         try {
+          // once-per-corpus provisioning (index writes) runs UNTIMED,
+          // mirroring Bench (r15 VERDICT #6): without this the timed
+          // rep of a provisioned query charges the one-time ingest
+          // write to the query (q_zorder_versioned read 4.24 s here vs
+          // 0.19 s on the ledger before the fix, r19)
+          graft.SparkEntry.provisions.get(q).foreach(_(spark, dir))
           force(f(spark, "/root/testdata/sf0.001")) // codegen warmup
           val t0 = System.nanoTime()
           force(f(spark, dir))
