@@ -209,11 +209,13 @@ object DimStore {
             "If the holder crashed, delete the lock file and re-publish.",
           e)
       }
-    try lockOut.write(
-      s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}"
-        .getBytes("UTF-8"))
-    finally lockOut.close()
     try {
+      // inside the delete-finally from here on: a failed pid write (or
+      // anything later) releases the lock — only a hard CRASH leaves it
+      try lockOut.write(
+        s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}"
+          .getBytes("UTF-8"))
+      finally lockOut.close()
       // next from COMPLETE versions only: a crashed torso (data dir that
       // fails `complete`) is reused and overwritten by the next publish —
       // the crash-matrix claim above — instead of lingering until prune.
