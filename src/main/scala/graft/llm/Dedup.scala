@@ -580,10 +580,10 @@ object Dedup {
     * per key by construction, and each retained bucket emits at most
     * maxBucket²/2 pairs. Per-doc fingerprints are already distinct
     * ([[graft.functions.TextHashExpressions.winnow]] returns a set), so
-    * shared_fps ≡ the former join-count semantics exactly. Cost vs the
-    * exact twin below: one narrow fp shuffle for counts, one for the
-    * collect, one (a,b) shuffle of 8-byte pair keys — the twin pushes
-    * the same pair multiset through a string-keyed self-join instead.
+    * shared_fps ≡ the former join-count semantics exactly. Cost: one
+    * narrow fp shuffle for counts, one for the collect, one (a,b)
+    * shuffle of 8-byte pair keys — the exact twin below pays string
+    * fingerprints but shares the same [[bucketPairCounts]] tail (r19).
     * At 100 TB the full pair relation is itself the scale killer (it
     * grows quadratically with shared boilerplate); the operating mode
     * is this capped relation → [[dedupClusters]]-style resolution, with
@@ -608,23 +608,57 @@ object Dedup {
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
       .filter(col("c") > maxBucket)
       .select("fp")
-    // pair expansion as two chained codegen'd explodes (a < b halves the
-    // c² grid) — higher-order transform() builds would fall out of
-    // whole-stage codegen and pay interpreted struct allocation per pair
-    fps.join(hot, Seq("fp"), "left_anti")
-      .groupBy(col("fp"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      // explicit numbered repartition: the bucket relation is tiny
-      // (AQE would coalesce it to one task) but the explodes below
-      // amplify it ~1000× — size the stage by its OUTPUT, which AQE's
-      // input-byte estimate cannot see. 4× parallelism keeps each
-      // task's partial-agg hash map small enough to dodge spill/GC on
-      // a cold JVM (sf0.1: 31 s single-task → 6 s at 32 → 3 s at 128)
-      .repartition(4 * docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("ds"), explode(col("ds")).as("a"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a") < col("b"))
+    bucketPairCounts(
+      fps.join(hot, Seq("fp"), "left_anti")
+        .groupBy(col("fp"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2),
+      minShared)
+  }
+
+  /** Expand fingerprint buckets into their a < b doc pairs and count how
+    * many buckets each pair shares — the tail every winnowing variant
+    * funnels into. Requires each bucket's `ds` to hold DISTINCT ids
+    * (guaranteed upstream: per-doc fingerprints are sets and doc ids are
+    * unique), so each (bucket, pair) contributes exactly one row.
+    *
+    * Shape (r19 skew fix, guide §2.5): the former per-bucket double
+    * explode pinned a whole bucket's c²/2 grid onto ONE task — at sf0.1
+    * the exact twin's hottest bucket holds 3 887 docs (7.55 M pairs,
+    * 339 M pair rows total over 541 buckets), so one straggler task
+    * expanded and partially-aggregated 60× the median while 31 cores
+    * idled. Each bucket's SORTED doc list is now cut into `chunk`-sized
+    * value ranges and expanded as (i ≤ j) chunk-pair BLOCKS: ≤ chunk²
+    * pairs per block row, so the round-robin repartition spreads the
+    * grid evenly no matter how hot one fingerprint is. Off-diagonal
+    * blocks (i < j) satisfy a < b by construction (sorted distinct ids:
+    * every element of chunk i precedes every element of chunk j), so
+    * only diagonal blocks pay the comparison; each unordered pair
+    * appears in exactly one block, so multiplicities — and therefore
+    * shared_fps — are unchanged. The explicit numbered repartition
+    * stays: the block relation is thousands of rows (AQE's input-byte
+    * estimate would coalesce it to one task) but expands ~chunk²-fold.
+    */
+  private[llm] def bucketPairCounts(
+      buckets: DataFrame,
+      minShared: Int,
+      chunk: Int = 256): DataFrame = {
+    val blocks = flatten(transform(
+      sequence(lit(0), col("nc") - 1),
+      i => transform(sequence(i, col("nc") - 1),
+        j => struct(i.as("i"), j.as("j")))))
+    buckets
+      .select(array_sort(col("ds")).as("ds"),
+        ceil(size(col("ds")) / lit(chunk.toDouble)).cast("int").as("nc"))
+      .select(col("ds"), explode(blocks).as("b"))
+      .select(
+        slice(col("ds"), col("b.i") * chunk + 1, lit(chunk)).as("ca"),
+        slice(col("ds"), col("b.j") * chunk + 1, lit(chunk)).as("cb"),
+        (col("b.i") === col("b.j")).as("diag"))
+      .repartition(4 * buckets.sparkSession.sparkContext.defaultParallelism)
+      .select(col("cb"), col("diag"), explode(col("ca")).as("a"))
+      .select(col("a"), col("diag"), explode(col("cb")).as("b"))
+      .filter(!col("diag") || col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
@@ -643,16 +677,31 @@ object Dedup {
     * this one shuffles k-gram strings and skips hot-bucket hygiene,
     * exactly like [[ngramJaccardPairsExact]].
     *
-    * Measured plan notes (sf0.1, don't "fix" these): both join sides
-    * read the SAME distinct-fps subtree, and Spark's ReuseExchange
-    * serves the second side from the first side's shuffle — inserting a
-    * localCheckpoint to "materialize once" breaks that reuse and
-    * measured 8× SLOWER (17.9 s → 141 s); likewise singleton-fp
-    * pruning adds a shuffle the reused exchange makes redundant. The
-    * wall time is OUTPUT-bound: 12.49 M pairs at sf0.1 (exactly 100×
-    * the 124 706 at sf0.01 — boilerplate-shared fingerprints grow the
-    * pair set quadratically in corpus size), which is why the capped
-    * hashed variant, not this oracle harness, is the 100 TB path.
+    * Shape (r19 rework, guide §2.4 — remove shuffles outright): the
+    * per-doc window minima are a DOC-LOCAL computation, so the former
+    * posexplode → Exchange(doc_id) + Sort + Window → distinct →
+    * fp self-join pipeline (three full shuffles of k-gram strings, and
+    * a window operator outside whole-stage codegen) is now ONE per-row
+    * expression chain: build the gram array once, take each complete
+    * window's array_min (same binary string ordering as the window
+    * MIN), array_distinct (≡ the old DISTINCT — doc ids are unique),
+    * and explode only the selected fingerprints. Gram strings now never
+    * shuffle; only the selected fingerprints do.
+    *
+    * The pair tail stays the fp SELF-JOIN deliberately (measured, r19):
+    * the collect_list + double-explode tail the hashed variant uses
+    * pins each hot bucket's c²/2 grid onto however the bucket rows
+    * spread, and even chunk-block splitting measured 20–50 s at sf0.1
+    * against the join tail's 6–7 s — AQE's skew-join splitting
+    * rebalances the hot-fingerprint SMJ partitions at runtime, which no
+    * static expansion layout matched (WinnowDiag, OPTIMIZATION_r19.md).
+    * The exact twin has no hot-bucket cap (the oracle contract), so its
+    * worst case is the data's own fingerprint density either way.
+    *
+    * The single-element-array lambda binds the gram array to a variable
+    * (`gms`) so each window's slice references it: a plain projected
+    * alias would be CollapseProject-inlined into the per-window lambda
+    * and rebuild the whole gram array per window — O(n²) per doc.
     */
   def winnowOverlapPairsExact(
       docs: DataFrame,
@@ -661,19 +710,18 @@ object Dedup {
       w: Int = 4,
       minShared: Int = 2): DataFrame = {
     val n = length(col(textCol))
-    val grams = docs
-      // complete windows need n - k + 1 >= w grams
-      .filter(n >= k + w - 1)
-      .select(col("doc_id"), (n - (k - 1)).as("ng"),
-        posexplode(transform(sequence(lit(0), n - k),
-          i => col(textCol).substr(i + lit(1), lit(k)))).as(Seq("pos", "gram")))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val fps = grams
-      .withColumn("fp", min(col("gram")).over(win))
-      // only COMPLETE windows select (tail windows have < w grams)
-      .filter(col("pos") <= col("ng") - w)
-      .select(col("doc_id"), col("fp")).distinct()
+    val grams = transform(sequence(lit(0), n - k),
+      i => col(textCol).substr(i + lit(1), lit(k)))
+    val fpsArr = element_at(
+      transform(array(grams), gms =>
+        // complete windows only: starts 0..ng-w (ng = n-k+1 grams)
+        array_distinct(transform(sequence(lit(0), size(gms) - w),
+          p => array_min(slice(gms, p + lit(1), lit(w)))))),
+      1)
+    // the fingerprint compute must not serialize behind a narrow scan
+    val fps = graft.operators.Spread
+      .toCores(docs.filter(n >= k + w - 1)) // complete windows need n-k+1 >= w grams
+      .select(col("doc_id"), explode(fpsArr).as("fp"))
     fps.select(col("fp"), col("doc_id").as("a"))
       .join(fps.select(col("fp").as("r_fp"), col("doc_id").as("b")),
         col("fp") === col("r_fp") && col("a") < col("b"))

@@ -415,6 +415,55 @@ class DedupSpec extends SparkSpec {
     assert(found >= 1L, "planted post-strip duplicate must still pair")
   }
 
+  test("bucketPairCounts chunk blocks reproduce the plain pair expansion") {
+    // r19 skew fix: buckets are expanded as sorted chunk-pair blocks.
+    // chunk = 2 forces the multi-chunk path (diagonal + off-diagonal
+    // blocks, odd-length tail chunk); overlapping buckets exercise the
+    // cross-bucket multiplicity sum; the singleton bucket must emit
+    // nothing.
+    val buckets = Seq(
+      Seq(5L, 1L, 3L, 2L, 9L), // unsorted on purpose: 3 chunks at chunk=2
+      Seq(7L, 8L),
+      Seq(1L, 2L, 9L),         // overlaps bucket 1: those pairs count 2
+      Seq(4L)
+    ).toDF("ds")
+    val got = Dedup.bucketPairCounts(buckets, minShared = 1, chunk = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def pairs(xs: Seq[Long]) = for { a <- xs; b <- xs; if a < b } yield (a, b)
+    val expected =
+      (pairs(Seq(5L, 1L, 3L, 2L, 9L)) ++ pairs(Seq(7L, 8L)) ++
+        pairs(Seq(1L, 2L, 9L)))
+        .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    assert(got == expected)
+  }
+
+  test("winnowOverlapPairsExact per-row selection equals a windowed reference") {
+    // r19 rework: the exact twin selects window minima inside one
+    // per-row expression chain instead of posexplode + Window. Pin it
+    // against a brute-force reference (all k-grams, min per complete
+    // w-window, distinct) on a small random 4-letter corpus where
+    // shared fingerprints are plentiful.
+    val rnd = new scala.util.Random(7)
+    val texts = (1L to 6L).map(id =>
+      id -> (1 to 120).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val docs = texts.toDF("doc_id", "text")
+    val k = 5; val w = 4
+    def fpsOf(t: String): Set[String] = {
+      val grams = (0 to t.length - k).map(i => t.substring(i, i + k))
+      (0 to grams.length - w).map(p => grams.slice(p, p + w).min).toSet
+    }
+    val expected = (for {
+      (ida, ta) <- texts
+      (idb, tb) <- texts
+      if ida < idb
+      shared = fpsOf(ta).intersect(fpsOf(tb)).size
+      if shared >= 2
+    } yield (ida, idb) -> shared.toLong).toMap
+    val got = Dedup.winnowOverlapPairsExact(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("incremental delta dedup ≡ full-corpus pairing restricted to new docs") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val old = docs.filter($"doc_id" % 2 === 0)

@@ -1,0 +1,122 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch diagnostic for the r19 winnow rework: times the fps
+  * computation and the pair-expansion tail separately so a regression
+  * can be attributed to a stage instead of guessed at. Deleted or kept
+  * as a probe — not part of the shipped surface.
+  *
+  * Usage: sbt "Test/runMain graft.tools.WinnowDiag"
+  */
+object WinnowDiag {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time(label: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    f
+    println(f"[diag] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.1")
+
+    val k = 5; val w = 4
+    val n = length(col("text"))
+    val grams = transform(sequence(lit(0), n - k),
+      i => col("text").substr(i + lit(1), lit(k)))
+    val fpsArr = element_at(
+      transform(array(grams), gms =>
+        array_distinct(transform(sequence(lit(0), size(gms) - w),
+          p => array_min(slice(gms, p + lit(1), lit(w)))))),
+      1)
+    val fps = graft.operators.Spread
+      .toCores(docs.filter(n >= k + w - 1))
+      .select(col("doc_id"), explode(fpsArr).as("fp"))
+
+    // warm codegen
+    force(fps.limit(1))
+
+    time("fps compute (noop)") { force(fps) }
+    time("fps compute rep2") { force(fps) }
+    val buckets = fps.groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    time("buckets collect (noop)") { force(buckets) }
+
+    // pair tail, new block shape (mirror of Dedup.bucketPairCounts)
+    val chunk = 256
+    val blocks = flatten(transform(
+      sequence(lit(0), col("nc") - 1),
+      i => transform(sequence(i, col("nc") - 1),
+        j => struct(i.as("i"), j.as("j")))))
+    def tail(width: Int): DataFrame = buckets
+      .select(array_sort(col("ds")).as("ds"),
+        ceil(size(col("ds")) / lit(chunk.toDouble)).cast("int").as("nc"))
+      .select(col("ds"), explode(blocks).as("b"))
+      .select(
+        slice(col("ds"), col("b.i") * chunk + 1, lit(chunk)).as("ca"),
+        slice(col("ds"), col("b.j") * chunk + 1, lit(chunk)).as("cb"),
+        (col("b.i") === col("b.j")).as("diag"))
+      .repartition(width)
+      .select(col("cb"), col("diag"), explode(col("ca")).as("a"))
+      .select(col("a"), col("diag"), explode(col("cb")).as("b"))
+      .filter(!col("diag") || col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 2)
+    // expansion WITHOUT the final count agg: how much is generate vs agg
+    def expandOnly(width: Int): DataFrame = buckets
+      .select(array_sort(col("ds")).as("ds"),
+        ceil(size(col("ds")) / lit(chunk.toDouble)).cast("int").as("nc"))
+      .select(col("ds"), explode(blocks).as("b"))
+      .select(
+        slice(col("ds"), col("b.i") * chunk + 1, lit(chunk)).as("ca"),
+        slice(col("ds"), col("b.j") * chunk + 1, lit(chunk)).as("cb"),
+        (col("b.i") === col("b.j")).as("diag"))
+      .repartition(width)
+      .select(col("cb"), col("diag"), explode(col("ca")).as("a"))
+      .select(col("a"), col("diag"), explode(col("cb")).as("b"))
+      .filter(!col("diag") || col("a") < col("b"))
+      .select(col("a"), col("b"))
+    time("expand only w=128") { force(expandOnly(128)) }
+    time("pair tail w=128") { force(tail(128)) }
+    time("pair tail w=128 rep2") { force(tail(128)) }
+    time("pair tail w=32") { force(tail(32)) }
+
+    // old shape for comparison: plain double-explode per bucket
+    def oldTail(width: Int): DataFrame = buckets
+      .repartition(width)
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 2)
+    time("old tail w=128") { force(oldTail(128)) }
+    time("old tail w=128 rep2") { force(oldTail(128)) }
+
+    // the pre-r19 join tail: fps self-join on fp + a<b + groupBy count
+    def joinTail(): DataFrame = {
+      fps.select(col("fp"), col("doc_id").as("a"))
+        .join(fps.select(col("fp").as("r_fp"), col("doc_id").as("b")),
+          col("fp") === col("r_fp") && col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 2)
+    }
+    time("join tail") { force(joinTail()) }
+    time("join tail rep2") { force(joinTail()) }
+    time("pair tail w=64") { force(tail(64)) }
+    spark.stop()
+  }
+}
