@@ -572,23 +572,28 @@ object Dedup {
     * detection — catches a copied PARAGRAPH inside an otherwise-new doc,
     * which whole-doc fingerprints and shingle-Jaccard both dilute away).
     *
-    * Shape (the capped-emission contract, round-11 rework): aggregate
-    * `fp → doc list` (collect_list — unordered; the a < b filter below needs no order) and expand each bucket's pairs MAP-SIDE —
-    * never a fingerprint self-join. Hot fingerprints (> `maxBucket`
-    * docs — boilerplate, non-discriminative) are anti-joined away
-    * BEFORE the collect, so aggregation state is ≤ maxBucket·8 bytes
-    * per key by construction, and each retained bucket emits at most
-    * maxBucket²/2 pairs. Per-doc fingerprints are already distinct
-    * ([[graft.functions.TextHashExpressions.winnow]] returns a set), so
-    * shared_fps ≡ the former join-count semantics exactly. Cost: one
-    * narrow fp shuffle for counts, one for the collect, one (a,b)
-    * shuffle of 8-byte pair keys — the exact twin below pays string
-    * fingerprints but shares the same [[bucketPairCounts]] tail (r19).
+    * Shape: hot fingerprints (> `maxBucket` docs — boilerplate,
+    * non-discriminative) are anti-joined away FIRST, then the capped
+    * relation self-joins on the 8-byte fp and counts pairs. The cap is
+    * the emission contract: each retained fingerprint emits at most
+    * maxBucket²/2 pairs, so the pair relation stays linear-ish in
+    * corpus size with `maxBucket` (and boilerplate stripping, see
+    * q_winnow_clean) as the knobs. Per-doc fingerprints are already
+    * distinct ([[graft.functions.TextHashExpressions.winnow]] returns a
+    * set), so shared_fps counts distinct shared fingerprints exactly.
+    *
+    * The tail is the self-join DELIBERATELY (r19, measured): the
+    * round-11 collect_list + double-explode tail — and a sorted
+    * chunk-block variant built to spread its per-bucket grids — both
+    * measured ~2× SLOWER than the plain fp self-join at sf0.1 (3.0–4.4 s
+    * vs 1.5–2.1 s capped; 20–50 s vs 6–7 s uncapped), because the
+    * sort-merge join streams pair generation without collect buffers and
+    * AQE rebalances hot-fp partitions at runtime (WinnowDiag,
+    * OPTIMIZATION_r19.md). The exchanges are narrow either way: fp
+    * shuffles of (fp, doc_id) and one (a,b) shuffle of 8-byte pair keys.
     * At 100 TB the full pair relation is itself the scale killer (it
     * grows quadratically with shared boilerplate); the operating mode
-    * is this capped relation → [[dedupClusters]]-style resolution, with
-    * `maxBucket` (and boilerplate stripping, see q_winnow_clean) as the
-    * knobs that keep emission linear-ish.
+    * is this capped relation → [[dedupClusters]]-style resolution.
     */
   def winnowOverlapPairs(
       docs: DataFrame,
@@ -608,57 +613,10 @@ object Dedup {
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
       .filter(col("c") > maxBucket)
       .select("fp")
-    bucketPairCounts(
-      fps.join(hot, Seq("fp"), "left_anti")
-        .groupBy(col("fp"))
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) >= 2),
-      minShared)
-  }
-
-  /** Expand fingerprint buckets into their a < b doc pairs and count how
-    * many buckets each pair shares — the tail every winnowing variant
-    * funnels into. Requires each bucket's `ds` to hold DISTINCT ids
-    * (guaranteed upstream: per-doc fingerprints are sets and doc ids are
-    * unique), so each (bucket, pair) contributes exactly one row.
-    *
-    * Shape (r19 skew fix, guide §2.5): the former per-bucket double
-    * explode pinned a whole bucket's c²/2 grid onto ONE task — at sf0.1
-    * the exact twin's hottest bucket holds 3 887 docs (7.55 M pairs,
-    * 339 M pair rows total over 541 buckets), so one straggler task
-    * expanded and partially-aggregated 60× the median while 31 cores
-    * idled. Each bucket's SORTED doc list is now cut into `chunk`-sized
-    * value ranges and expanded as (i ≤ j) chunk-pair BLOCKS: ≤ chunk²
-    * pairs per block row, so the round-robin repartition spreads the
-    * grid evenly no matter how hot one fingerprint is. Off-diagonal
-    * blocks (i < j) satisfy a < b by construction (sorted distinct ids:
-    * every element of chunk i precedes every element of chunk j), so
-    * only diagonal blocks pay the comparison; each unordered pair
-    * appears in exactly one block, so multiplicities — and therefore
-    * shared_fps — are unchanged. The explicit numbered repartition
-    * stays: the block relation is thousands of rows (AQE's input-byte
-    * estimate would coalesce it to one task) but expands ~chunk²-fold.
-    */
-  private[llm] def bucketPairCounts(
-      buckets: DataFrame,
-      minShared: Int,
-      chunk: Int = 256): DataFrame = {
-    val blocks = flatten(transform(
-      sequence(lit(0), col("nc") - 1),
-      i => transform(sequence(i, col("nc") - 1),
-        j => struct(i.as("i"), j.as("j")))))
-    buckets
-      .select(array_sort(col("ds")).as("ds"),
-        ceil(size(col("ds")) / lit(chunk.toDouble)).cast("int").as("nc"))
-      .select(col("ds"), explode(blocks).as("b"))
-      .select(
-        slice(col("ds"), col("b.i") * chunk + 1, lit(chunk)).as("ca"),
-        slice(col("ds"), col("b.j") * chunk + 1, lit(chunk)).as("cb"),
-        (col("b.i") === col("b.j")).as("diag"))
-      .repartition(4 * buckets.sparkSession.sparkContext.defaultParallelism)
-      .select(col("cb"), col("diag"), explode(col("ca")).as("a"))
-      .select(col("a"), col("diag"), explode(col("cb")).as("b"))
-      .filter(!col("diag") || col("a") < col("b"))
+    val kept = fps.join(hot, Seq("fp"), "left_anti")
+    kept.select(col("fp"), col("doc_id").as("a"))
+      .join(kept.select(col("fp").as("r_fp"), col("doc_id").as("b")),
+        col("fp") === col("r_fp") && col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)

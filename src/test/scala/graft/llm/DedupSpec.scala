@@ -415,28 +415,6 @@ class DedupSpec extends SparkSpec {
     assert(found >= 1L, "planted post-strip duplicate must still pair")
   }
 
-  test("bucketPairCounts chunk blocks reproduce the plain pair expansion") {
-    // r19 skew fix: buckets are expanded as sorted chunk-pair blocks.
-    // chunk = 2 forces the multi-chunk path (diagonal + off-diagonal
-    // blocks, odd-length tail chunk); overlapping buckets exercise the
-    // cross-bucket multiplicity sum; the singleton bucket must emit
-    // nothing.
-    val buckets = Seq(
-      Seq(5L, 1L, 3L, 2L, 9L), // unsorted on purpose: 3 chunks at chunk=2
-      Seq(7L, 8L),
-      Seq(1L, 2L, 9L),         // overlaps bucket 1: those pairs count 2
-      Seq(4L)
-    ).toDF("ds")
-    val got = Dedup.bucketPairCounts(buckets, minShared = 1, chunk = 2)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-    def pairs(xs: Seq[Long]) = for { a <- xs; b <- xs; if a < b } yield (a, b)
-    val expected =
-      (pairs(Seq(5L, 1L, 3L, 2L, 9L)) ++ pairs(Seq(7L, 8L)) ++
-        pairs(Seq(1L, 2L, 9L)))
-        .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
-    assert(got == expected)
-  }
-
   test("winnowOverlapPairsExact per-row selection equals a windowed reference") {
     // r19 rework: the exact twin selects window minima inside one
     // per-row expression chain instead of posexplode + Window. Pin it
