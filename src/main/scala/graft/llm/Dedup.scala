@@ -602,11 +602,19 @@ object Dedup {
       w: Int = 4,
       minShared: Int = 2,
       maxBucket: Int = 1024): DataFrame = {
-    // the fingerprint compute must not serialize behind a narrow scan
+    // the fingerprint compute must not serialize behind a narrow scan.
+    // NO localCheckpoint (r19, measured): recomputing the fingerprints
+    // per join branch is cheaper end-to-end than materializing the
+    // exploded relation once (WinnowDiag e2e 2.0–3.1 s vs 2.4–3.7 s),
+    // and it avoids pinning |fps| in executor storage — at scale the
+    // recompute is two corpus scans, the checkpoint is an
+    // eviction/lineage liability. (A count-over-window hot filter that
+    // rides the join's own exchange was also measured: 13.8–14.3 s —
+    // WindowExec buffers exactly the hot partitions the cap exists to
+    // drop.)
     val fps = graft.operators.Spread.toCores(docs).select(col("doc_id"),
       explode(graft.functions.TextHashExpressions
         .winnow_fingerprint(col(textCol), k, w)).as("fp"))
-      .localCheckpoint()
     // hot buckets: ≤ |fps|/maxBucket rows by pigeonhole — AQE broadcasts
     // it when (as always in practice) it's tiny; no hint, so an
     // adversarial corpus degrades to a shuffled anti-join, not an OOM

@@ -118,48 +118,49 @@ object WinnowDiag {
     time("join tail rep2") { force(joinTail()) }
     time("pair tail w=64") { force(tail(64)) }
 
-    // production (hashed, capped) variants: current bucketPairCounts
-    // tail vs a post-cap self-join tail on the long fingerprints
+    // production (hashed, capped) END-TO-END variants, fingerprinting
+    // included — the hot-filter plumbing question: shipped shape
+    // (localCheckpoint + hot agg + broadcast anti-join) vs a
+    // count-over-window filter that rides the self-join's own fp
+    // exchange (no checkpoint, no second agg) vs the anti-join shape
+    // without the checkpoint (fingerprints recomputed per branch).
     val maxBucket = 1024
-    val pfps = graft.operators.Spread.toCores(docs).select(col("doc_id"),
+    def pfpsRaw() = graft.operators.Spread.toCores(docs).select(col("doc_id"),
       explode(graft.functions.TextHashExpressions
         .winnow_fingerprint(col("text"), 5, 4)).as("fp"))
-      .localCheckpoint()
-    val phot = pfps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > maxBucket)
-      .select("fp")
-    val pkept = pfps.join(phot, Seq("fp"), "left_anti")
-    def prodCollectTail(): DataFrame = {
-      val bks = pkept.groupBy(col("fp"))
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) >= 2)
-      bks
-        .select(array_sort(col("ds")).as("ds"),
-          ceil(size(col("ds")) / lit(chunk.toDouble)).cast("int").as("nc"))
-        .select(col("ds"), explode(blocks).as("b"))
-        .select(
-          slice(col("ds"), col("b.i") * chunk + 1, lit(chunk)).as("ca"),
-          slice(col("ds"), col("b.j") * chunk + 1, lit(chunk)).as("cb"),
-          (col("b.i") === col("b.j")).as("diag"))
-        .repartition(128)
-        .select(col("cb"), col("diag"), explode(col("ca")).as("a"))
-        .select(col("a"), col("diag"), explode(col("cb")).as("b"))
-        .filter(!col("diag") || col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("shared_fps"))
-        .filter(col("shared_fps") >= 2)
-    }
-    def prodJoinTail(): DataFrame =
-      pkept.select(col("fp"), col("doc_id").as("a"))
-        .join(pkept.select(col("fp").as("r_fp"), col("doc_id").as("b")),
+    def pairTail(kept: DataFrame): DataFrame =
+      kept.select(col("fp"), col("doc_id").as("a"))
+        .join(kept.select(col("fp").as("r_fp"), col("doc_id").as("b")),
           col("fp") === col("r_fp") && col("a") < col("b"))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 2)
-    time("prod collect tail") { force(prodCollectTail()) }
-    time("prod collect tail rep2") { force(prodCollectTail()) }
-    time("prod join tail") { force(prodJoinTail()) }
-    time("prod join tail rep2") { force(prodJoinTail()) }
+    def prodShipped(): DataFrame = {
+      val pfps = pfpsRaw().localCheckpoint()
+      val phot = pfps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > maxBucket)
+        .select("fp")
+      pairTail(pfps.join(phot, Seq("fp"), "left_anti"))
+    }
+    def prodWindow(): DataFrame = {
+      val win = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      pairTail(pfpsRaw()
+        .withColumn("c", count(lit(1)).over(win))
+        .filter(col("c") <= maxBucket).drop("c"))
+    }
+    def prodNoCkpt(): DataFrame = {
+      val pfps = pfpsRaw()
+      val phot = pfps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > maxBucket)
+        .select("fp")
+      pairTail(pfps.join(phot, Seq("fp"), "left_anti"))
+    }
+    time("prod shipped e2e") { force(prodShipped()) }
+    time("prod shipped e2e rep2") { force(prodShipped()) }
+    time("prod window e2e") { force(prodWindow()) }
+    time("prod window e2e rep2") { force(prodWindow()) }
+    time("prod nockpt e2e") { force(prodNoCkpt()) }
+    time("prod nockpt e2e rep2") { force(prodNoCkpt()) }
     spark.stop()
   }
 }
