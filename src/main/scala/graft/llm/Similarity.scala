@@ -1058,7 +1058,13 @@ object Similarity {
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("vn", norm(col("v"))) // once per vector, reused per pair
       .select(col(idCol), col("v"), col("vn"), explode(array(tables: _*)).as("bk"))
-      .localCheckpoint() // materialize once for both join branches; auto-released on GC
+      // materialize once for both join branches; auto-released on GC.
+      // KEPT after an r19 A/B (winnowOverlapPairs dropped its analog and
+      // won): here the per-branch recompute is 8 SRP signatures over the
+      // full vectors, and dropping the checkpoint measured SLOWER
+      // (ProfileQuery median 2.12 -> 2.52 s, steady 1.75 -> 2.13 s at
+      // sf0.1). The choice is per-operator and measured, not a rule.
+      .localCheckpoint()
     // hot-bucket cap (same hygiene as Dedup.ngramJaccardPairs): a dense
     // SRP bucket — e.g. a near-zero-vector cluster collapsing to one
     // signature — would generate quadratic candidates. A dropped-hot-
