@@ -389,6 +389,31 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.exists(p => p._1 <= 8L && p._2 <= 8L))
   }
 
+  test("winnowOverlapPairs self-join tail reproduces brute-force shared_fps multiplicities") {
+    // r19 pin for the reworked pair tail (collect/chunk machinery ->
+    // capped fp self-join): shared_fps must equal, pair by pair, the
+    // count of distinct fingerprints two docs share, computed here by
+    // brute force from the SAME fingerprint relation the operator
+    // consumes. minShared = 1 so low-multiplicity pairs are compared
+    // too; a random 6-letter corpus gives uneven bucket sizes.
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 12L).map { i =>
+      (i, (1 to 60).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    val got = Dedup.winnowOverlapPairs(docs, minShared = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.TextHashExpressions
+        .winnow_fingerprint(col("text"), 5, 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val expected = (for {
+      a <- byDoc.keys; b <- byDoc.keys; if a < b
+      n = (byDoc(a) intersect byDoc(b)).size; if n >= 1
+    } yield (a, b) -> n.toLong).toMap
+    assert(got == expected)
+  }
+
   test("boilerplate-stripped winnowing: pair count collapses, true overlaps survive") {
     // the q_winnow_clean composition: the fixture's 40-word vocabulary
     // makes sub-word (k = 5) grams collide across essentially all docs,
