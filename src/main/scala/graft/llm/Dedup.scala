@@ -611,7 +611,10 @@ object Dedup {
     // eviction/lineage liability. (A count-over-window hot filter that
     // rides the join's own exchange was also measured: 13.8–14.3 s —
     // WindowExec buffers exactly the hot partitions the cap exists to
-    // drop.)
+    // drop.) The per-branch recompute assumes `docs` is DETERMINISTIC
+    // (parquet/files, not sample/limit): the hot-agg and both self-join
+    // sides re-evaluate fps independently, so a non-deterministic input
+    // could make the branches disagree. All callers read parquet.
     val fps = graft.operators.Spread.toCores(docs).select(col("doc_id"),
       explode(graft.functions.TextHashExpressions
         .winnow_fingerprint(col(textCol), k, w)).as("fp"))
@@ -667,7 +670,16 @@ object Dedup {
     * The single-element-array lambda binds the gram array to a variable
     * (`gms`) so each window's slice references it: a plain projected
     * alias would be CollapseProject-inlined into the per-window lambda
-    * and rebuild the whole gram array per window — O(n²) per doc.
+    * and rebuild the whole gram array per window — O(n²) per doc. (That
+    * shape is pinned by a plan-shape test in DedupSpec: exactly one
+    * gram-build `transform(sequence(0, n-k), …substr…)` survives per
+    * Generate in the optimized plan.)
+    *
+    * @param docs corpus with one row PER doc_id — the per-row
+    *   `array_distinct` replaces the old global (doc_id, fp) DISTINCT,
+    *   so a doc_id split across rows would double-count its shared fps
+    *   (every fixture and caller satisfies this; the hashed production
+    *   variant has the same contract)
     */
   def winnowOverlapPairsExact(
       docs: DataFrame,

@@ -467,6 +467,27 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("winnowOverlapPairsExact plan keeps exactly one gram build per Generate") {
+    // The O(n) vs O(n²) behavior of the exact twin hinges on the
+    // optimizer NOT inlining the gram-build transform through
+    // element_at(transform(array(grams), …), 1) into the per-window
+    // lambda (each window's slice would then rebuild the whole gram
+    // array). Pin the optimized plan: one Substring-bearing gram build
+    // per Generate, so a future optimizer rule change that re-inlines it
+    // fails loudly here instead of silently regressing performance.
+    import org.apache.spark.sql.catalyst.expressions.Substring
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val docs = Seq((1L, "abcabcabcabc"), (2L, "bcabcabcabca")).toDF("doc_id", "text")
+    val plan = Dedup.winnowOverlapPairsExact(docs).queryExecution.optimizedPlan
+    val generates = plan.collect { case g: Generate => g }
+    val substrings = plan.collect { case node =>
+      node.expressions.map(e => e.collect { case s: Substring => s }.size).sum
+    }.sum
+    assert(generates.size == 2, s"expected the two self-join fps Generates, got ${generates.size}")
+    assert(substrings == generates.size,
+      s"gram build duplicated: $substrings Substring nodes for ${generates.size} Generates\n$plan")
+  }
+
   test("incremental delta dedup ≡ full-corpus pairing restricted to new docs") {
     val docs = graft.model.Tables.documents(spark, sf0001)
     val old = docs.filter($"doc_id" % 2 === 0)

@@ -30,6 +30,14 @@ object WinnowDiag {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.1")
 
+    // ---- r20 A/Bs: where exactly do the branch recomputes cost? ----
+    // The r19 B″ A/B checkpointed the EXPLODED fps relation (lost).
+    // Untested variants: checkpoint only the tiny hot list (the hot agg
+    // is computed once per self-join branch today), and — for the clean
+    // composition — checkpoint the removeBoilerplate output (the whole
+    // strip pipeline is replicated 4× in q_winnow_clean's plan today).
+    if (args.headOption.contains("r20")) { r20(spark, docs); spark.stop(); return }
+
     val k = 5; val w = 4
     val n = length(col("text"))
     val grams = transform(sequence(lit(0), n - k),
@@ -53,7 +61,9 @@ object WinnowDiag {
       .filter(size(col("ds")) >= 2)
     time("buckets collect (noop)") { force(buckets) }
 
-    // pair tail, new block shape (mirror of Dedup.bucketPairCounts)
+    // pair tail: the chunk-block shape deleted from Dedup in r19
+    // (value-ordered 256-id chunks, (i <= j) block grid) — kept here as
+    // the only surviving record of that measured-slower variant
     val chunk = 256
     val blocks = flatten(transform(
       sequence(lit(0), col("nc") - 1),
@@ -162,5 +172,78 @@ object WinnowDiag {
     time("prod nockpt e2e") { force(prodNoCkpt()) }
     time("prod nockpt e2e rep2") { force(prodNoCkpt()) }
     spark.stop()
+  }
+
+  private def r20(spark: SparkSession, docs: DataFrame): Unit = {
+    val maxBucket = 1024
+
+    def pairTail(kept: DataFrame, minShared: Int = 2): DataFrame =
+      kept.select(col("fp"), col("doc_id").as("a"))
+        .join(kept.select(col("fp").as("r_fp"), col("doc_id").as("b")),
+          col("fp") === col("r_fp") && col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= minShared)
+
+    def hashedFps(in: DataFrame, k: Int, w: Int): DataFrame =
+      graft.operators.Spread.toCores(in).select(col("doc_id"),
+        explode(graft.functions.TextHashExpressions
+          .winnow_fingerprint(col("text"), k, w)).as("fp"))
+
+    def exactFps(in: DataFrame, k: Int, w: Int): DataFrame = {
+      val n = length(col("text"))
+      val grams = transform(sequence(lit(0), n - k),
+        i => col("text").substr(i + lit(1), lit(k)))
+      val fpsArr = element_at(
+        transform(array(grams), gms =>
+          array_distinct(transform(sequence(lit(0), size(gms) - w),
+            p => array_min(slice(gms, p + lit(1), lit(w)))))),
+        1)
+      graft.operators.Spread
+        .toCores(in.filter(n >= k + w - 1))
+        .select(col("doc_id"), explode(fpsArr).as("fp"))
+    }
+
+    def capped(fps: DataFrame, hotCkpt: Boolean): DataFrame = {
+      val hot0 = fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > maxBucket)
+        .select("fp")
+      val hot = if (hotCkpt) hot0.localCheckpoint() else hot0
+      fps.join(hot, Seq("fp"), "left_anti")
+    }
+
+    def cleanDocs(): DataFrame = graft.llm.TextOps
+      .removeBoilerplate(docs, " merge ", minDocs = 2)
+      .select(col("doc_id"), col("clean_text").as("text"))
+
+    // warm codegen once
+    force(pairTail(capped(hashedFps(docs, 5, 4), hotCkpt = false)).limit(1))
+
+    for (rep <- 1 to 3) {
+      // q_winnow_overlap shape: hashed fps, capped
+      time(s"ovl shipped (nockpt) r$rep") {
+        force(pairTail(capped(hashedFps(docs, 5, 4), hotCkpt = false))) }
+      time(s"ovl hotCkpt r$rep") {
+        force(pairTail(capped(hashedFps(docs, 5, 4), hotCkpt = true))) }
+      // q_winnow_clean shape: strip, then hashed k=25/w=8 capped
+      time(s"cln shipped r$rep") {
+        force(pairTail(capped(hashedFps(cleanDocs(), 25, 8), hotCkpt = false))) }
+      time(s"cln cleanCkpt r$rep") {
+        force(pairTail(capped(
+          hashedFps(cleanDocs().localCheckpoint(), 25, 8), hotCkpt = false))) }
+      time(s"cln bothCkpt r$rep") {
+        force(pairTail(capped(
+          hashedFps(cleanDocs().localCheckpoint(), 25, 8), hotCkpt = true))) }
+      // q_winnow_overlap_exact shape: string fps, uncapped
+      time(s"exact shipped r$rep") {
+        force(pairTail(exactFps(docs, 5, 4))) }
+      time(s"exact fpsCkpt r$rep") {
+        force(pairTail(exactFps(docs, 5, 4).localCheckpoint())) }
+      // q_winnow_clean_exact shape: strip, then string fps k=25/w=8
+      time(s"clnExact shipped r$rep") {
+        force(pairTail(exactFps(cleanDocs(), 25, 8))) }
+      time(s"clnExact cleanCkpt r$rep") {
+        force(pairTail(exactFps(cleanDocs().localCheckpoint(), 25, 8))) }
+    }
   }
 }
