@@ -2491,9 +2491,19 @@ object SparkEntry {
     * semantics are oracled via q_winnow_overlap_exact).
     */
   private def qWinnowClean(s: SparkSession, dir: String): DataFrame =
+    // localCheckpoint: winnowOverlapPairs consumes its input from FOUR
+    // plan branches (hot agg + both self-join sides, r19 shape), and
+    // without a materialization barrier the whole removeBoilerplate
+    // pipeline (segment explode, two aggs, re-assembly join) replays in
+    // every branch — measured 2.65 → 1.64 s at sf0.1 (WinnowDiag r20
+    // A/B; the checkpointed relation is one narrow row per doc, so the
+    // barrier is cheap where the r19 fps-checkpoint was not). At 100 TB
+    // the stripped corpus would be written once and winnowed from
+    // storage — same barrier, durable form.
     Dedup.winnowOverlapPairs(
       TextOps.removeBoilerplate(Tables.documents(s, dir), " merge ", minDocs = 2)
-        .select(col("doc_id"), col("clean_text").as("text")),
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(),
       k = 25, w = 8)
 
   /** Oracle twin of [[qWinnowClean]]: the SAME boilerplate-strip →
@@ -2506,9 +2516,12 @@ object SparkEntry {
     * and the stripped corpus's fingerprint pair set).
     */
   private def qWinnowCleanExact(s: SparkSession, dir: String): DataFrame =
+    // same materialization barrier as qWinnowClean (two fps branches
+    // here): 2.12 → 1.46 s at sf0.1 (WinnowDiag r20 A/B)
     Dedup.winnowOverlapPairsExact(
       TextOps.removeBoilerplate(Tables.documents(s, dir), " merge ", minDocs = 2)
-        .select(col("doc_id"), col("clean_text").as("text")),
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(),
       k = 25, w = 8)
 
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
