@@ -35,10 +35,15 @@ object Metrics {
     * relocate where the running sum is split, never its value, so the
     * result is bit-identical to the single-window formulation. NULL
     * scores keep their own bucket BELOW all others (Spark's former
-    * nulls-first window order). The groupBy-score exchange is one
-    * subtree reused by every path (ReuseExchange), so the base table
-    * still scans once. Output one row: (n_pos, n_neg, auc); auc is
-    * NULL when either class is absent.
+    * nulls-first window order). The histogram is MATERIALIZED once
+    * (localCheckpoint): four downstream paths (extent, bucket sums,
+    * triangular offset, the cumulative join) consume it under different
+    * column prunings, so their aggregation subtrees canonicalize
+    * differently and ReuseExchange cannot deduplicate them — without
+    * the barrier the executed plan scanned the base table SIX times
+    * (r20 plan audit). One corpus pass builds the histogram; everything
+    * after runs on (s, np, nn) rows, narrow by construction. Output one
+    * row: (n_pos, n_neg, auc); auc is NULL when either class is absent.
     */
   def aucExact(
       df: DataFrame,
@@ -51,6 +56,7 @@ object Metrics {
       .agg(
         sum(when(labelCol, 1L).otherwise(0L)).as("np"),
         sum(when(labelCol, 0L).otherwise(1L)).as("nn"))
+      .localCheckpoint()
     val ext = h.agg(min(col("s")).as("_mn"), max(col("s")).as("_mx"))
     val hb = h.crossJoin(broadcast(ext))
       .withColumn("_b",
@@ -109,11 +115,14 @@ object Metrics {
       buckets: Int = 1024,
       outGroup: String = "grp"): DataFrame = {
     require(buckets >= 2, s"aucByGroup: buckets must be >= 2, got $buckets")
+    // materialized once, same reason as aucExact: six-scan plan without
+    // the barrier (the group key makes each pruned subtree even wider)
     val h = df
       .groupBy(groupCol.as(outGroup), scoreCol.cast("double").as("s"))
       .agg(
         sum(when(labelCol, 1L).otherwise(0L)).as("np"),
         sum(when(labelCol, 0L).otherwise(1L)).as("nn"))
+      .localCheckpoint()
     val ext = h.groupBy(col(outGroup))
       .agg(min(col("s")).as("_mn"), max(col("s")).as("_mx"))
     val hb = h.join(ext, outGroup)
